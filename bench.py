@@ -1,0 +1,70 @@
+"""Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+The metric is total wall seconds across the headline set; per-query
+seconds are in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dist_map_reduce_spark import registry
+from dist_map_reduce_spark.session import get_spark
+
+registry.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per major operator family (SURVEY.md §2.2).
+HEADLINE = [
+    "wordcount",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_semi_anti_balance",
+    "window_order_rank",
+    "events_tumbling_1h",
+    "events_session_10m",
+    "dedup_exact_docs",
+    "minhash_band_candidates",
+    "similarity_topk_cosine",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    spark = get_spark("dist_map_reduce_spark_bench")
+    # warm the JVM + file listing with the flagship once
+    registry.QUERIES["wordcount"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        # a count() forces the full plan without driver-collecting rows
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

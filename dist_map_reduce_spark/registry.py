@@ -1,0 +1,59 @@
+"""Query registry.
+
+Every implemented operator registers a named query callable
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, a DuckDB
+oracle SQL string over the same fixture views. This is the engine's
+equivalent of the reference's pluggable ``mapFunc``/``reduceFunc``
+programming surface (reference: src/worker/worker.go:22-23) — except
+queries are declarative plans, not imperative task bodies.
+
+Column-name contract: Spark result and oracle result must have
+identical column names (driver compares after sorting columns by
+name), so every computed column is aliased on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle`` is DuckDB SQL or None (rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    from dist_map_reduce_spark.operators import (  # noqa: F401
+        wordcount,
+        relational,
+        windows,
+        setops,
+        scalar_fns,
+        json_ops,
+        timeseries,
+        approx,
+    )
+    from dist_map_reduce_spark.functions import (  # noqa: F401
+        text,
+        dedup,
+        similarity,
+        multimodal,
+    )
+    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
