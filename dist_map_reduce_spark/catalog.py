@@ -10,6 +10,7 @@ per-file map-task enumeration the reference does by hand.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The ten driver fixture tables (TESTDATA.md / FIXTURES.md).
 TABLES: tuple[str, ...] = (
@@ -39,6 +40,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects (PARQUET_TYPE_ILLEGAL). Read it as int64 nanos and
+        # convert with integer division — lossless to Spark's native
+        # microsecond precision, fully distributed (no driver round
+        # trip), and matches DuckDB, which also truncates ns → µs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
