@@ -1,1 +1,160 @@
-"""Placeholder — filled in this round."""
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, with Arrow-batched (mapInPandas) feature extraction.
+
+Convention (BASELINE.json north star): a modality column is
+``binary`` plus a metadata struct (mime, n_bytes, ...). Real codecs
+(image/audio/video) aren't available in this environment, so decode
+is stubbed: ``decode_image``/``decode_audio`` raise
+NotImplementedError with a clear message, and the tested pipeline
+uses a deterministic byte-level feature extractor — the Spark-side
+plumbing (schema, batching, UDF signature, partitioning) is real and
+oracle-checked; only the codec call is fake.
+
+The documents table stands in as the payload source
+(text bytes = the "blob").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.registry import query
+
+
+def decode_image(blob: bytes) -> "object":
+    """Decode an image payload to (height, width, channels) pixels.
+
+    STUB: real decoding needs an image codec (PIL/opencv), which is
+    not in this container. The surrounding plumbing (binary column in,
+    feature rows out via mapInPandas) is the real, tested path.
+    """
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use extract_byte_features for the deterministic fake path"
+    )
+
+
+def decode_audio(blob: bytes) -> "object":
+    """Decode an audio payload to PCM samples. STUB — see decode_image."""
+    raise NotImplementedError(
+        "audio codec not available in this environment; "
+        "use extract_byte_features for the deterministic fake path"
+    )
+
+
+FEATURE_SCHEMA = "doc_id long, n_bytes int, first_byte int, mean_byte double"
+
+
+def extract_byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake 'decode': byte-level statistics per payload.
+
+    Arrow-batched mapInPandas operator — each batch is a zero-copy
+    pandas DataFrame; this is the shape a real decoder (resize /
+    frame-sample / spectrogram) plugs into, processing
+    payload-per-row without any driver round trip.
+    """
+    for pdf in batches:
+        blobs = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": blobs.map(len).astype("int32"),
+                "first_byte": blobs.map(lambda b: b[0] if len(b) else -1).astype(
+                    "int32"
+                ),
+                "mean_byte": blobs.map(
+                    lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                ),
+            }
+        )
+
+
+def as_multimodal(docs: DataFrame, mime: str = "text/plain") -> DataFrame:
+    """documents → multimodal convention: (doc_id, payload binary,
+    meta struct<mime, n_bytes>)."""
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length("text").alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_manifest",
+    oracle="""
+    SELECT doc_id,
+           'text/plain'      AS mime,
+           strlen(text) AS n_bytes,
+           source             AS origin,
+           md5(text)          AS checksum
+    FROM documents
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest of the multimodal payload column: typed metadata +
+    content checksum, flattened from the (payload, meta) convention."""
+    mm = as_multimodal(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.origin").alias("origin"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+@query(
+    "multimodal_byte_features",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           ascii(text)        AS first_byte,
+           round(list_aggregate(
+                   list_transform(regexp_extract_all(text, '.'), c -> ascii(c)),
+                   'sum') * 1.0 / strlen(text), 6) AS mean_byte
+    FROM documents
+    """,
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads through the real
+    Arrow/mapInPandas path (the fake 'decoder' computes byte stats;
+    a real codec would slot in unchanged).
+
+    The UDF is a local closure (not a module-level reference) so
+    cloudpickle ships it by value — executors never need this package
+    importable on their own sys.path.
+    """
+    mm = as_multimodal(load_table(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            blobs = pdf["payload"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len).astype("int32"),
+                    "first_byte": blobs.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "mean_byte": blobs.map(
+                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                    ),
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        extract, schema=FEATURE_SCHEMA
+    )

@@ -1,1 +1,238 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over the embeddings table (array<float>, 64-d).
+
+Two paths (BASELINE.json north star):
+  - brute-force cosine top-k: exact baseline — a broadcast of the
+    (small) query set against a full scan of the corpus; all math in
+    JVM expressions (zip_with/aggregate), computed in float64.
+  - sign-LSH (random-hyperplane) bucketing: the scale path — vectors
+    hash to a bucket by the sign pattern of 8 hyperplane dot
+    products; search only touches the query's bucket. Hyperplanes
+    are derived deterministically from md5 so the bucketing is
+    reproducible (and even oracle-checkable in SQL).
+
+At 100 TB the corpus side never broadcasts or collects: brute force
+is scan+broadcast-join; LSH is an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.registry import query
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 5  # query set: vec_id < 5
+
+
+def _plane(j: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 — no RNG state, identical
+    in any engine that has md5."""
+    return [
+        1.0 if int(hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+        for d in range(DIM)
+    ]
+
+
+PLANES: list[list[float]] = [_plane(j) for j in range(N_PLANES)]
+
+
+def _dot_expr(vec_col: str, weights: list[float]) -> Column:
+    arr = ", ".join(f"{w}D" for w in weights)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, array({arr}), (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" 0D, (a, v) -> a + v)"
+    )
+
+
+def bucket_col(vec_col: str) -> Column:
+    """Sign-LSH bucket id: bit j = (v · plane_j) > 0."""
+    out = F.lit(0)
+    for j, plane in enumerate(PLANES):
+        out = out + F.when(_dot_expr(vec_col, plane) > 0, F.lit(1 << j)).otherwise(0)
+    return out.cast("int")
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_sql(j)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"({bits})"
+
+
+def _plane_sql(j: int) -> str:
+    return "[" + ", ".join(str(w) for w in PLANES[j]) + "]::DOUBLE[]"
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array columns, computed in float64
+    (matches DuckDB list_cosine_similarity on DOUBLE[] exactly up to
+    the final rounding)."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            f" 0D, (acc, v) -> acc + v)"
+        )
+    )
+    nb = F.sqrt(
+        F.expr(
+            f"aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            f" 0D, (acc, v) -> acc + v)"
+        )
+    )
+    return dot / (na * nb)
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) <= 10
+    """,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for each query vector: broadcast the
+    bounded query set, scan the corpus once, per-query top-k via
+    window. Ranking uses the rounded score so ordering is
+    engine-stable."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        emb.join(queries, emb.vec_id != queries.query_id)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr("qe", "embedding"), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@query(
+    "similarity_lsh_buckets",
+    oracle=f"""
+    SELECT {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket,
+           count(*) AS n_vectors,
+           min(vec_id) AS min_vec_id
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket histogram — the partition layout the ANN path
+    searches within. Deterministic hyperplanes ⇒ oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(bucket_col("embedding").alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@query("similarity_ann_lsh_topk")  # rows-only: approximate by construction
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via LSH: only vectors in the query's bucket are
+    scored — the join is an equi-join on bucket id, so corpus-side
+    work is proportional to one bucket, not the corpus. Recall vs
+    the exact top-k is asserted in tests/test_similarity.py."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", bucket_col("embedding")
+    )
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = (
+        emb.join(
+            queries,
+            (emb.bucket == queries.qbucket) & (emb.vec_id != queries.query_id),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr("qe", "embedding"), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "dedup_embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+      FROM embeddings
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           round(list_cosine_similarity(x.e, y.e), 6) AS cos
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.2
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket join prunes
+    the candidate space (same-bucket vectors already agree on all 8
+    hyperplane signs), then exact cosine filters. No n² stage."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", bucket_col("embedding").alias("bucket")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(cosine_expr("a.embedding", "b.embedding"), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.2)
+    )

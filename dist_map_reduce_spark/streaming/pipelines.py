@@ -1,1 +1,158 @@
-"""Placeholder — filled in this round."""
+"""Structured Streaming pipelines over the events table.
+
+The reference is strictly batch (job ends at its Shutdown phase,
+reference: src/master/master.go:206-213); streaming is part of the
+engine's extended surface (SURVEY.md §2.2). Each pipeline reads the
+same parquet through ``readStream`` and drives it to completion with
+an ``availableNow`` trigger into a memory sink, so the registered
+query callables stay batch-comparable: for complete-mode aggregations
+the result equals the batch answer, giving a real oracle check on
+the streaming path.
+
+In production the source would be Kafka/files-in-arrival-order and
+the sink a table/foreachBatch; the pipeline definitions are
+unchanged — only source/sink bindings differ. Watermarked variants
+(append mode) drop nothing here only because availableNow processes
+all input in order; their oracle-less variants are registered
+rows-only since append-mode tail windows are legitimately withheld.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.catalog import table_path
+from dist_map_reduce_spark.registry import query
+
+_SINK_SEQ = 0
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (schema pinned from the
+    batch reader; ns timestamps normalized exactly as the batch
+    catalog does)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # the file-stream source requires a directory: stream the sf dir
+    # with a glob picking out the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into
+    a memory sink and return the materialized result."""
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    sink = f"{re.sub('[^a-zA-Z0-9_]', '_', name)}_{_SINK_SEQ}"
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "streaming_event_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global aggregation (complete mode): after consuming
+    the full input, the state equals the batch answer — checked
+    against the batch oracle."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return run_to_memory_sink(agg, "streaming_event_counts")
+
+
+@query(
+    "streaming_tumbling_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (complete mode) — same
+    window semantics as the batch events_tumbling_1h."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+    return run_to_memory_sink(agg, "streaming_tumbling_1h")
+
+
+@query("streaming_watermarked_tumbling")  # rows-only: append mode withholds tail
+def streaming_watermarked_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode windows: the production late-data
+    pattern (state for a window is dropped once the watermark passes
+    window_end + delay). Windows newer than max(ts) - 30min are
+    legitimately withheld at end-of-input, so this is a rows-only
+    check; tests assert the emitted prefix matches batch."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_to_memory_sink(agg, "streaming_watermarked_tumbling", "append")
+
+
+@query("streaming_session_windows")  # rows-only: sessions require watermark+append
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (session_window + watermark, append
+    mode) — merging session state across micro-batches. Tail sessions
+    are withheld by the watermark; tests assert the emitted sessions
+    are a subset of the batch gap-islands answer."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory_sink(agg, "streaming_session_windows", "append")

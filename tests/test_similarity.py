@@ -1,0 +1,49 @@
+"""ANN recall and approx-aggregate bound checks (operators whose
+values are approximate by construction get behavioral tests instead
+of oracle hashes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark import registry
+from dist_map_reduce_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    exact = registry.QUERIES["similarity_topk_cosine"](spark, SF_SMOKE).toPandas()
+    ann = registry.QUERIES["similarity_ann_lsh_topk"](spark, SF_SMOKE).toPandas()
+    # every ANN hit must be a genuinely scored pair, and per query the
+    # ANN top-1 should appear in the exact top-10 reasonably often.
+    assert len(ann) > 0
+    exact_pairs = set(zip(exact.query_id, exact.vec_id))
+    ann_top1 = ann.sort_values(["query_id", "cos"], ascending=[True, False]).groupby(
+        "query_id"
+    ).head(1)
+    hits = sum((q, v) in exact_pairs for q, v in zip(ann_top1.query_id, ann_top1.vec_id))
+    assert hits >= 1, "LSH top-1 never intersects exact top-10 — bucketing broken"
+
+
+def test_approx_count_distinct_within_bounds(spark):
+    approx = registry.QUERIES["approx_count_distinct_users"](spark, SF_SMOKE).toPandas()
+    exact = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .toPandas()
+    )
+    merged = approx.merge(exact, on="event_type")
+    rel_err = (merged.approx_users - merged.exact_users).abs() / merged.exact_users
+    assert (rel_err < 0.05).all(), merged
+
+
+def test_approx_percentile_within_bounds(spark):
+    rows = registry.QUERIES["approx_percentile_prices"](spark, SF_SMOKE).toPandas()
+    li = load_table(spark, SF_SMOKE, "lineitem").toPandas()
+    for _, r in rows.iterrows():
+        grp = li[li.l_returnflag == r.l_returnflag].l_extendedprice
+        exact_p50 = grp.quantile(0.5)
+        assert abs(r.price_pcts[0] - exact_p50) / exact_p50 < 0.02
