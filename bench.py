@@ -32,10 +32,14 @@ HEADLINE = [
     "window_order_rank",
     "events_tumbling_1h",
     "events_session_10m",
+    "range_join_purchases_after_error",
+    "subquery_correlated_above_cust_avg",
+    "stats_correlation_regression",
     "dedup_exact_docs",
     "minhash_band_candidates",
     "similarity_topk_cosine",
     "text_quality_scores",
+    "text_tf_idf_top_terms",
 ]
 
 

@@ -29,16 +29,22 @@ _R = N_HASHES // N_BANDS
 
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) with distinct k-word shingles per document."""
+    """(doc_id, shingle) with distinct k-word shingles per document.
+
+    The word array is projected ONCE before the transform — an
+    expression referencing split() inside the lambda re-tokenizes the
+    document per element, turning shingling O(words) into O(words²).
+    """
+    idx = " , ".join(f"ws[i - {k - 1 - j}]" for j in range(k))
     expr = f"""
-    CASE WHEN size(split(text, ' ')) >= {k} THEN
-      transform(sequence({k - 1}, size(split(text, ' ')) - 1),
-                i -> concat_ws(' ', slice(split(text, ' '), i - {k - 2}, {k})))
+    CASE WHEN size(ws) >= {k} THEN
+      transform(sequence({k - 1}, size(ws) - 1),
+                i -> concat_ws(' ', {idx}))
     ELSE array(text) END
     """
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle")
-    )
+        "doc_id", "text", F.split("text", " ").alias("ws")
+    ).select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
 
 
 _SHINGLE_SQL = """
@@ -132,7 +138,11 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_id, band_key) — work is proportional to bucket collisions,
     never to n² of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_bands(docs)
+    # Persist the banded signatures: they are tiny relative to the
+    # corpus (N_BANDS rows of fixed-width hashes per doc) and feed
+    # BOTH sides of the self-join — without this Spark recomputes the
+    # whole shingle→md5→min pipeline twice.
+    bands = minhash_bands(docs).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -218,7 +228,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are generated by the shared-shingle join (inverted-index style),
     so cost scales with actual shingle collisions, not n²."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    # shingle set feeds three plan branches (a-side, b-side, sizes)
+    sh = shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

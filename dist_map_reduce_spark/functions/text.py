@@ -130,16 +130,19 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram counts (n-gram generation via array transform —
     a narrow op — then one aggregation shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
+    # project the word array once — split() inside the lambda would
+    # re-tokenize per element (O(words²) per doc)
     bigrams = F.expr(
         """
-        CASE WHEN size(split(text, ' ')) >= 2 THEN
-          transform(sequence(1, size(split(text, ' ')) - 1),
-                    i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))
+        CASE WHEN size(ws) >= 2 THEN
+          transform(sequence(1, size(ws) - 1),
+                    i -> concat(ws[i - 1], ' ', ws[i]))
         ELSE array() END
         """
     )
     return (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("cnt") >= 5)

@@ -49,11 +49,15 @@ def load_all() -> None:
         json_ops,
         timeseries,
         approx,
+        stats,
+        subqueries,
+        sources_sinks,
     )
     from dist_map_reduce_spark.functions import (  # noqa: F401
         text,
         dedup,
         similarity,
         multimodal,
+        clustering,
     )
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401

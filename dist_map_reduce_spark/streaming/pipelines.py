@@ -137,6 +137,58 @@ def streaming_watermarked_tumbling(spark: SparkSession, sf_dir: str) -> DataFram
     return run_to_memory_sink(agg, "streaming_watermarked_tumbling", "append")
 
 
+@query(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum) state maintained across
+    micro-batches, update-mode emission. After consuming all input
+    the final per-key state equals the batch aggregate, so the
+    result (max of running totals per key) is oracle-checked.
+
+    The state function is a local closure — see the pickle-by-value
+    rule in functions/multimodal.py.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_user_state(key, pdf_iter, state):
+        import pandas as _pd
+
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "running_sum": [total]}
+        )
+
+    emitted = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_user_state,
+            outputStructType="user_id long, n_events long, running_sum double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = run_to_memory_sink(emitted, "streaming_stateful_user_totals", "update")
+    # update-mode sink holds one row per key per batch; running totals
+    # are monotone, so the per-key max is the final state
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("running_sum"), 2).alias("sum_value"),
+    )
+
+
 @query("streaming_session_windows")  # rows-only: sessions require watermark+append
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization (session_window + watermark, append
