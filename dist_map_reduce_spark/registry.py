@@ -52,6 +52,8 @@ def load_all() -> None:
         stats,
         subqueries,
         sources_sinks,
+        arrays_maps,
+        skew,
     )
     from dist_map_reduce_spark.functions import (  # noqa: F401
         text,

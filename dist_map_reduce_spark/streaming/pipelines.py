@@ -189,6 +189,30 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keys
+    state by event_id and expires it once the watermark passes —
+    bounded state, the streaming form of the exact-dedup operator.
+    The fixture has unique event_ids, so the deduped count equals
+    the distinct oracle."""
+    dedup = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return run_to_memory_sink(dedup, "streaming_dedup_events", "complete")
+
+
 @query("streaming_session_windows")  # rows-only: sessions require watermark+append
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization (session_window + watermark, append
