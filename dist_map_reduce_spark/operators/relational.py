@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.money import (
+    sum_charge,
+    sum_disc_price,
+    sum_money,
+    sum_price_times_disc,
+)
 from dist_map_reduce_spark.registry import query
 
 
@@ -37,16 +43,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           round(sum(l_quantity), 2) AS sum_qty,
+           {sum_money("l_extendedprice", "sum_base_price")},
+           {sum_disc_price("sum_disc_price")},
+           {sum_charge("sum_charge")},
+           round(avg(l_quantity), 4)      AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4)      AS avg_disc,
+           count(*)                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -58,16 +64,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: parquet scan (prunes to 7 cols, pushes the shipdate
     predicate) → partial hash-agg → exchange on 2 low-cardinality
     keys → final hash-agg. No join; shuffle volume is #groups.
+    Monetary sums accumulate in DECIMAL (see money.py) — identical
+    expression text runs in Spark SQL and the DuckDB oracle.
     """
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.expr(sum_money("l_extendedprice", "sum_base_price")),
+        F.expr(sum_disc_price("sum_disc_price")),
+        F.expr(sum_charge("sum_charge")),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -77,9 +84,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sum_disc_price("revenue")},
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -109,11 +116,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.expr(sum_disc_price("revenue")))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -122,9 +125,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_region_revenue",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {sum_disc_price("revenue")}
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -166,18 +169,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.expr(sum_disc_price("revenue")))
     )
 
 
 @query(
     "q6_forecast_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    oracle=f"""
+    SELECT {sum_price_times_disc("revenue")},
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -198,9 +197,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        F.expr(sum_price_times_disc("revenue")),
         F.count("*").alias("n_items"),
     )
 
@@ -212,9 +209,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_broadcast_nation_orders",
-    oracle="""
+    oracle=f"""
     SELECT n_name, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_revenue
+           {sum_money("o_totalprice", "total_revenue")}
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -232,7 +229,7 @@ def join_broadcast_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.expr(sum_money("o_totalprice", "total_revenue")),
         )
     )
 
@@ -341,11 +338,11 @@ def join_semi_anti_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_distinct_per_status",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_customers,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           {sum_money("o_totalprice", "total")}
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -356,7 +353,7 @@ def agg_distinct_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.expr(sum_money("o_totalprice", "total")),
     )
 
 
@@ -388,10 +385,10 @@ def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_orders_status_priority",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           {sum_money("o_totalprice", "total")}
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -400,7 +397,7 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all grouping-set combinations."""
     return _t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.expr(sum_money("o_totalprice", "total")),
     )
 
 
@@ -477,8 +474,8 @@ def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unpivot_lineitem_measures",
-    oracle="""
-    SELECT measure, round(sum(val), 2) AS total
+    oracle=f"""
+    SELECT measure, {sum_money("val", "total")}
     FROM (
       SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
       UNION ALL
@@ -498,5 +495,5 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'discount', l_discount) AS (measure, val)"
         )
         .groupBy("measure")
-        .agg(F.round(F.sum("val"), 2).alias("total"))
+        .agg(F.expr(sum_money("val", "total")))
     )

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.money import sum_money
 from dist_map_reduce_spark.registry import query
 
 
@@ -56,9 +57,9 @@ def salted_join(
 
 @query(
     "skew_salted_join_nation_counts",
-    oracle="""
+    oracle=f"""
     SELECT n_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
+           {sum_money("c_acctbal", "total_bal")}
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -73,5 +74,5 @@ def skew_salted_join_nation_counts(spark, sf_dir: str) -> DataFrame:
     joined = salted_join(cust, nation, "c_nationkey", "n_nationkey", n_salts=8)
     return joined.groupBy("n_name").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.expr(sum_money("c_acctbal", "total_bal")),
     )

@@ -123,7 +123,10 @@ def subquery_exists_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFram
            count(*)                    AS n_big_spenders,
            round(avg(t.spend), 2)      AS avg_spend
     FROM (
-      SELECT o_custkey, sum(o_totalprice) AS spend
+      -- spend accumulates in DECIMAL so the > 500000 boundary is
+      -- engine-exact (see money.py)
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
       FROM orders GROUP BY o_custkey
     ) t
     JOIN customer c ON c.c_custkey = t.o_custkey
@@ -140,7 +143,8 @@ def subquery_derived_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*)               AS n_big_spenders,
                round(avg(t.spend), 2) AS avg_spend
         FROM (
-          SELECT o_custkey, sum(o_totalprice) AS spend
+          SELECT o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
           FROM orders GROUP BY o_custkey
         ) t
         JOIN customer c ON c.c_custkey = t.o_custkey

@@ -22,17 +22,18 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.money import sum_money
 from dist_map_reduce_spark.registry import query
 
 
 @query(
     "events_tumbling_1h",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            count(*)             AS n,
-           round(sum(value), 2) AS sum_value
+           {sum_money("value", "sum_value")}
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -43,7 +44,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.expr(sum_money("value", "sum_value")))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -56,7 +57,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_sliding_1h_30m",
-    oracle="""
+    oracle=f"""
     WITH slid AS (
       SELECT time_bucket(INTERVAL '30 minutes', ts)
                - (k * INTERVAL '30 minutes') AS window_start,
@@ -66,7 +67,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start,
            window_start + INTERVAL 1 HOUR AS window_end,
            count(*)             AS n,
-           round(sum(value), 2) AS sum_value
+           {sum_money("value", "sum_value")}
     FROM slid
     GROUP BY 1, 2
     """,
@@ -79,7 +80,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.expr(sum_money("value", "sum_value")))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -91,7 +92,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_session_10m",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -110,7 +111,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts)                      AS session_start,
            max(ts) + INTERVAL 10 MINUTE AS session_end,
            count(*)                     AS n_events,
-           round(sum(value), 2)         AS sum_value
+           {sum_money("value", "sum_value")}
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -125,7 +126,7 @@ def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.expr(sum_money("value", "sum_value")),
         )
         .select(
             "user_id",
@@ -194,7 +195,7 @@ def asof_join(
 
 @query(
     "asof_last_purchase_before_error",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
       SELECT event_id, user_id, ts, event_type,
              max(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
@@ -247,7 +248,7 @@ def _bucket(ts: Column, minutes: int) -> Column:
 
 @query(
     "range_join_purchases_after_error",
-    oracle="""
+    oracle=f"""
     SELECT e.event_id, count(p.event_id) AS n_purchases_10m
     FROM events e
     LEFT JOIN events p

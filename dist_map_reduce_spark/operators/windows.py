@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.money import sum_money
 from dist_map_reduce_spark.registry import query
 
 
@@ -137,9 +138,9 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_ntile_customer_value",
-    oracle="""
+    oracle=f"""
     WITH cv AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS lifetime
+      SELECT o_custkey, {sum_money("o_totalprice", "lifetime")}
       FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey, lifetime,
@@ -158,7 +159,7 @@ def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("lifetime"))
+        .agg(F.expr(sum_money("o_totalprice", "lifetime")))
     )
     w = W.orderBy(F.col("lifetime").desc(), F.col("o_custkey").asc())
     return cv.select(

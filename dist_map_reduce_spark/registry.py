@@ -54,6 +54,9 @@ def load_all() -> None:
         sources_sinks,
         arrays_maps,
         skew,
+        bucketing,
+        etl,
+        tpch_more,
     )
     from dist_map_reduce_spark.functions import (  # noqa: F401
         text,

@@ -1,0 +1,85 @@
+"""Physical-plan regression tests — the scale contract (SCALE.md).
+
+Correctness tests can't catch a plan regression that turns a
+broadcast join into a cartesian product or drops a pushed filter;
+these assertions pin the plan shapes the 100 TB posture depends on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dist_map_reduce_spark import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        registry.QUERIES[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q6_pushes_every_predicate(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    # the plan string truncates long filter lists — assert on the
+    # leading untruncated fragments covering all three columns
+    for frag in [
+        "PushedFilters: [IsNotNull(l_shipdate)",
+        "IsNotNull(l_discount)",
+        "IsNotNull(l_quantity)",
+    ]:
+        assert frag in plan, f"missing pushdown {frag}\n{plan}"
+
+
+def test_q6_prunes_columns(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_returnflag" not in scan, "scan reads a column the query never uses"
+    assert "l_extendedprice" in scan
+
+
+def test_q5_broadcasts_bounded_dims(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(spark, "topk_orders_by_price")
+    assert "TakeOrderedAndProject" in plan, "global sort materialized instead of top-k"
+
+
+def test_q1_has_partial_aggregation(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan, "map-side combine missing (SURVEY §2.3(4))"
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi_active_customers")
+    assert "LeftAnti" in _plan(spark, "join_anti_dormant_customers")
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No oracle-checked query may plan a cartesian product (the
+    intentional 1-row crossJoin in join_semi_anti_balance is the
+    one bounded exception)."""
+    allowed = {"join_semi_anti_balance"}
+    offenders = []
+    for name in sorted(registry.ORACLES):
+        if name in allowed or name.startswith("streaming_"):
+            continue  # streaming queries execute on registration
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_range_join_is_equi_join(spark):
+    plan = _plan(spark, "range_join_purchases_after_error")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan and ("hashpartitioning" in plan or "BroadcastHashJoin" in plan)
