@@ -47,6 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond precision, fully distributed (no driver round
         # trip), and matches DuckDB, which also truncates ns → µs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The stored nanos are NAIVE wall-clock; timestamp_micros
+        # yields an ltz TIMESTAMP whose wall-clock reading depends on
+        # the session timezone. Pin UTC so the reading equals the
+        # stored value under ANY caller's session config. (All other
+        # fixture timestamps load as timestamp_ntz — tz-independent.)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -138,6 +138,40 @@ def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_rollup_day_hour",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           NULL AS hour, 'day' AS grain,
+           count(*) AS n, {sum_money("value", "sum_value")}
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT NULL, CAST(date_trunc('hour', ts) AS TIMESTAMP), 'hour',
+           count(*), CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+def events_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at two granularities in
+    ONE pass: GROUPING SETS over (day) and (hour) — Catalyst's Expand
+    reads the fact table once and feeds both rollups, vs. the oracle's
+    two-scan UNION ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        SELECT date_trunc('day', ts)  AS day,
+               date_trunc('hour', ts) AS hour,
+               CASE WHEN grouping(date_trunc('hour', ts)) = 1
+                    THEN 'day' ELSE 'hour' END AS grain,
+               count(*) AS n,
+               {sum_money("value", "sum_value")}
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('day', ts)), (date_trunc('hour', ts)))
+        """
+    )
+
+
 # --------------------------------------------------------------------
 # As-of join (Spark has no native one — composed from window ops)
 # --------------------------------------------------------------------

@@ -64,5 +64,6 @@ def load_all() -> None:
         similarity,
         multimodal,
         clustering,
+        chunking,
     )
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401

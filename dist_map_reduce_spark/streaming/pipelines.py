@@ -35,6 +35,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch reader; ns timestamps normalized exactly as the batch
     catalog does)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see catalog.py
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # the file-stream source requires a directory: stream the sf dir
     # with a glob picking out the events table
