@@ -1,0 +1,87 @@
+"""Python UDF surface: UDTF (table function) and grouped-map
+applyInPandas — the two remaining rows of the reference's pluggable
+mapFunc/reduceFunc generalization (reference: src/worker/worker.go:22-23)
+not already covered by mapInPandas / applyInPandasWithState.
+
+Both are THE SLOW PATH (SCALE.md): row-at-a-time UDTFs and per-group
+pandas functions exist for semantics the built-ins can't express.
+Here they run over bounded inputs (documents = corpus metadata scale;
+per-customer groups) to demonstrate the surface; every hot-path
+equivalent in this repo uses built-in expressions instead.
+
+All functions/classes passed to Spark are local closures
+(pickle-by-value rule — see functions/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.registry import query
+
+
+@query(
+    "udtf_tokenize_docs",
+    oracle="""
+    SELECT doc_id, word, length(word) AS word_len
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+      WHERE doc_id < 20
+    )
+    WHERE word <> ''
+    """,
+)
+def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (1 row → N rows table function): the reference's
+    mapf signature as a first-class lateral-join operator. The
+    built-in equivalent is explode(split(...)) — used everywhere
+    else; this registers the official UDTF surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, word_len: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for w in (text or "").split(" "):
+                if w:
+                    yield w, len(w)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.lateralJoin(
+        Tokenize(F.col("text").outer())
+    ).select("doc_id", "word", "word_len")
+
+
+@query(
+    "grouped_map_zscore_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 4) AS z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    """,
+)
+def grouped_map_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the general `reducef`): per-customer
+    z-score of order prices, one pandas DataFrame per group in/out.
+    The oracle computes the same normalization with window functions —
+    the built-in formulation that would be preferred in the hot path.
+    (Single-order customers get NULL z on both sides: pandas std of
+    one value is NaN, SQL stddev_samp is NULL.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def zscore(pdf):
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        out = pdf[["o_custkey", "o_orderkey"]].copy()
+        out["z"] = ((pdf["o_totalprice"] - mu) / sd).round(4)
+        return out
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        zscore, schema="o_custkey long, o_orderkey long, z double"
+    )

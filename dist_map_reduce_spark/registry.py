@@ -65,5 +65,6 @@ def load_all() -> None:
         multimodal,
         clustering,
         chunking,
+        python_udfs,
     )
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
