@@ -11,42 +11,56 @@ while the result matches the plain-join oracle.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.money import sum_disc_price
 from dist_map_reduce_spark.registry import query
 
 N_BUCKETS = 16
 
+# Explicit repo-local data location (external tables): the default
+# managed location is <caller cwd>/spark-warehouse, which may lie
+# outside the repo when the engine is driven from elsewhere.
+_BUCKET_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "bucketed",
+)
+
 
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Create bucketed managed tables for orders/lineitem once per
-    (session, sf). Table names carry the sf tag so scale factors
-    don't collide in the warehouse."""
+    """Create bucketed tables for orders/lineitem once per
+    (session, sf) inside a database whose LOCATION is repo-local —
+    the default warehouse is <caller cwd>/spark-warehouse, and
+    `option("path")` is not reliably honored by bucketed
+    saveAsTable (observed writing both locations). Table names carry
+    the sf tag so scale factors don't collide."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS dmr_bucket LOCATION '{_BUCKET_ROOT}'")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    to, tl = f"orders_b_{tag}", f"lineitem_b_{tag}"
-    # the in-memory catalog dies with the session but the warehouse
-    # dir survives — clear orphaned locations or saveAsTable refuses
-    import shutil
-
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    for t in (to, tl):
-        loc = os.path.join(warehouse, t)
-        if not spark.catalog.tableExists(t) and os.path.exists(loc):
+    specs = [
+        (f"dmr_bucket.orders_b_{tag}", "orders", "o_orderkey"),
+        (f"dmr_bucket.lineitem_b_{tag}", "lineitem", "l_orderkey"),
+    ]
+    for table, source, key in specs:
+        if spark.catalog.tableExists(table):
+            continue
+        # the in-memory catalog dies with the session but data files
+        # survive — clear orphaned locations before re-creating
+        loc = os.path.join(_BUCKET_ROOT, table.split(".", 1)[1])
+        if os.path.exists(loc):
             shutil.rmtree(loc)
-    if not spark.catalog.tableExists(to):
-        load_table(spark, sf_dir, "orders").write.bucketBy(
-            N_BUCKETS, "o_orderkey"
-        ).sortBy("o_orderkey").mode("overwrite").saveAsTable(to)
-    if not spark.catalog.tableExists(tl):
-        load_table(spark, sf_dir, "lineitem").write.bucketBy(
-            N_BUCKETS, "l_orderkey"
-        ).sortBy("l_orderkey").mode("overwrite").saveAsTable(tl)
-    return to, tl
+        (
+            load_table(spark, sf_dir, source)
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    return specs[0][0], specs[1][0]
 
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,10 +72,10 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bucketed_join_order_revenue",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {sum_disc_price("revenue")}
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -74,7 +88,5 @@ def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     result."""
     return bucketed_join(spark, sf_dir).groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.expr(sum_disc_price("revenue")),
     )

@@ -17,7 +17,7 @@ from dist_map_reduce_spark.registry import query
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
     """,
 )
 def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,7 +28,7 @@ def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
         FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
         """
     )
 
