@@ -162,6 +162,102 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT label, i - 1 AS pos,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+    FROM embeddings, LATERAL (
+      SELECT unnest(generate_series(1, {DIM})) AS i
+    ) t
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the embedding space (long form:
+    label × dimension × mean) — the coarse-quantizer build step of an
+    IVF index. posexplode + one aggregation shuffle on
+    (label, pos); no vector ever visits the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"))
+    )
+
+
+@query("similarity_ann_ivf_topk")  # rows-only: approximate by construction
+def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest label
+    centroid (coarse cell), then scored search only inside the query
+    vector's cell. Two narrow passes + an equi-join on cell id —
+    the centroid table is bounded (n_labels × DIM) and broadcasts.
+    Recall vs exact top-k asserted in tests/test_similarity.py."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroids pivoted back to arrays, driver-free: collect_list over
+    # a (label, pos)-sorted struct
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s.m,
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cand_cell"), "centroid")
+    )
+    # nearest centroid per vector = argmax cosine (deterministic
+    # tie-break on cell id)
+    scored_cells = (
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cand_cell",
+            cosine_expr("embedding", "centroid").alias("ccos"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cand_cell").asc()
+    )
+    cells = (
+        scored_cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cand_cell").alias("cell"))
+    )
+    queries = F.broadcast(
+        cells.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    scored = (
+        cells.join(
+            queries,
+            (cells.cell == queries.qcell) & (cells.vec_id != queries.query_id),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr("qe", "embedding"), 6).alias("cos"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
 @query("similarity_ann_lsh_topk")  # rows-only: approximate by construction
 def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via LSH: only vectors in the query's bucket are

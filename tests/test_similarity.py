@@ -27,6 +27,15 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert hits >= 1, "LSH top-1 never intersects exact top-10 — bucketing broken"
 
 
+def test_ann_ivf_returns_scored_neighbors(spark):
+    ivf = registry.QUERIES["similarity_ann_ivf_topk"](spark, SF_SMOKE).toPandas()
+    assert len(ivf) > 0
+    # per query at most 5, scores in [-1, 1], no self-matches
+    assert ivf.groupby("query_id").size().max() <= 5
+    assert ivf.cos.between(-1, 1).all()
+    assert (ivf.query_id != ivf.vec_id).all()
+
+
 def test_approx_count_distinct_within_bounds(spark):
     approx = registry.QUERIES["approx_count_distinct_users"](spark, SF_SMOKE).toPandas()
     exact = (
