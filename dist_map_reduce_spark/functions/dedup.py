@@ -28,6 +28,16 @@ N_BANDS = 4    # bands of r = N_HASHES / N_BANDS rows each
 _R = N_HASHES // N_BANDS
 
 
+def _tune_cached_plans(df: DataFrame) -> None:
+    """Persisted subtrees keep their raw shuffle-partition count
+    unless AQE is allowed to re-plan cached output partitioning —
+    set it for caller-owned sessions (engine sessions already do,
+    session.py)."""
+    df.sparkSession.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
+
+
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) with distinct k-word shingles per document.
 
@@ -142,6 +152,7 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus (N_BANDS rows of fixed-width hashes per doc) and feed
     # BOTH sides of the self-join — without this Spark recomputes the
     # whole shingle→md5→min pipeline twice.
+    _tune_cached_plans(docs)
     bands = minhash_bands(docs).persist()
     a = bands.alias("a")
     b = bands.alias("b")
@@ -229,6 +240,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so cost scales with actual shingle collisions, not n²."""
     docs = load_table(spark, sf_dir, "documents")
     # shingle set feeds three plan branches (a-side, b-side, sizes)
+    _tune_cached_plans(docs)
     sh = shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
