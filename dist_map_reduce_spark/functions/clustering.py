@@ -37,6 +37,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
+    prev_persisted = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -62,7 +63,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # new_labels is materialized by the count above; the previous
+        # snapshot (and its lineage) is no longer needed
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = labels = new_labels
         if changed == 0:
             break
     return labels

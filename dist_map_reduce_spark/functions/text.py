@@ -228,6 +228,43 @@ def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_split_train_val_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE
+               WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                 THEN 'test'
+               WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                 THEN 'val'
+               ELSE 'train'
+             END AS split
+      FROM documents
+    )
+    SELECT doc_id, split FROM assigned
+    """,
+)
+def dataset_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset splitting: hash-bucket each document by
+    md5 of a salted key — reproducible across runs, engines, and
+    cluster sizes (unlike randomSplit, whose assignment depends on
+    partitioning). First 2 hex chars partition [00,ff] ≈
+    [0,0d)=test ~5%, [0d,1a)=val ~5%, rest train ~90%."""
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
+        1,
+        2,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(h2 < "0d", "test").when(h2 < "1a", "val").otherwise("train").alias(
+            "split"
+        ),
+    )
+
+
+@query(
     "text_tf_idf_top_terms",
     oracle="""
     WITH tokens AS (
