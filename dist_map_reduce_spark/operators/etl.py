@@ -17,6 +17,54 @@ from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import query
 
 
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+              (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+              (SELECT p_partkey FROM part))
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan-FK counts across the star schema —
+    each relation is one left-anti join (keys-only shuffle), unioned
+    into a compact report. The standard pre-ingestion consistency
+    gate of an ETL pipeline."""
+    def orphans(child: str, ckey: str, parent: str, pkey: str, tag: str) -> DataFrame:
+        c = load_table(spark, sf_dir, child).select(ckey)
+        p = load_table(spark, sf_dir, parent).select(pkey)
+        return (
+            c.join(p, c[ckey] == p[pkey], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(tag).alias("relation"), "n_orphans")
+        )
+
+    return (
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
+        .unionByName(
+            orphans("orders", "o_custkey", "customer", "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            orphans("customer", "c_nationkey", "nation", "n_nationkey", "customer->nation")
+        )
+        .unionByName(
+            orphans("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part")
+        )
+    )
+
+
 def merge_upsert(dim: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     """Upsert semantics: rows of ``dim`` whose key appears in
     ``changes`` are replaced; new keys are inserted. Columns must
