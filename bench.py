@@ -35,9 +35,13 @@ HEADLINE = [
     "range_join_purchases_after_error",
     "subquery_correlated_above_cust_avg",
     "stats_correlation_regression",
+    "q7_nation_trade_volume",
     "dedup_exact_docs",
     "minhash_band_candidates",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
     "similarity_topk_cosine",
+    "similarity_ann_lsh_topk",
     "text_quality_scores",
     "text_tf_idf_top_terms",
 ]

@@ -52,6 +52,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the session timezone. Pin UTC so the reading equals the
         # stored value under ANY caller's session config. (All other
         # fixture timestamps load as timestamp_ntz — tz-independent.)
+        # NOTE: this mutates the CALLING session's config — a
+        # documented side effect of reading this table (see
+        # session.get_spark docstring); engine-owned sessions are
+        # already UTC so only foreign non-UTC sessions observe it.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":

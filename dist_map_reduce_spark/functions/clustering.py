@@ -13,72 +13,143 @@ joins every node's current label against its neighbors' and takes
 the min; converges in O(graph diameter) passes. Each pass is one
 shuffle on doc_id; state stays distributed (only the convergence
 flag — one boolean — reaches the driver).
+
+Oracle: DuckDB computes the same closure with a recursive CTE
+(node reaches itself ∪ whatever its neighbors reach; component =
+min reachable id) — exact, so the whole iterative pipeline is
+hash-checked end to end, not just rows-only.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dist_map_reduce_spark.functions.dedup import _CANDIDATE_PAIRS_SQL
 from dist_map_reduce_spark.registry import query
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """pairs(doc_a, doc_b) → (doc_id, component) with component =
-    min doc_id reachable. Deterministic, rows-only-checkable."""
+    min doc_id reachable. Deterministic.
+
+    Warns (and returns the partial labels) if ``max_iter`` passes
+    did not reach a fixpoint — a chain with graph diameter >
+    ``max_iter`` would otherwise silently yield split components.
+    """
+    # both edge directions in ONE pass over the candidate plan — a
+    # union of two selects would scan (and recompute) it twice before
+    # the persist materializes
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
+    # iteration 0 fused into the init: component = min(self, direct
+    # neighbors) — one aggregation instead of a full propagate pass
+    # (every node appears as src because edges are symmetric)
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("md"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("md")).alias("component"),
+        )
     )
     prev_persisted = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # carry the old component through the propagate step so the
+        # convergence check is a filter on the SAME cached snapshot,
+        # not an extra join of new vs old labels
+        stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
-                "doc_id",
+                labels.doc_id,
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                ).alias("new_component"),
             )
             .persist()
         )
         # convergence check: one scalar to the driver, not the data
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            stepped.filter(F.col("new_component") != F.col("old_component"))
             .limit(1)
             .count()
         )
-        # new_labels is materialized by the count above; the previous
+        # stepped is materialized by the count above; the previous
         # snapshot (and its lineage) is no longer needed
         if prev_persisted is not None:
             prev_persisted.unpersist()
-        prev_persisted = labels = new_labels
+        prev_persisted = stepped
+        labels = stepped.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
+            converged = True
             break
+    # the labels snapshot is materialized; the edge cache is dead
+    edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} iterations "
+            "(graph diameter exceeds max_iter); components may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
-@query("dedup_clusters")  # rows-only: iterative, not SQL-expressible
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_CANDIDATE_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.r FROM edges e JOIN reach w ON w.node = e.dst
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+    SELECT component,
+           count(*) AS cluster_size,
+           min(doc_id) AS keep_id,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+    FROM comp
+    GROUP BY component
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters from MinHash candidates: connected
-    components + per-cluster keeper (min doc_id) and size. Validated
-    against a driver-side union-find on the (small) candidate edge
-    list in tests/test_clustering.py."""
+    components + per-cluster keeper (min doc_id), size, and the
+    member list flattened to a comma-joined string (scalar output
+    columns only — the harness canonicalizer rejects nested types).
+    Cross-checked against a driver-side union-find in
+    tests/test_clustering.py and the recursive-CTE oracle above."""
     from dist_map_reduce_spark.functions.dedup import minhash_band_candidates
 
     pairs = minhash_band_candidates(spark, sf_dir)
@@ -86,5 +157,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
         F.min("doc_id").alias("keep_id"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("members"),
     )

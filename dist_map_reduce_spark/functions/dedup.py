@@ -10,9 +10,26 @@ The LLM-data-pipeline dedup stack (BASELINE.json north star):
 Portability design: every hash is md5 (identical in Spark and
 DuckDB), and MinHash minimizes the *lexicographic* md5 hex string —
 engine-neutral, so the full LSH pipeline is oracle-checkable.
-At 100 TB the only shuffles are the per-doc signature aggregation and
-the band-key join; no pairwise n² stage ever materializes (pairs are
-generated only within LSH buckets / shared shingles).
+
+Scale posture (100 TB):
+  - the only shuffles are the per-doc signature aggregation and the
+    band-key / shared-shingle joins; no pairwise n² stage ever
+    materializes (pairs are generated only within LSH buckets /
+    shared shingles).
+  - HOT-KEY CAPS: a degenerate band key (thousands of boilerplate
+    near-identical docs) or a stop-shingle ("of the and" in every
+    doc) makes one join key quadratic *within* the key — AQE's
+    skew-split divides the shuffle blocks but not the pair
+    explosion. Both self-joins therefore drop keys whose document
+    frequency exceeds a cap (standard production-dedup practice;
+    docs in an over-cap bucket are still covered by their other
+    bands/shingles). The caps are mirrored in the DuckDB oracles,
+    and tests/test_properties.py asserts the fixture corpora are
+    unaffected by them.
+  - persisted intermediates are tracked per query slot and the
+    previous invocation's cache is released on re-entry, so
+    long-lived sessions that invoke these queries repeatedly do not
+    accumulate dead cache entries.
 """
 
 from __future__ import annotations
@@ -23,9 +40,30 @@ from pyspark.sql import functions as F
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import query
 
-N_HASHES = 8   # minhash signature length
+N_HASHES = 16  # minhash signature length
 N_BANDS = 4    # bands of r = N_HASHES / N_BANDS rows each
 _R = N_HASHES // N_BANDS
+# With b=4 bands of r=4 the candidate probability is 1-(1-s^4)^4:
+# ~0.99 at Jaccard 0.9, ~0.04 at Jaccard 0.3 — a near-dup threshold
+# around s* = (1/b)^(1/r) ≈ 0.71 (tests/test_properties.py pins the
+# S-curve empirically).
+
+# Drop join keys shared by more than this many documents (see module
+# docstring). Far above anything in the fixtures (max shingle DF at
+# sf0.01 is 7) and far below a 100 TB hot key.
+MAX_KEY_DOCS = 100
+
+# Per-slot persisted handles; re-invoking a query unpersists the
+# previous invocation's cache before building the new one.
+_PERSISTED: dict[str, DataFrame] = {}
+
+
+def _persist_tracked(df: DataFrame, slot: str) -> DataFrame:
+    prev = _PERSISTED.get(slot)
+    if prev is not None:
+        prev.unpersist()
+    _PERSISTED[slot] = df.persist()
+    return df
 
 
 def _tune_cached_plans(df: DataFrame) -> None:
@@ -87,35 +125,109 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Each md5 digest (32 hex chars) is sliced into 4 independent 32-bit
+# (8-hex) hash values, so 16 minhashes cost 4 md5 evaluations per
+# shingle instead of 16 — the standard slice-a-wide-hash trick.
+_N_SALTS = (N_HASHES + 3) // 4
+
+
+def _slice(j: int) -> tuple[int, int]:
+    """hash j → (salt index, 1-based hex offset of its 8-hex slice)."""
+    return j // 4, 1 + 8 * (j % 4)
+
+
 def _minhash_signature(sh: DataFrame) -> DataFrame:
-    """doc_id → N_HASHES lexicographic-min md5 minhashes."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))).alias(
-            f"h{j}"
-        )
-        for j in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """doc_id → N_HASHES lexicographic-min 8-hex minhashes."""
+    md5s = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle")).cast("binary")).alias(
+                f"m{s}"
+            )
+            for s in range(_N_SALTS)
+        ],
+    )
+    aggs = []
+    for j in range(N_HASHES):
+        s, off = _slice(j)
+        aggs.append(F.min(F.substring(F.col(f"m{s}"), off, 8)).alias(f"h{j}"))
+    return md5s.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key): LSH banding of the minhash
-    signature — docs sharing any band key are near-dup candidates."""
+def _banded_wide(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b{N_BANDS-1}): one md5 band key per band."""
     sig = _minhash_signature(shingles(docs))
     band_cols = []
     for b in range(N_BANDS):
         parts = [F.col(f"h{b * _R + i}") for i in range(_R)]
         band_cols.append(F.md5(F.concat(*parts).cast("binary")).alias(f"b{b}"))
-    banded = sig.select("doc_id", *band_cols)
-    stack_args = ", ".join(f"'{b}', b{b}" for b in range(N_BANDS))
-    return banded.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_key)"
+    return sig.select("doc_id", *band_cols)
+
+
+def _bands_long(wide: DataFrame) -> DataFrame:
+    """Wide → long (doc_id, band_id, band_key) via a union of narrow
+    selects — NOT stack(): the Generate operator breaks whole-stage
+    codegen (measured ~2× slower on the banding stage). Callers that
+    scan the long form more than once should persist ``wide`` first
+    so the signature pipeline isn't recomputed per union arm."""
+    arms = [
+        wide.select(
+            "doc_id",
+            F.lit(str(b)).alias("band_id"),
+            F.col(f"b{b}").alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.union(a)
+    return out
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key): LSH banding of the minhash
+    signature — docs sharing any band key are near-dup candidates."""
+    return _bands_long(_banded_wide(docs))
+
+
+def _pairs_within_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs of doc_ids sharing a key, with
+    the hot-key cap applied BEFORE any per-key doc list materializes
+    (two phases: a partial-aggregated count prunes over-cap keys,
+    then the join output — already hash-partitioned by key — groups
+    into bounded ≤ MAX_KEY_DOCS lists). Pair generation is a per-key
+    list self-product, so a shuffle of the input replaces a two-sided
+    self-join shuffle."""
+    counts = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= MAX_KEY_DOCS)
+        .select(*key_cols)
+    )
+    grouped = (
+        df.join(counts, key_cols)
+        .groupBy(*key_cols)
+        .agg(F.collect_list("doc_id").alias("ds"))
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ds, x -> transform(ds, "
+                    "y -> struct(x AS doc_a, y AS doc_b)))), "
+                    "p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
 
 
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
-        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(N_HASHES)
+        f"min(substring(md5('s{_slice(j)[0]}:' || shingle), {_slice(j)[1]}, 8)) AS h{j}"
+        for j in range(N_HASHES)
     )
     return f"SELECT doc_id, {mins} FROM ({_SHINGLE_SQL}) GROUP BY doc_id"
 
@@ -132,40 +244,42 @@ def _minhash_bands_sql() -> str:
     return f"WITH sig AS ({_minhash_sig_sql()}), banded AS (SELECT doc_id, {bands} FROM sig) {arms}"
 
 
-@query(
-    "minhash_band_candidates",
-    oracle=f"""
-    WITH bands AS ({_minhash_bands_sql()})
+# Shared by minhash_band_candidates and the dedup_clusters oracle.
+_CANDIDATE_PAIRS_SQL = f"""
+    WITH bands AS ({_minhash_bands_sql()}),
+    bsz AS (
+      SELECT band_id, band_key, count(*) AS n_docs
+      FROM bands GROUP BY band_id, band_key
+    ),
+    capped AS (
+      SELECT b.doc_id, b.band_id, b.band_key
+      FROM bands b JOIN bsz USING (band_id, band_key)
+      WHERE bsz.n_docs <= {MAX_KEY_DOCS}
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band_id = b.band_id AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
-    """,
-)
+"""
+
+
+@query("minhash_band_candidates", oracle=_CANDIDATE_PAIRS_SQL)
 def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidates: 8-hash signatures in 4
-    bands of 2; pairs sharing any band bucket. The pair join is on
+    """MinHash+LSH near-duplicate candidates: 16-hash signatures in 4
+    bands of 4; pairs sharing any band bucket. The pair join is on
     (band_id, band_key) — work is proportional to bucket collisions,
-    never to n² of the corpus."""
+    never to n² of the corpus — and band keys shared by more than
+    MAX_KEY_DOCS documents are dropped before the self-join (hot-key
+    cap, see module docstring)."""
     docs = load_table(spark, sf_dir, "documents")
     # Persist the banded signatures: they are tiny relative to the
-    # corpus (N_BANDS rows of fixed-width hashes per doc) and feed
-    # BOTH sides of the self-join — without this Spark recomputes the
-    # whole shingle→md5→min pipeline twice.
+    # corpus (one row of N_BANDS fixed-width hashes per doc) and feed
+    # all four union arms of the long form plus both cap phases —
+    # without this Spark recomputes the whole shingle→md5→min
+    # pipeline per consumer.
     _tune_cached_plans(docs)
-    bands = minhash_bands(docs).persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    wide = _persist_tracked(_banded_wide(docs), "minhash_banded")
+    return _pairs_within_keys(_bands_long(wide), ["band_id", "band_key"])
 
 
 def _simhash_bit_sql(i: int) -> str:
@@ -219,7 +333,13 @@ def simhash16_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh0 AS ({_SHINGLE_SQL}),
+    sdf AS (SELECT shingle, count(*) AS n_docs FROM sh0 GROUP BY shingle),
+    sh AS (
+      SELECT sh0.doc_id, sh0.shingle
+      FROM sh0 JOIN sdf USING (shingle)
+      WHERE sdf.n_docs <= {MAX_KEY_DOCS}
+    ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -237,23 +357,41 @@ def simhash16_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for candidate pairs — pairs
     are generated by the shared-shingle join (inverted-index style),
-    so cost scales with actual shingle collisions, not n²."""
+    so cost scales with actual shingle collisions, not n². Shingles
+    whose document frequency exceeds MAX_KEY_DOCS (stop-shingles:
+    boilerplate present in a large fraction of the corpus) are
+    dropped before the join AND before the per-doc set sizes, so the
+    reported Jaccard is over the informative shingle sets — standard
+    production-dedup semantics, mirrored exactly in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    # shingle set feeds three plan branches (a-side, b-side, sizes)
+    # shingle set feeds three plan branches (DF-cap count, capped
+    # join, per-doc sizes)
     _tune_cached_plans(docs)
-    sh = shingles(docs).persist()
+    sh0 = _persist_tracked(shingles(docs), "ngram_shingles")
+    informative = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= MAX_KEY_DOCS)
+        .select("shingle")
+    )
+    sh = sh0.join(informative, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # shared-shingle pairs via per-key list product (one shuffle of
+    # the inverted index, not a two-sided self-join); every list is
+    # ≤ MAX_KEY_DOCS by the cap above. Count co-occurrences per pair.
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ds, x -> transform(ds, "
+                    "y -> struct(x AS doc_a, y AS doc_b)))), "
+                    "p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
         .filter(F.col("n_inter") >= 2)
     )

@@ -186,22 +186,79 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_ivf_topk")  # rows-only: approximate by construction
+NPROBE = 3  # IVF: search the query's 3 nearest cells
+
+
+_IVF_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, i - 1 AS pos,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        FROM embeddings, LATERAL (
+          SELECT unnest(generate_series(1, {DIM})) AS i
+        ) t
+        GROUP BY label, i
+      )
+      GROUP BY label
+    ),
+    ranked AS (
+      SELECT e.vec_id, e.emb, cent.label AS cand_cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.emb, cent.centroid), 6) DESC,
+                        cent.label ASC
+             ) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, emb, cand_cell AS cell FROM ranked WHERE rn = 1),
+    qprobes AS (
+      SELECT vec_id AS query_id, emb AS qe, cand_cell AS qcell
+      FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(q.qe, c.emb), 6) AS cos
+      FROM qprobes q JOIN cells c
+        ON c.cell = q.qcell AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) <= 5
+"""
+
+
+@query("similarity_ann_ivf_topk", oracle=_IVF_ORACLE)
 def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest label
-    centroid (coarse cell), then scored search only inside the query
-    vector's cell. Two narrow passes + an equi-join on cell id —
-    the centroid table is bounded (n_labels × DIM) and broadcasts.
-    Recall vs exact top-k asserted in tests/test_similarity.py."""
+    centroid (coarse cell), then scored search only inside the
+    query's NPROBE nearest cells (multi-probe). Two narrow passes +
+    an equi-join on cell id — the centroid table is bounded
+    (n_labels × DIM) and broadcasts.
+
+    The index is DETERMINISTIC (centroids = per-label means rounded
+    to 6 dp, assignment tie-broken on cell id), so although the
+    result is approximate w.r.t. exact top-k, it is exactly
+    reproducible — the oracle replicates the whole cell-restricted
+    search and the rows value-hash-match. Recall vs exact top-k is
+    exercised in tests/test_similarity.py."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
     # centroids pivoted back to arrays, driver-free: collect_list over
-    # a (label, pos)-sorted struct
+    # a (label, pos)-sorted struct. Components are rounded to 6 dp so
+    # the index is bit-identical across engines (an unrounded mean
+    # differs in the last ulp with summation order, which could flip
+    # a cell assignment at a rounding boundary).
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -213,36 +270,40 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cand_cell"), "centroid")
     )
-    # nearest centroid per vector = argmax cosine (deterministic
-    # tie-break on cell id)
-    scored_cells = (
+    # rank cells per vector by cosine (deterministic tie-break on
+    # cell id); rn=1 is the vector's home cell, rn<=NPROBE are the
+    # query's probe cells
+    ranked = (
         emb.join(F.broadcast(cent))
         .select(
             "vec_id",
             "embedding",
             "cand_cell",
-            cosine_expr("embedding", "centroid").alias("ccos"),
+            F.round(cosine_expr("embedding", "centroid"), 6).alias("ccos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), F.col("cand_cell").asc()
+                )
+            ),
         )
     )
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cand_cell").asc()
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", F.col("cand_cell").alias("cell")
     )
-    cells = (
-        scored_cells.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cand_cell").alias("cell"))
-    )
-    queries = F.broadcast(
-        cells.filter(F.col("vec_id") < N_QUERIES).select(
+    qprobes = F.broadcast(
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE)).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.col("cell").alias("qcell"),
+            F.col("cand_cell").alias("qcell"),
         )
     )
     scored = (
         cells.join(
-            queries,
-            (cells.cell == queries.qcell) & (cells.vec_id != queries.query_id),
+            qprobes,
+            (cells.cell == qprobes.qcell) & (cells.vec_id != qprobes.query_id),
         )
         .select(
             "query_id",
@@ -258,28 +319,71 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_lsh_topk")  # rows-only: approximate by construction
+# Multi-probe masks: the query's own bucket plus every bucket at
+# Hamming distance 1 (one hyperplane sign flipped) — the standard
+# recall/cost knob for sign-LSH; candidate work stays proportional
+# to (1 + N_PLANES) buckets, never the corpus.
+PROBE_MASKS: list[int] = [0] + [1 << j for j in range(N_PLANES)]
+
+
+_LSH_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, e AS qe, xor(bucket, m) AS pbucket
+      FROM b, unnest([{", ".join(str(m) for m in PROBE_MASKS)}]) t(m)
+      WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id,
+             round(list_cosine_similarity(p.qe, b.e), 6) AS cos
+      FROM probes p JOIN b
+        ON b.bucket = p.pbucket AND b.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) <= 5
+"""
+
+
+@query("similarity_ann_lsh_topk", oracle=_LSH_ORACLE)
 def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via LSH: only vectors in the query's bucket are
-    scored — the join is an equi-join on bucket id, so corpus-side
-    work is proportional to one bucket, not the corpus. Recall vs
-    the exact top-k is asserted in tests/test_similarity.py."""
+    """ANN top-5 via multi-probe sign-LSH: vectors in the query's
+    bucket or any Hamming-distance-1 bucket are scored — an equi-join
+    of the corpus against the (bounded) query×probe set, so
+    corpus-side work is proportional to 1+N_PLANES buckets, not the
+    corpus. Deterministic md5 hyperplanes make the whole search
+    exactly reproducible: the oracle replicates it and the rows
+    value-hash-match. Recall vs exact top-k is exercised in
+    tests/test_similarity.py."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", bucket_col("embedding")
     )
-    queries = F.broadcast(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            F.explode(
+                F.array(*[F.lit(m) for m in PROBE_MASKS])
+            ).alias("m"),
             F.col("bucket").alias("qbucket"),
+        )
+        .select(
+            "query_id", "qe", F.expr("int(qbucket ^ m)").alias("pbucket")
         )
     )
     scored = (
         emb.join(
-            queries,
-            (emb.bucket == queries.qbucket) & (emb.vec_id != queries.query_id),
+            probes,
+            (emb.bucket == probes.pbucket) & (emb.vec_id != probes.query_id),
         )
         .select(
             "query_id",

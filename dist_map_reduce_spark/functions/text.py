@@ -290,9 +290,13 @@ def dataset_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with top-3 terms per document: two aggregations + a
-    broadcast-joined document-frequency table + per-group top-k.
-    The df table is bounded by vocabulary size, so it broadcasts even
-    when the corpus doesn't."""
+    document-frequency join + per-group top-k, in ONE self-contained
+    plan. The corpus size enters via a 1-row aggregate crossJoin (the
+    sanctioned scalar-subquery pattern, tests/test_plans.py) — no
+    separate driver-side count job. The df join carries NO broadcast
+    hint: vocabulary grows ~Heaps-law with corpus size, so at 100 TB
+    it may exceed executor memory — AQE picks broadcast vs shuffle
+    from the observed size."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -301,13 +305,14 @@ def text_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar (cheap metadata count), not a collect of data
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tfidf = F.round(
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
     ).alias("tfidf")
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
     return (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df, "word")
+        .crossJoin(n)  # 1-row aggregate: scalar subquery, not a data crossJoin
         .select("doc_id", "word", tfidf)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

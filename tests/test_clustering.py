@@ -39,7 +39,10 @@ def test_dedup_clusters_match_union_find(spark):
         exp_clusters.setdefault(root, set()).add(node)
 
     got = registry.QUERIES["dedup_clusters"](spark, SF_SMOKE).collect()
-    got_clusters = {r.component: set(r.members) for r in got}
+    # members is a comma-joined string (scalar output contract)
+    got_clusters = {
+        r.component: set(int(m) for m in r.members.split(",")) for r in got
+    }
 
     assert got_clusters == exp_clusters
     for r in got:

