@@ -26,10 +26,12 @@ Scale posture (100 TB):
     bands/shingles). The caps are mirrored in the DuckDB oracles,
     and tests/test_properties.py asserts the fixture corpora are
     unaffected by them.
-  - persisted intermediates are tracked per query slot and the
-    previous invocation's cache is released on re-entry, so
-    long-lived sessions that invoke these queries repeatedly do not
-    accumulate dead cache entries.
+  - persisted intermediates go through caching.persist_tracked: one
+    live entry per slot — repeat invocations on the same fixture
+    reuse the materialized intermediate (materialized-view style),
+    a different fixture dir releases the old entry first — so
+    long-lived sessions neither leak cache nor recompute the
+    signature pipeline per invocation.
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import query
 
@@ -52,18 +55,6 @@ _R = N_HASHES // N_BANDS
 # docstring). Far above anything in the fixtures (max shingle DF at
 # sf0.01 is 7) and far below a 100 TB hot key.
 MAX_KEY_DOCS = 100
-
-# Per-slot persisted handles; re-invoking a query unpersists the
-# previous invocation's cache before building the new one.
-_PERSISTED: dict[str, DataFrame] = {}
-
-
-def _persist_tracked(df: DataFrame, slot: str) -> DataFrame:
-    prev = _PERSISTED.get(slot)
-    if prev is not None:
-        prev.unpersist()
-    _PERSISTED[slot] = df.persist()
-    return df
 
 
 def _tune_cached_plans(df: DataFrame) -> None:
@@ -278,7 +269,7 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without this Spark recomputes the whole shingle→md5→min
     # pipeline per consumer.
     _tune_cached_plans(docs)
-    wide = _persist_tracked(_banded_wide(docs), "minhash_banded")
+    wide = persist_tracked(_banded_wide(docs), "minhash_banded", sf_dir)
     return _pairs_within_keys(_bands_long(wide), ["band_id", "band_key"])
 
 
@@ -367,7 +358,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle set feeds three plan branches (DF-cap count, capped
     # join, per-doc sizes)
     _tune_cached_plans(docs)
-    sh0 = _persist_tracked(shingles(docs), "ngram_shingles")
+    sh0 = persist_tracked(shingles(docs), "ngram_shingles", sf_dir)
     informative = (
         sh0.groupBy("shingle")
         .agg(F.count("*").alias("n_docs"))
