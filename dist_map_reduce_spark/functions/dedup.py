@@ -118,7 +118,12 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Each md5 digest (32 hex chars) is sliced into 4 independent 32-bit
 # (8-hex) hash values, so 16 minhashes cost 4 md5 evaluations per
-# shingle instead of 16 — the standard slice-a-wide-hash trick.
+# shingle instead of 16 — the standard slice-a-wide-hash trick. The
+# slices are parsed to BIGINT before the min-aggregation: min over a
+# bigint keeps the signature aggregation in HashAggregate, whereas 16
+# var-length string buffers force a SortAggregate fallback (a
+# per-partition sort in the hottest stage of the pipeline); ordering
+# is identical since the slices are fixed-width hex.
 _N_SALTS = (N_HASHES + 3) // 4
 
 
@@ -128,7 +133,7 @@ def _slice(j: int) -> tuple[int, int]:
 
 
 def _minhash_signature(sh: DataFrame) -> DataFrame:
-    """doc_id → N_HASHES lexicographic-min 8-hex minhashes."""
+    """doc_id → N_HASHES min 32-bit (bigint) minhashes."""
     md5s = sh.select(
         "doc_id",
         *[
@@ -141,17 +146,24 @@ def _minhash_signature(sh: DataFrame) -> DataFrame:
     aggs = []
     for j in range(N_HASHES):
         s, off = _slice(j)
-        aggs.append(F.min(F.substring(F.col(f"m{s}"), off, 8)).alias(f"h{j}"))
+        aggs.append(
+            F.min(
+                F.expr(f"cast(conv(substring(m{s}, {off}, 8), 16, 10) as bigint)")
+            ).alias(f"h{j}")
+        )
     return md5s.groupBy("doc_id").agg(*aggs)
 
 
 def _banded_wide(docs: DataFrame) -> DataFrame:
-    """(doc_id, b0..b{N_BANDS-1}): one md5 band key per band."""
+    """(doc_id, b0..b{N_BANDS-1}): one md5 band key per band (the
+    ':'-joined decimal minhashes of the band, hashed)."""
     sig = _minhash_signature(shingles(docs))
     band_cols = []
     for b in range(N_BANDS):
-        parts = [F.col(f"h{b * _R + i}") for i in range(_R)]
-        band_cols.append(F.md5(F.concat(*parts).cast("binary")).alias(f"b{b}"))
+        parts = [F.col(f"h{b * _R + i}").cast("string") for i in range(_R)]
+        band_cols.append(
+            F.md5(F.concat_ws(":", *parts).cast("binary")).alias(f"b{b}")
+        )
     return sig.select("doc_id", *band_cols)
 
 
@@ -217,7 +229,8 @@ def _pairs_within_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
-        f"min(substring(md5('s{_slice(j)[0]}:' || shingle), {_slice(j)[1]}, 8)) AS h{j}"
+        f"min(('0x' || substring(md5('s{_slice(j)[0]}:' || shingle),"
+        f" {_slice(j)[1]}, 8))::BIGINT) AS h{j}"
         for j in range(N_HASHES)
     )
     return f"SELECT doc_id, {mins} FROM ({_SHINGLE_SQL}) GROUP BY doc_id"
@@ -225,7 +238,9 @@ def _minhash_sig_sql() -> str:
 
 def _minhash_bands_sql() -> str:
     bands = ", ".join(
-        "md5(" + " || ".join(f"h{b * _R + i}" for i in range(_R)) + f") AS b{b}"
+        "md5("
+        + " || ':' || ".join(f"h{b * _R + i}::VARCHAR" for i in range(_R))
+        + f") AS b{b}"
         for b in range(N_BANDS)
     )
     arms = " UNION ALL ".join(
