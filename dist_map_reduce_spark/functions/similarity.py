@@ -436,3 +436,112 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.2)
     )
+
+
+K_CELLS = 8       # k-means cluster count
+KMEANS_ROUNDS = 3  # fixed assignment rounds (2 centroid updates)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations in DuckDB SQL — same deterministic
+    init (vectors 0..K-1, 6-dp rounded), same rounded-cosine
+    assignment with min-cell tie-break, same 6-dp rounded means."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"""c0 AS (
+          SELECT vec_id AS cell, list_transform(emb, x -> round(x, 6)) AS cent
+          FROM e WHERE vec_id < {K_CELLS}
+        )""",
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        ctes.append(f"""a{r} AS (
+          SELECT vec_id, emb, cell FROM (
+            SELECT e.vec_id, e.emb, c.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.emb, c.cent), 6) DESC,
+                              c.cell ASC
+                   ) AS rn
+            FROM e CROSS JOIN c{r - 1} c
+          ) WHERE rn = 1
+        )""")
+        if r < KMEANS_ROUNDS:
+            ctes.append(f"""c{r} AS (
+          SELECT cell, list(m ORDER BY pos) AS cent FROM (
+            SELECT cell, i - 1 AS pos, round(avg(emb[i]), 6) AS m
+            FROM a{r}, LATERAL (
+              SELECT unnest(generate_series(1, {DIM})) AS i
+            ) t
+            GROUP BY cell, i
+          )
+          GROUP BY cell
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+        FROM a{KMEANS_ROUNDS} GROUP BY cell
+        """
+    )
+
+
+@query("kmeans_embedding_cells", oracle=_kmeans_oracle())
+def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus (Lloyd's algorithm,
+    KMEANS_ROUNDS assignment rounds) — the production coarse-quantizer
+    build for an IVF index when no labels exist (SCALE.md). Fully
+    deterministic: init centroids are vectors 0..K-1, assignment
+    ranks by 6-dp-rounded cosine with a min-cell tie-break, and
+    updated centroids are 6-dp-rounded per-dimension means — so the
+    whole iterative computation hash-matches the unrolled-SQL oracle.
+
+    Scale shape per round: one broadcast of the K×DIM centroid table
+    against a corpus scan (assignment) + one posexplode/aggregate
+    shuffle keyed on (cell, pos) (means). No vector visits the
+    driver; the loop is a fixed-depth plan, not a driver round-trip.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), 6)
+        ).alias("cent"),
+    )
+    assigned = None
+    for r in range(1, KMEANS_ROUNDS + 1):
+        scored = emb.join(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(cosine_expr("embedding", "cent"), 6).alias("ccos"),
+        )
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cell").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+        if r < KMEANS_ROUNDS:
+            cent = (
+                assigned.select(
+                    "cell", F.posexplode("embedding").alias("pos", "v")
+                )
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                        ),
+                        lambda s: s.m,
+                    ).alias("cent")
+                )
+            )
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )

@@ -64,3 +64,16 @@ def test_approx_percentile_contract_holds(spark):
     for _, r in p50.iterrows():
         grp = li[li.l_returnflag == r.l_returnflag].l_extendedprice
         assert r.n == len(grp)
+
+
+def test_kmeans_cells_partition_corpus(spark):
+    """k-means assignment must cover every vector exactly once and
+    use at most K_CELLS cells (the oracle pins the exact values; this
+    pins the invariants independently of the oracle)."""
+    from dist_map_reduce_spark.functions.similarity import K_CELLS
+
+    cells = registry.QUERIES["kmeans_embedding_cells"](spark, SF_SMOKE).toPandas()
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert cells.n_vectors.sum() == n_vecs
+    assert len(cells) <= K_CELLS
+    assert (cells.min_vec_id >= 0).all()
