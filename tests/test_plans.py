@@ -83,3 +83,44 @@ def test_range_join_is_equi_join(spark):
     plan = _plan(spark, "range_join_purchases_after_error")
     assert "CartesianProduct" not in plan
     assert "Join" in plan and ("hashpartitioning" in plan or "BroadcastHashJoin" in plan)
+
+def test_minhash_signature_stays_hash_aggregated(spark):
+    """The 16-way min signature aggregation parses fixed-width hex
+    slices to BIGINT so it stays in HashAggregate — min over
+    var-length string buffers falls back to SortAggregate, putting a
+    per-partition sort in the hottest dedup stage."""
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.functions.dedup import _minhash_signature, shingles
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        _minhash_signature(shingles(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan
+
+
+def test_minhash_banding_avoids_stack(spark):
+    """Wide→long banding must be a union of narrow selects — a
+    stack() Generate breaks whole-stage codegen (measured ~2× slower
+    on the banding stage)."""
+    assert "stack(" not in _plan(spark, "minhash_band_candidates")
+
+
+def test_tfidf_count_is_in_plan(spark):
+    """The TF-IDF corpus count enters as a 1-row aggregate inside the
+    plan (scalar-subquery pattern) — no separate driver-side count
+    job before the query runs."""
+    assert "n_docs" in _plan(spark, "text_tf_idf_top_terms")
+
+
+def test_kmeans_broadcasts_centroid_table(spark):
+    """k-means assignment broadcasts the bounded K×DIM centroid
+    table against the corpus scan — the corpus itself is never
+    shuffled for assignment."""
+    plan = _plan(spark, "kmeans_embedding_cells")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
