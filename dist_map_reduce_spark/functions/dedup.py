@@ -211,6 +211,10 @@ def _pairs_within_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
         df.join(counts, key_cols)
         .groupBy(*key_cols)
         .agg(F.collect_list("doc_id").alias("ds"))
+        # singleton keys produce no pairs — skip them BEFORE the
+        # O(k²) pair expression (most keys are singletons, so this
+        # removes the bulk of the explode input)
+        .filter(F.size("ds") >= 2)
     )
     return (
         grouped.select(
@@ -388,6 +392,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)  # singleton shingles yield no pairs
         .select(
             F.explode(
                 F.expr(
