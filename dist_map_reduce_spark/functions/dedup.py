@@ -36,7 +36,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.caching import persist_tracked
@@ -193,6 +193,31 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     return _bands_long(_banded_wide(docs))
 
 
+def _capped_postings(sh: DataFrame) -> DataFrame:
+    """(ds: sorted array<doc_id>) posting lists of the inverted
+    shingle index, hot keys dropped.
+
+    The hot-key cap is applied FIRST, via a count window partitioned
+    by shingle: one shuffle and ONE shingling pass (vs a count-agg +
+    join-back, which re-evaluates the shingle explode per branch).
+    An over-cap stop-shingle is dropped before collect_list ever
+    accumulates its (possibly multi-million-entry) posting list —
+    WindowExec buffers one key group at a time and spills to disk,
+    so a hot key costs disk, not an aggregation-buffer OOM. The
+    groupBy that follows reuses the window's hash(shingle)
+    partitioning: no second exchange (pinned in
+    tests/test_plans.py::test_ngram_postings_single_shuffle)."""
+    return (
+        sh.withColumn(
+            "n_docs", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("n_docs") <= MAX_KEY_DOCS)
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .select("ds")
+    )
+
+
 def _pairs_within_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs of doc_ids sharing a key, with
     the hot-key cap applied BEFORE any per-key doc list materializes
@@ -210,19 +235,21 @@ def _pairs_within_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
     grouped = (
         df.join(counts, key_cols)
         .groupBy(*key_cols)
-        .agg(F.collect_list("doc_id").alias("ds"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         # singleton keys produce no pairs — skip them BEFORE the
         # O(k²) pair expression (most keys are singletons, so this
         # removes the bulk of the explode input)
         .filter(F.size("ds") >= 2)
     )
+    # sorted postings → emit only the (i < j) index pairs: exactly
+    # k(k-1)/2 structs, not k² filtered down
     return (
         grouped.select(
             F.explode(
                 F.expr(
-                    "filter(flatten(transform(ds, x -> transform(ds, "
-                    "y -> struct(x AS doc_a, y AS doc_b)))), "
-                    "p -> p.doc_a < p.doc_b)"
+                    "flatten(transform(sequence(0, size(ds) - 2), "
+                    "i -> transform(sequence(i + 1, size(ds) - 1), "
+                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
                 )
             ).alias("p")
         )
@@ -374,31 +401,29 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported Jaccard is over the informative shingle sets — standard
     production-dedup semantics, mirrored exactly in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    # shingle set feeds three plan branches (DF-cap count, capped
-    # join, per-doc sizes)
     _tune_cached_plans(docs)
-    sh0 = persist_tracked(shingles(docs), "ngram_shingles", sf_dir)
-    informative = (
-        sh0.groupBy("shingle")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") <= MAX_KEY_DOCS)
-        .select("shingle")
+    # the capped inverted index is grouped ONCE and persisted; both
+    # the per-doc set sizes and the candidate pairs derive from the
+    # cached postings (no second pass over the raw shingle strings)
+    grouped = persist_tracked(
+        _capped_postings(shingles(docs)), "ngram_postings", sf_dir
     )
-    sh = sh0.join(informative, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # shared-shingle pairs via per-key list product (one shuffle of
-    # the inverted index, not a two-sided self-join); every list is
-    # ≤ MAX_KEY_DOCS by the cap above. Count co-occurrences per pair.
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    # per-posting pair product; postings are ≤ MAX_KEY_DOCS by the
+    # cap above, and sorted, so emitting (i < j) index pairs builds
+    # exactly k(k-1)/2 structs — not k² filtered down.
     inter = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") >= 2)  # singleton shingles yield no pairs
+        grouped.filter(F.size("ds") >= 2)  # singletons yield no pairs
         .select(
             F.explode(
                 F.expr(
-                    "filter(flatten(transform(ds, x -> transform(ds, "
-                    "y -> struct(x AS doc_a, y AS doc_b)))), "
-                    "p -> p.doc_a < p.doc_b)"
+                    "flatten(transform(sequence(0, size(ds) - 2), "
+                    "i -> transform(sequence(i + 1, size(ds) - 1), "
+                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
                 )
             ).alias("p")
         )

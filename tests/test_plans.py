@@ -124,3 +124,21 @@ def test_kmeans_broadcasts_centroid_table(spark):
     plan = _plan(spark, "kmeans_embedding_cells")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_postings_single_shuffle(spark):
+    """The capped inverted-index build is ONE shuffle: the hot-key
+    count window and the collect_list groupBy share the same
+    hash(shingle) partitioning, so no Exchange sits between them."""
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.functions.dedup import _capped_postings, shingles
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        _capped_postings(shingles(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
