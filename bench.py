@@ -44,6 +44,8 @@ HEADLINE = [
     "similarity_ann_lsh_topk",
     "text_quality_scores",
     "text_tf_idf_top_terms",
+    "text_repetition_signals",
+    "q21_suppliers_who_kept_waiting",
 ]
 
 

@@ -82,3 +82,4 @@ def load_all() -> None:
     # correctness window by construction; they rotate forward next
     # round
     from dist_map_reduce_spark.operators import tpch_full  # noqa: F401
+    from dist_map_reduce_spark.functions import packing  # noqa: F401

@@ -130,9 +130,14 @@ def test_ngram_postings_single_shuffle(spark):
     """The capped inverted-index build is ONE shuffle: the hot-key
     count window and the collect_list groupBy share the same
     hash(shingle) partitioning, so no Exchange sits between them."""
+    from dist_map_reduce_spark import caching
     from dist_map_reduce_spark.catalog import load_table
     from dist_map_reduce_spark.functions.dedup import _capped_postings, shingles
 
+    # an earlier test may have left the postings slot cached — the
+    # CacheManager would then substitute InMemoryTableScan (whose
+    # stored plan repr contains the original Exchange) into this plan
+    caching.clear()
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = (
         _capped_postings(shingles(docs))
@@ -142,3 +147,10 @@ def test_ngram_postings_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" in plan
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """The per-doc bigram mode is a sorted-array run-length
+    expression, not an explode + aggregation — the whole operator
+    must stay a narrow projection with no Exchange."""
+    assert "Exchange" not in _plan(spark, "text_repetition_signals")
