@@ -30,7 +30,7 @@ reference exposes for arbitrary mapFunc/reduceFunc pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
@@ -304,32 +304,48 @@ def q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFram
     semi, anti) — three 100 TB scans and three shuffles. It collapses
     to per-order supplier statistics: a late row qualifies iff its
     order has ≥ 2 distinct suppliers AND exactly 1 late supplier
-    (necessarily the row's own, since the row itself is late). That
-    is two aggregations and one join, all hash-partitioned on
-    l_orderkey, over a fact built once."""
+    (necessarily the row's own, since the row itself is late). Those
+    statistics are computed as window columns over one exchange of a
+    fact built once — see the plan notes inline."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
-    l = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY")).alias(
-            "late"
-        ),
+    # ONE scan and ONE shuffle: the fact is repartitioned on
+    # l_orderkey, and both window specs below are satisfied by that
+    # partitioning (hash(ok) ⊆ clustering (ok, sk) — Spark's
+    # subset-clustering rule), so the per-supplier and per-order
+    # statistics are window columns over the same exchange instead
+    # of a second scan + aggregate + self-join
+    l = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY")).alias(
+                "late"
+            ),
+        )
+        .repartition("l_orderkey")
     )
-    # distinct-supplier stats without a multi-distinct expand: first
-    # collapse to (order, supplier) grain, then count per order —
-    # the second aggregation reuses the first's hash partitioning
-    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("supp_late")
+    # one marker row per (order, supplier); ordering by late desc
+    # makes the marker row carry the supplier's "was ever late" flag
+    w_supp = Window.partitionBy("l_orderkey", "l_suppkey").orderBy(
+        F.col("late").desc()
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supps"),
-        F.sum(F.col("supp_late").cast("int")).alias("n_late_supps"),
+    w_order = Window.partitionBy("l_orderkey")
+    marked = l.withColumn(
+        "is_first", F.row_number().over(w_supp) == 1
     )
-    qualifying = (
-        l.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+    stats = marked.select(
+        "*",
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .over(w_order)
+        .alias("n_supps"),
+        F.sum(F.when(F.col("is_first") & F.col("late"), 1).otherwise(0))
+        .over(w_order)
+        .alias("n_late_supps"),
+    )
+    qualifying = stats.filter(
+        F.col("late") & (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)
     )
     supp = _t(spark, sf_dir, "supplier")
     return (
