@@ -244,3 +244,100 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory_sink(agg, "streaming_session_windows", "append")
+
+
+@query(
+    "streaming_static_join_enrich",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    """,
+)
+def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream is enriched against the
+    static customer dimension (planned as a broadcast per
+    micro-batch — the static side is re-resolved each batch, no
+    stream state), then aggregated in complete mode. At scale the
+    static side follows the same rules as any batch join: bounded
+    dim → broadcast; unbounded → shuffled join per batch."""
+    from dist_map_reduce_spark.catalog import load_table
+
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        purchases.join(cust, purchases.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_to_memory_sink(agg, "streaming_static_join_enrich")
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: clicks matched to
+    purchases by the same user within 30 minutes. Both sides carry a
+    1-hour watermark and the join has a two-sided time bound, so
+    Spark can expire buffered state — the state store never grows
+    beyond ~watermark+bound worth of events per side, which is what
+    makes the join runnable on an unbounded stream. availableNow
+    processes the fixture in one pass; the emitted matches equal the
+    batch time-bounded join (the oracle)."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias(
+            "delay_sec"
+        ),
+    )
+    return run_to_memory_sink(
+        joined, "streaming_stream_stream_join", output_mode="append"
+    )
