@@ -341,3 +341,90 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(
         joined, "streaming_stream_stream_join", output_mode="append"
     )
+
+
+@query(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, round(value, 2) AS last_value, ts AS last_ts
+    FROM (
+      SELECT user_id, value, ts,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink: each micro-batch MERGEs its latest
+    purchase per user into a key-versioned target table — the
+    standard streaming-CDC pattern (stream → MERGE INTO dim). The
+    target is plain parquet, ping-ponged between two versioned dirs
+    per batch (no transactional format in this environment; with
+    Delta/Iceberg the foreachBatch body becomes MERGE INTO and the
+    dataflow is unchanged). Final target state is checked against
+    the batch latest-event-per-user oracle."""
+    import os
+    import shutil
+
+    from dist_map_reduce_spark.operators.sources_sinks import _scratch
+
+    base = _scratch(sf_dir, "stream_upsert_target")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    versions: list[str] = []
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        # latest purchase per user WITHIN the batch (deterministic
+        # tie-break), then MERGE into the current target version
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.round("value", 2).alias("last_value"),
+                F.col("ts").alias("last_ts"),
+                "event_id",
+            )
+        )
+        s = batch.sparkSession
+        if versions:
+            target = s.read.parquet(versions[-1])
+            # keep event_id through the merge so later batches win
+            # ties deterministically, exactly like the oracle
+            merged_w = W.partitionBy("user_id").orderBy(
+                F.col("last_ts").desc(), F.col("event_id").desc()
+            )
+            merged = (
+                target.unionByName(latest)
+                .withColumn("rn", F.row_number().over(merged_w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = latest
+        out = os.path.join(base, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        purchases.writeStream.foreachBatch(upsert_batch)
+        .option(
+            "checkpointLocation", os.path.join(base, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(versions[-1]).select(
+        "user_id", "last_value", "last_ts"
+    )
