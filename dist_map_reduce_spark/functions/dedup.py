@@ -220,20 +220,18 @@ def _capped_postings(sh: DataFrame) -> DataFrame:
 
 def _pairs_within_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs of doc_ids sharing a key, with
-    the hot-key cap applied BEFORE any per-key doc list materializes
-    (two phases: a partial-aggregated count prunes over-cap keys,
-    then the join output — already hash-partitioned by key — groups
-    into bounded ≤ MAX_KEY_DOCS lists). Pair generation is a per-key
-    list self-product, so a shuffle of the input replaces a two-sided
+    the hot-key cap applied BEFORE any per-key doc list materializes:
+    a count window partitioned by the key prunes over-cap keys in the
+    same exchange the posting-list groupBy then reuses — ONE shuffle
+    total, and a hot key costs WindowExec disk spill, never an
+    unbounded collect_list buffer. Pair generation is a per-key list
+    self-product, so a shuffle of the input replaces a two-sided
     self-join shuffle."""
-    counts = (
-        df.groupBy(*key_cols)
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") <= MAX_KEY_DOCS)
-        .select(*key_cols)
-    )
     grouped = (
-        df.join(counts, key_cols)
+        df.withColumn(
+            "n_docs", F.count("*").over(Window.partitionBy(*key_cols))
+        )
+        .filter(F.col("n_docs") <= MAX_KEY_DOCS)
         .groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         # singleton keys produce no pairs — skip them BEFORE the
