@@ -154,3 +154,36 @@ def test_hotkey_caps_are_noop_on_fixture(spark):
     max_df = shingles(docs).groupBy("shingle").count().agg(F.max("count")).first()[0]
     assert max_bucket <= MAX_KEY_DOCS
     assert max_df <= MAX_KEY_DOCS
+
+
+def test_hotkey_cap_drops_overcap_keys(spark):
+    """Directly exercise the cap: a key shared by > MAX_KEY_DOCS docs
+    must produce NO pairs, while an under-cap key still does."""
+    from dist_map_reduce_spark.functions.dedup import (
+        MAX_KEY_DOCS,
+        _pairs_within_keys,
+    )
+
+    hot = [(i, "hot") for i in range(MAX_KEY_DOCS + 1)]
+    cold = [(i, "cold") for i in range(3)]
+    df = spark.createDataFrame(hot + cold, ["doc_id", "key"])
+    pairs = _pairs_within_keys(df, ["key"]).collect()
+    # only the 3-doc cold key pairs survive: C(3,2) = 3
+    assert len(pairs) == 3
+    assert all(p.doc_a < p.doc_b for p in pairs)
+
+
+def test_capped_postings_drops_overcap_shingles(spark):
+    """Same for the n-gram inverted index builder."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.functions.dedup import (
+        MAX_KEY_DOCS,
+        _capped_postings,
+    )
+
+    rows = [(i, "stop shingle") for i in range(MAX_KEY_DOCS + 1)]
+    rows += [(i, "rare shingle") for i in range(5)]
+    sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    got = _capped_postings(sh).select(F.size("ds").alias("k")).collect()
+    assert [r.k for r in got] == [5]
