@@ -28,6 +28,11 @@ from dist_map_reduce_spark.catalog import table_path
 from dist_map_reduce_spark.registry import query
 
 _SINK_SEQ = 0
+# one live memory-sink table per pipeline name: repeated invocations
+# in a long-lived session drop the previous run's sink instead of
+# accumulating tables in the driver (same discipline as
+# caching.persist_tracked)
+_LAST_SINK: dict[str, str] = {}
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,6 +64,9 @@ def run_to_memory_sink(
     _SINK_SEQ += 1
     sink = f"{re.sub('[^a-zA-Z0-9_]', '_', name)}_{_SINK_SEQ}"
     spark = df.sparkSession
+    prev = _LAST_SINK.get(name)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -67,6 +75,7 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+    _LAST_SINK[name] = sink
     return spark.table(sink)
 
 
