@@ -68,8 +68,11 @@ def extract_byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 "first_byte": blobs.map(lambda b: b[0] if len(b) else -1).astype(
                     "int32"
                 ),
+                # raw mean — round JVM-side (or in SQL) with
+                # half-away-from-zero semantics; Python round() is
+                # half-even and diverges on .xxxxxx5 boundaries
                 "mean_byte": blobs.map(
-                    lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                    lambda b: sum(b) / len(b) if len(b) else 0.0
                 ),
             }
         )
@@ -149,12 +152,19 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "first_byte": blobs.map(
                         lambda b: b[0] if len(b) else -1
                     ).astype("int32"),
+                    # raw mean; rounding happens JVM-side below —
+                    # Python round() is banker's (half-even), but the
+                    # oracle's SQL round is half-away-from-zero, and
+                    # power-of-two byte counts land means exactly on
+                    # the .xxxxxx5 boundary
                     "mean_byte": blobs.map(
-                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                        lambda b: sum(b) / len(b) if len(b) else 0.0
                     ),
                 }
             )
 
-    return mm.select("doc_id", "payload").mapInPandas(
-        extract, schema=FEATURE_SCHEMA
+    return (
+        mm.select("doc_id", "payload")
+        .mapInPandas(extract, schema=FEATURE_SCHEMA)
+        .withColumn("mean_byte", F.round("mean_byte", 6))
     )

@@ -79,9 +79,11 @@ def grouped_map_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu = pdf["o_totalprice"].mean()
         sd = pdf["o_totalprice"].std(ddof=1)
         out = pdf[["o_custkey", "o_orderkey"]].copy()
-        out["z"] = ((pdf["o_totalprice"] - mu) / sd).round(4)
+        # raw z; round JVM-side — pandas .round is half-even, the
+        # oracle's SQL round is half-away-from-zero
+        out["z"] = (pdf["o_totalprice"] - mu) / sd
         return out
 
     return orders.groupBy("o_custkey").applyInPandas(
         zscore, schema="o_custkey long, o_orderkey long, z double"
-    )
+    ).withColumn("z", F.round("z", 4))
