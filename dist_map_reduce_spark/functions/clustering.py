@@ -31,6 +31,13 @@ from dist_map_reduce_spark.functions.dedup import _CANDIDATE_PAIRS_SQL
 from dist_map_reduce_spark.registry import query
 
 
+# final label snapshot of the previous invocation — the caller
+# consumes the returned (persisted) labels lazily, so the earliest
+# safe release point is the NEXT invocation: one live snapshot,
+# never an accumulating leak (same discipline as persist_tracked)
+_PREV_FINAL: list[DataFrame] = []
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """pairs(doc_a, doc_b) → (doc_id, component) with component =
     min doc_id reachable. Deterministic.
@@ -39,6 +46,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     did not reach a fixpoint — a chain with graph diameter >
     ``max_iter`` would otherwise silently yield split components.
     """
+    while _PREV_FINAL:
+        _PREV_FINAL.pop().unpersist()
     # both edge directions in ONE pass over the candidate plan — a
     # union of two selects would scan (and recompute) it twice before
     # the persist materializes
@@ -110,6 +119,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     # the labels snapshot is materialized; the edge cache is dead
     edges.unpersist()
+    if prev_persisted is not None:
+        _PREV_FINAL.append(prev_persisted)
     if not converged:
         warnings.warn(
             f"connected_components: no fixpoint after {max_iter} iterations "
