@@ -260,3 +260,70 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("top_bigram_frac"),
     )
+
+
+# Temperature exponent for source-mixing weights (UnifiedQA /
+# multilingual-sampling style: w ∝ n^alpha flattens the source
+# distribution toward uniform as alpha → 0).
+_MIX_ALPHA = 0.3
+
+
+@query(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    powed AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(pow(n_tokens, {_MIX_ALPHA}), 12)
+                  AS DECIMAL(22,12)) AS w
+      FROM per_source
+    ),
+    tot AS (SELECT sum(w) AS tw FROM powed)
+    SELECT source, n_docs, n_tokens,
+           CAST(round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 8)
+                AS DOUBLE) AS weight
+    FROM powed, tot
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing weights for training-batch sampling:
+    w(source) ∝ n_tokens^alpha, normalized. The exact-token counts
+    are integers; each pow() is a deterministic scalar IEEE op
+    rounded to 12 dp; the normalizing sum accumulates those rounded
+    values as DECIMAL (exact, associative) — so the weights are
+    engine-independent (same discipline as money.py / pagerank).
+    One tiny aggregation (one row per source) plus a 1-row
+    crossJoin; the heavy part — token counting — is a map-side
+    partial-aggregated scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    powed = per_source.withColumn(
+        "w",
+        F.expr(
+            f"CAST(round(pow(n_tokens, {_MIX_ALPHA}), 12) AS DECIMAL(22,12))"
+        ),
+    )
+    tot = powed.agg(F.sum("w").alias("tw"))
+    return (
+        powed
+        # 1-row aggregate: scalar-subquery crossJoin, not a data join
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "CAST(round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 8)"
+                " AS DOUBLE)"
+            ).alias("weight"),
+        )
+    )
