@@ -58,8 +58,10 @@ def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_map_zscore_orders",
     oracle="""
     SELECT o_custkey, o_orderkey,
+           -- + 0 normalizes -0.0 → 0.0: DuckDB round keeps the sign
+           -- of a tiny negative; Spark's BigDecimal round does not
            round((o_totalprice - avg(o_totalprice) OVER w)
-                 / stddev_samp(o_totalprice) OVER w, 4) AS z
+                 / stddev_samp(o_totalprice) OVER w, 4) + 0 AS z
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey)
     """,

@@ -166,7 +166,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle=f"""
     SELECT label, i - 1 AS pos,
-           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) + 0 AS mean_val
     FROM embeddings, LATERAL (
       SELECT unnest(generate_series(1, {DIM})) AS i
     ) t

@@ -42,10 +42,11 @@ def stats_dispersion_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_correlation_regression",
     oracle="""
     SELECT l_linestatus,
-           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2)  AS covar_qty_price,
-           round(regr_slope(l_extendedprice, l_quantity), 4)  AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           -- + 0 normalizes -0.0 → 0.0 (Spark round never emits -0.0)
+           round(corr(l_quantity, l_extendedprice), 6) + 0        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) + 0  AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0  AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) + 0 AS intercept,
            round(regr_r2(l_extendedprice, l_quantity), 6)     AS r2
     FROM lineitem
     GROUP BY l_linestatus
