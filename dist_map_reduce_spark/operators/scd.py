@@ -1,0 +1,74 @@
+"""Slowly-changing-dimension (SCD type 2) history building — the
+warehouse-maintenance pattern beside MERGE upsert (operators/etl.py):
+given a dimension snapshot and a change log, produce one row per
+version with [valid_from, valid_to) ranges and a current flag.
+
+The fixture has no change log, so the query synthesizes a
+deterministic one (every 10th customer changes segment on
+2000-01-01), mirrored exactly in the oracle — the operator under
+test is the versioning itself: union + one lead() window per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.registry import query
+
+
+def scd2_history(
+    base: DataFrame, changes: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """Generic SCD2: version rows = base ∪ changes; each version's
+    valid_to is the NEXT version's valid_from (lead window), open
+    (null) for the current row. One shuffle on the key."""
+    hist = base.unionByName(changes)
+    w = Window.partitionBy(key).orderBy(ts_col)
+    return hist.withColumn("valid_to", F.lead(ts_col).over(w)).withColumn(
+        "is_current", F.col("valid_to").isNull()
+    )
+
+
+@query(
+    "scd2_customer_segments",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1995-01-01' AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MOVED' AS c_mktsegment,
+             TIMESTAMP '2000-01-01' AS valid_from
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_mktsegment, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY c_custkey ORDER BY valid_from) AS valid_to,
+           lead(valid_from) OVER (
+             PARTITION BY c_custkey ORDER BY valid_from) IS NULL
+             AS is_current
+    FROM hist
+    """,
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version history of the customer market segment. Scale
+    shape: a union of two scans plus ONE lead() window partitioned
+    by the dimension key — no join against the history (the naive
+    formulation self-joins versions to find successors)."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+    )
+    changes = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("MOVED").alias("c_mktsegment"),
+            F.lit("2000-01-01").cast("timestamp").alias("valid_from"),
+        )
+    )
+    return scd2_history(base, changes, "c_custkey", "valid_from")

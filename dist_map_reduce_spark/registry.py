@@ -86,3 +86,4 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import curation  # noqa: F401
     from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401
     from dist_map_reduce_spark.functions import graph  # noqa: F401
+    from dist_map_reduce_spark.operators import scd  # noqa: F401

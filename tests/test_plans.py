@@ -154,3 +154,29 @@ def test_repetition_signals_zero_shuffle(spark):
     expression, not an explode + aggregation — the whole operator
     must stay a narrow projection with no Exchange."""
     assert "Exchange" not in _plan(spark, "text_repetition_signals")
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """A filter on the partition column of the partitioned parquet
+    sink must become a PartitionFilter on the scan (directory
+    pruning), not a row filter over all partitions."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.operators.sources_sinks import _scratch
+
+    out = _scratch(SF_SMOKE, "orders_parquet_by_year")
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    orders.select("yr", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).partitionBy("yr").parquet(out)
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("yr") == 1997)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(yr" in plan or "PartitionFilters: [(yr" in plan, plan
