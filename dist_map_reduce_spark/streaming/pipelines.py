@@ -125,13 +125,31 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(agg, "streaming_tumbling_1h")
 
 
-@query("streaming_watermarked_tumbling")  # rows-only: append mode withholds tail
+@query(
+    "streaming_watermarked_tumbling",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT * FROM w
+    WHERE window_end <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+    """,
+)
 def streaming_watermarked_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode windows: the production late-data
     pattern (state for a window is dropped once the watermark passes
-    window_end + delay). Windows newer than max(ts) - 30min are
-    legitimately withheld at end-of-input, so this is a rows-only
-    check; tests assert the emitted prefix matches batch."""
+    window_end + delay).
+
+    The append-mode output is itself deterministic here, so it gets
+    a FULL oracle: the source is a single parquet file, so
+    availableNow processes one data batch (no mid-stream watermark
+    can drop anything) and the flush batch emits exactly the windows
+    with window_end ≤ final watermark = max(ts) − 30 min. The oracle
+    is the batch aggregation with that cut applied — the tail
+    windows the stream legitimately withholds."""
     agg = (
         read_events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
@@ -234,12 +252,39 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(dedup, "streaming_dedup_events", "complete")
 
 
-@query("streaming_session_windows")  # rows-only: sessions require watermark+append
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 10 MINUTE AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT * FROM sessions
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+    """,
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization (session_window + watermark, append
-    mode) — merging session state across micro-batches. Tail sessions
-    are withheld by the watermark; tests assert the emitted sessions
-    are a subset of the batch gap-islands answer."""
+    mode) — merging session state across micro-batches.
+
+    Deterministic with a full oracle, same argument as
+    streaming_watermarked_tumbling: single-file source → one data
+    batch → the flush emits exactly the gap-islands sessions with
+    session_end ≤ max(ts) − 30 min."""
     agg = (
         read_events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
