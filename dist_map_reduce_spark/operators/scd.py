@@ -72,3 +72,64 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_history(base, changes, "c_custkey", "valid_from")
+
+
+# Declarative data-quality expectations (Delta-Live-Tables style):
+# rule name → boolean SQL predicate over the orders table. The same
+# strings run on both engines.
+_EXPECTATIONS: list[tuple[str, str]] = [
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("status_known", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("date_in_range",
+     "o_orderdate >= TIMESTAMP '1990-01-01'"
+     " AND o_orderdate < TIMESTAMP '2010-01-01'"),
+    ("priority_nonnull", "o_orderpriority IS NOT NULL"),
+    ("custkey_positive", "o_custkey > 0"),
+]
+
+
+@query(
+    "dq_expectations_orders",
+    oracle="UNION ALL".join(
+        f"""
+        SELECT '{name}' AS rule,
+               CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pass,
+               CAST(sum(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_fail
+        FROM orders
+        """
+        for name, pred in _EXPECTATIONS
+    ),
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations audit: each rule is a boolean
+    predicate evaluated as a conditional aggregate — ALL rules are
+    computed in ONE pass over the scan (a single aggregation with
+    2×n_rules conditional sums, then a narrow unpivot), not one job
+    per rule. Adding a rule adds two counters, not a scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, pred in _EXPECTATIONS:
+        p = F.expr(pred)
+        aggs.append(
+            F.sum(F.when(p, 1).otherwise(0)).cast("bigint").alias(f"{name}__pass")
+        )
+        aggs.append(
+            F.sum(F.when(p, 0).otherwise(1)).cast("bigint").alias(f"{name}__fail")
+        )
+    wide = orders.agg(*aggs)
+    # wide → long without stack() (Generate breaks codegen): a union
+    # of narrow selects over the single 1-row aggregate
+    arms = [
+        wide.select(
+            F.lit(name).alias("rule"),
+            F.col(f"{name}__pass").alias("n_pass"),
+            F.col(f"{name}__fail").alias("n_fail"),
+        )
+        for name, _ in _EXPECTATIONS
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
