@@ -49,6 +49,18 @@ HEADLINE = [
 ]
 
 
+# the 16 queries BENCH_r01's headline measured (its 8.664 s total)
+BASELINE_16 = [
+    "wordcount", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "join_semi_anti_balance", "window_order_rank",
+    "events_tumbling_1h", "events_session_10m",
+    "range_join_purchases_after_error",
+    "subquery_correlated_above_cust_avg", "stats_correlation_regression",
+    "dedup_exact_docs", "minhash_band_candidates",
+    "similarity_topk_cosine", "text_quality_scores",
+    "text_tf_idf_top_terms",
+]
+
 N_RUNS = 2  # best-of-N: first run pays one-time codegen/file-listing
 
 
@@ -78,6 +90,11 @@ def main() -> None:
         "queries": timings,
         "runs_per_query": N_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        # apples-to-apples vs BENCH_r01 (8.664 s): subtotal of the
+        # exact 16 queries that round's headline measured
+        "baseline_16_total_sec": round(
+            sum(timings.get(n, 0.0) for n in BASELINE_16), 3
+        ),
     }
     print(json.dumps(out))
 

@@ -135,3 +135,59 @@ def percentile_exact_event_values(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.min("value"), 4).alias("vmin"),
         F.round(F.max("value"), 4).alias("vmax"),
     )
+
+
+@query(
+    "approx_topk_words",
+    oracle="""
+    SELECT word, n, true AS in_sketch
+    FROM (
+      SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word
+        FROM documents
+      )
+      WHERE word <> ''
+      GROUP BY word
+      ORDER BY n DESC, word ASC
+      LIMIT 10
+    )
+    """,
+)
+def approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (approx_top_k) with a deterministic
+    contract: output the EXACT top-10 words (unique tie-break) plus
+    a boolean asserting each appears in the sketch's top-k set —
+    both computed in ONE plan (the sketch enters as a 1-row
+    aggregate crossJoin). The oracle emits the exact top-10 with
+    `true`: the sketch tracks far more slots than the fixture
+    vocabulary, so containment must hold; at real scale the same
+    query degrades to a probabilistic containment check, which is
+    the standard way to gate a sketch's usefulness."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", "[^a-zA-Z]+")).alias("word")
+    ).filter(F.col("word") != "")
+    exact = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(10)
+    )
+    # k=30 > the exact cut of 10: when counts TIE at the exact
+    # rank-10 boundary, the sketch's own tie-break may order equal
+    # counts differently — a wider sketch window absorbs any tie run
+    # shorter than 20, keeping the containment contract exact
+    sketch = words.agg(
+        F.expr("approx_top_k(word, 30)").alias("tk")
+    ).select(F.expr("transform(tk, x -> x.item)").alias("sketch_words"))
+    return (
+        exact
+        # 1-row aggregate: scalar-subquery crossJoin, not a data join
+        .crossJoin(F.broadcast(sketch))
+        .select(
+            "word",
+            "n",
+            F.expr("array_contains(sketch_words, word)").alias("in_sketch"),
+        )
+    )
