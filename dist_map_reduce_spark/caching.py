@@ -42,6 +42,17 @@ def persist_tracked(df: DataFrame, slot: str, key: str) -> DataFrame:
     return df
 
 
+def peek(slot: str, key: str) -> DataFrame | None:
+    """Return the live cached DataFrame for ``slot`` if its key
+    matches, else None — lets an operator whose CONSTRUCTION is
+    expensive (iterative loops that run jobs while building the
+    plan) skip the rebuild entirely on a repeat invocation."""
+    prev = _SLOTS.get(slot)
+    if prev is not None and prev[0] == key:
+        return prev[1]
+    return None
+
+
 def clear() -> None:
     """Unpersist every tracked entry (e.g. after source data
     changed in place)."""
