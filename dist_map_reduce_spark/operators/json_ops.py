@@ -76,3 +76,35 @@ def json_filter_on_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter((k >= 90) & (F.col("event_type") == "purchase"))
         .select("event_id", "user_id", k.alias("k"))
     )
+
+
+@query(
+    "json_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                        AS n,
+           CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS min_k
+    FROM events
+    WHERE CAST(props->>'k' AS INTEGER) % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing via the VARIANT type (Spark 4):
+    props parses once to a variant, fields extract with typed
+    variant_get paths — the open-schema alternative to from_json's
+    fixed schema (new fields need no schema change, and the binary
+    variant encoding skips per-access JSON re-parsing)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+        )
+    )
