@@ -133,3 +133,83 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# Histogram parameters: [0, 500) in 20 equal-width bins; out-of-range
+# values clamp to the edge bins (the standard width_bucket contract,
+# expressed in portable arithmetic — DuckDB has no width_bucket).
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 20
+_BUCKET_SQL = (
+    f"CAST(least({_HIST_BINS - 1}, greatest(0, floor((value - {_HIST_LO})"
+    f" * {_HIST_BINS} / ({_HIST_HI} - {_HIST_LO})))) AS BIGINT)"
+)
+
+
+@query(
+    "histogram_event_values",
+    oracle=f"""
+    SELECT {_BUCKET_SQL} AS bucket,
+           CAST({_HIST_LO} + {_BUCKET_SQL} * ({_HIST_HI} - {_HIST_LO})
+                / {_HIST_BINS} AS DOUBLE) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of event values: ONE partial-aggregated
+    shuffle of ≤ n_bins rows per map task — the building block for
+    distribution profiling at any scale (the same arithmetic runs as
+    a width_bucket in engines that have one)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(_BUCKET_SQL)
+    return (
+        ev.select(
+            bucket.alias("bucket"),
+            (
+                F.lit(_HIST_LO)
+                + bucket * (_HIST_HI - _HIST_LO) / _HIST_BINS
+            ).cast("double").alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "division_customers_every_year",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(DISTINCT year(o_orderdate)) =
+           (SELECT count(DISTINCT year(o_orderdate)) FROM orders)
+    """,
+)
+def division_customers_every_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the "for all" quantifier): customers
+    with at least one order in EVERY year the business operated.
+    Expressed as the standard count-distinct-equality rewrite — a
+    grouped aggregate against a 1-row scalar — instead of the
+    textbook double-NOT-EXISTS, which would be two correlated anti
+    joins over the fact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    total_years = orders.agg(
+        F.countDistinct("yr").alias("n_all_years")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct("yr").alias("n_years")
+    )
+    return (
+        per_cust
+        # 1-row aggregate: scalar-subquery crossJoin, not a data join
+        .crossJoin(F.broadcast(total_years))
+        .filter(F.col("n_years") == F.col("n_all_years"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("n_years").cast("bigint").alias("n_years"),
+        )
+    )
