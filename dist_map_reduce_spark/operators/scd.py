@@ -213,3 +213,56 @@ def division_customers_every_year(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_years").cast("bigint").alias("n_years"),
         )
     )
+
+
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, min(ts) AS first_click
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id
+    ),
+    conv AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+    )
+    SELECT CAST((SELECT count(*) FROM fc) AS BIGINT)   AS n_clickers,
+           CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted,
+           round((SELECT count(*) FROM conv) * 1.0
+                 / (SELECT count(*) FROM fc), 6)       AS conversion_rate
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: users whose first click is later
+    followed by a purchase. Two aggregations and one semi join, all
+    hash-partitioned on user_id — no per-user event sorting and no
+    self-join of the full event log (the naive sequential-pattern
+    formulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = fc.join(
+        purchases,
+        (fc.user_id == F.col("p_user")) & (F.col("p_ts") >= fc.first_click),
+        "left_semi",
+    )
+    n_clickers = fc.agg(F.count("*").cast("bigint").alias("n_clickers"))
+    n_converted = conv.agg(F.count("*").cast("bigint").alias("n_converted"))
+    return (
+        n_clickers.crossJoin(n_converted)  # two 1-row aggregates
+        .select(
+            "n_clickers",
+            "n_converted",
+            F.round(
+                F.col("n_converted") * F.lit(1.0) / F.col("n_clickers"), 6
+            ).alias("conversion_rate"),
+        )
+    )
