@@ -482,3 +482,48 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(versions[-1]).select(
         "user_id", "last_value", "last_ts"
     )
+
+
+@query(
+    "streaming_multibatch_counts",
+    oracle="""
+    SELECT user_id % 50 AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id % 50
+    """,
+)
+def streaming_multibatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation state maintained across MULTIPLE real micro-batches:
+    the events table is staged as 4 parquet chunks and streamed with
+    maxFilesPerTrigger=1, so availableNow executes 4 batches and the
+    complete-mode state must merge increments from every batch to
+    equal the batch answer — the other streaming pipelines process a
+    single-file source in one batch, which this query deliberately
+    does not."""
+    import os
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.operators.sources_sinks import _scratch
+
+    staged = _scratch(sf_dir, "events_chunks")
+    if not os.path.isdir(staged):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    agg = (
+        stream.groupBy((F.col("user_id") % 50).alias("user_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_to_memory_sink(agg, "streaming_multibatch_counts")
