@@ -125,6 +125,12 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n = deg.agg(F.count("*").alias("n_nodes"))
     # 1-row aggregate crossJoin: the sanctioned scalar-subquery shape
+    # localCheckpoint(eager) materializes the snapshot AND truncates
+    # the logical lineage — with two previous-round inputs (edges,
+    # ranks) per round, an uncut lineage nests multiplicatively (the
+    # 3-round plan string reached 13 MB even with persist(), because
+    # cached-relation reprs embed their build plans). On a cluster a
+    # reliable checkpoint dir replaces localCheckpoint verbatim.
     ranks = (
         deg.crossJoin(F.broadcast(n))
         .select(
@@ -134,16 +140,16 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_INIT_SQL).alias("r"),
         )
         .alias("ranks")
-        .persist()
+        .localCheckpoint(eager=True)
+        .alias("ranks")
     )
-    ranks.count()  # materialize: each round starts from a flat snapshot
     for _ in range(N_ITER):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .select(edges.dst, F.expr(_contrib_sql("ranks")).alias("c"))
         )
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        stepped = (
+        ranks = (
             deg.join(summed, deg.src == summed.dst)
             .crossJoin(F.broadcast(n))
             .select(
@@ -152,17 +158,13 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_nodes",
                 F.expr(_STEP_SQL).alias("r"),
             )
+            .localCheckpoint(eager=True)
             .alias("ranks")
-            .persist()
         )
-        stepped.count()
-        ranks.unpersist()
-        ranks = stepped
     out = ranks.select(
         F.col("node").alias("doc_id"), F.col("r").cast("double").alias("pagerank")
     )
     out = caching.persist_tracked(out, "pagerank_out", sf_dir)
-    out.count()  # materialize so the intermediates below can release
-    ranks.unpersist()
+    out.count()  # materialize before the edge cache releases
     edges.unpersist()
     return out

@@ -16,6 +16,7 @@ PERSISTING = [
     "minhash_band_candidates",
     "ngram_jaccard_pairs",
     "dedup_clusters",
+    "pagerank_dedup_graph",
     "streaming_event_counts",
 ]
 
