@@ -31,13 +31,6 @@ from dist_map_reduce_spark.functions.dedup import _CANDIDATE_PAIRS_SQL
 from dist_map_reduce_spark.registry import query
 
 
-# final label snapshot of the previous invocation — the caller
-# consumes the returned (persisted) labels lazily, so the earliest
-# safe release point is the NEXT invocation: one live snapshot,
-# never an accumulating leak (same discipline as persist_tracked)
-_PREV_FINAL: list[DataFrame] = []
-
-
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """pairs(doc_a, doc_b) → (doc_id, component) with component =
     min doc_id reachable. Deterministic.
@@ -46,8 +39,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     did not reach a fixpoint — a chain with graph diameter >
     ``max_iter`` would otherwise silently yield split components.
     """
-    while _PREV_FINAL:
-        _PREV_FINAL.pop().unpersist()
     # both edge directions in ONE pass over the candidate plan — a
     # union of two selects would scan (and recompute) it twice before
     # the persist materializes
@@ -79,7 +70,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             F.least(F.col("src"), F.col("md")).alias("component"),
         )
     )
-    prev_persisted = None
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -88,8 +78,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("component").alias("nbr_component"))
         )
         # carry the old component through the propagate step so the
-        # convergence check is a filter on the SAME cached snapshot,
-        # not an extra join of new vs old labels
+        # convergence check is a filter on the SAME materialized
+        # snapshot, not an extra join of new vs old labels. Eager
+        # localCheckpoint materializes AND truncates the lineage
+        # (SCALE.md iterative-lineage rule); snapshot blocks release
+        # via the context cleaner once unreferenced.
         stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -100,7 +93,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("new_component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         # convergence check: one scalar to the driver, not the data
         changed = (
@@ -108,19 +101,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        # stepped is materialized by the count above; the previous
-        # snapshot (and its lineage) is no longer needed
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = stepped
         labels = stepped.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
             converged = True
             break
     # the labels snapshot is materialized; the edge cache is dead
     edges.unpersist()
-    if prev_persisted is not None:
-        _PREV_FINAL.append(prev_persisted)
     if not converged:
         warnings.warn(
             f"connected_components: no fixpoint after {max_iter} iterations "
