@@ -187,3 +187,48 @@ def test_capped_postings_drops_overcap_shingles(spark):
     sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
     got = _capped_postings(sh).select(F.size("ds").alias("k")).collect()
     assert [r.k for r in got] == [5]
+
+
+def test_scd2_versions_partition_time(spark):
+    """SCD2 invariants: per key, exactly one current row; version
+    ranges chain (each valid_to equals the next valid_from) with no
+    gaps or overlaps."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark import registry
+
+    df = registry.QUERIES["scd2_customer_segments"](spark, SF_SMOKE)
+    cur = (
+        df.groupBy("c_custkey")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n_cur"))
+        .filter(F.col("n_cur") != 1)
+        .count()
+    )
+    assert cur == 0, "a key has != 1 current row"
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_custkey").orderBy("valid_from")
+    chained = df.withColumn("next_from", F.lead("valid_from").over(w)).filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert chained.count() == 0, "version ranges do not chain"
+
+
+def test_sequence_packing_offsets_are_contiguous(spark):
+    """Packing invariant: within a shard, each document's start_tok
+    equals the previous document's start_tok + n_tok (doc_id order)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark import registry
+
+    df = registry.QUERIES["sequence_pack_docs"](spark, SF_SMOKE)
+    w = W.partitionBy("shard").orderBy("doc_id")
+    broken = (
+        df.withColumn("prev_end", F.lag(F.col("start_tok") + F.col("n_tok")).over(w))
+        .filter(
+            F.coalesce(F.col("prev_end"), F.lit(0)) != F.col("start_tok")
+        )
+        .count()
+    )
+    assert broken == 0
