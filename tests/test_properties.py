@@ -232,3 +232,18 @@ def test_sequence_packing_offsets_are_contiguous(spark):
         .count()
     )
     assert broken == 0
+
+
+def test_pagerank_conserves_mass(spark):
+    """On a dangling-free graph (symmetric edges → every node has
+    out-degree ≥ 1), PageRank conserves total mass: after any number
+    of iterations the ranks sum to 1 (0.15 teleport + 0.85 of the
+    previous total). A lineage or per-edge-contribution bug breaks
+    this immediately."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark import registry
+
+    df = registry.QUERIES["pagerank_dedup_graph"](spark, SF_SMOKE)
+    total = df.agg(F.sum("pagerank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6, total
