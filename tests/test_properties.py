@@ -247,3 +247,44 @@ def test_pagerank_conserves_mass(spark):
     df = registry.QUERIES["pagerank_dedup_graph"](spark, SF_SMOKE)
     total = df.agg(F.sum("pagerank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-6, total
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 50)),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda c: c,  # unique (key, ts): SCD2 versions
+        # must have distinct timestamps per key
+    )
+)
+def test_scd2_history_properties(spark, changes):
+    """Generic scd2_history invariants on random change logs: row
+    count = base + changes; per key exactly one open (current)
+    version; ranges chain in timestamp order."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.operators.scd import scd2_history
+
+    keys = [0, 1, 2, 3]
+    base = spark.createDataFrame(
+        [(k, f"seg{k}", _to_time(0)) for k in keys],
+        "k int, attr string, valid_from timestamp",
+    )
+    ch = spark.createDataFrame(
+        [(k, f"chg{t}", _to_time(t)) for k, t in changes],
+        "k int, attr string, valid_from timestamp",
+    )
+    hist = scd2_history(base, ch, "k", "valid_from").collect()
+    assert len(hist) == len(keys) + len(changes)
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rows if r.is_current) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, (k, a, b)
