@@ -61,6 +61,22 @@ BASELINE_16 = [
     "text_tf_idf_top_terms",
 ]
 
+# the 22 queries BENCH_r02's headline measured (its 12.094 s total) —
+# pinned as a literal so later headline growth keeps this subtotal
+# round-over-round comparable
+R2_22 = [
+    "wordcount", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "join_semi_anti_balance", "window_order_rank",
+    "events_tumbling_1h", "events_session_10m",
+    "range_join_purchases_after_error",
+    "subquery_correlated_above_cust_avg", "stats_correlation_regression",
+    "q7_nation_trade_volume", "dedup_exact_docs",
+    "minhash_band_candidates", "ngram_jaccard_pairs", "dedup_clusters",
+    "similarity_topk_cosine", "similarity_ann_lsh_topk",
+    "text_quality_scores", "text_tf_idf_top_terms",
+    "text_repetition_signals", "q21_suppliers_who_kept_waiting",
+]
+
 N_RUNS = 3  # best-of-N: first run pays one-time codegen/file-listing;
 # best-of-3 damps the ±15% machine noise observed between runs
 
@@ -95,6 +111,11 @@ def main() -> None:
         # exact 16 queries that round's headline measured
         "baseline_16_total_sec": round(
             sum(timings.get(n, 0.0) for n in BASELINE_16), 3
+        ),
+        # apples-to-apples vs BENCH_r02 (12.094 s): its exact 22-query
+        # headline set
+        "r2_22_total_sec": round(
+            sum(timings.get(n, 0.0) for n in R2_22), 3
         ),
     }
     print(json.dumps(out))

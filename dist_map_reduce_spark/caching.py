@@ -16,6 +16,12 @@ Spark's CacheManager, recomputing the intermediate per invocation.
   - same slot + different key: the old entry is unpersisted first,
     so total cache footprint is bounded by the number of slots.
 
+A cached entry is bound to the SparkSession that built it: after a
+session restart in a long-lived process the old DataFrame references
+a stopped JVM context, so reuse checks session identity + liveness
+and silently discards stale entries instead of returning (or trying
+to unpersist) a dead DataFrame.
+
 Staleness contract: reuse assumes the data under ``key`` is
 immutable between invocations (true for the fixture parquet). Call
 ``clear()`` after mutating source data in place.
@@ -28,15 +34,38 @@ from pyspark.sql import DataFrame
 _SLOTS: dict[str, tuple[str, DataFrame]] = {}
 
 
+def _is_live(df: DataFrame) -> bool:
+    """True iff the DataFrame's owning SparkContext is still running."""
+    try:
+        return not df.sparkSession.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
+def _discard(df: DataFrame) -> None:
+    """Unpersist if the owning session is alive; a stopped session
+    already dropped its cache, so stale entries are just forgotten."""
+    if _is_live(df):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def persist_tracked(df: DataFrame, slot: str, key: str) -> DataFrame:
     """Persist ``df`` under ``slot``, reusing the live cache entry
-    when ``key`` matches the previous invocation's."""
+    when ``key`` matches the previous invocation's and the cached
+    DataFrame belongs to the same, still-running SparkSession."""
     prev = _SLOTS.get(slot)
     if prev is not None:
         prev_key, prev_df = prev
-        if prev_key == key:
+        if (
+            prev_key == key
+            and prev_df.sparkSession is df.sparkSession
+            and _is_live(prev_df)
+        ):
             return prev_df
-        prev_df.unpersist()
+        _discard(prev_df)
     df = df.persist()
     _SLOTS[slot] = (key, df)
     return df
@@ -44,18 +73,27 @@ def persist_tracked(df: DataFrame, slot: str, key: str) -> DataFrame:
 
 def peek(slot: str, key: str) -> DataFrame | None:
     """Return the live cached DataFrame for ``slot`` if its key
-    matches, else None — lets an operator whose CONSTRUCTION is
-    expensive (iterative loops that run jobs while building the
-    plan) skip the rebuild entirely on a repeat invocation."""
+    matches and its session is still the active, running one, else
+    None — lets an operator whose CONSTRUCTION is expensive
+    (iterative loops that run jobs while building the plan) skip the
+    rebuild entirely on a repeat invocation. Stale entries (stopped
+    or replaced session) are dropped rather than returned."""
+    from pyspark.sql import SparkSession
+
     prev = _SLOTS.get(slot)
-    if prev is not None and prev[0] == key:
-        return prev[1]
-    return None
+    if prev is None or prev[0] != key:
+        return None
+    df = prev[1]
+    active = SparkSession.getActiveSession()
+    if df.sparkSession is not active or not _is_live(df):
+        del _SLOTS[slot]
+        return None
+    return df
 
 
 def clear() -> None:
     """Unpersist every tracked entry (e.g. after source data
     changed in place)."""
     for _, df in _SLOTS.values():
-        df.unpersist()
+        _discard(df)
     _SLOTS.clear()

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.functions.dedup import _CANDIDATE_PAIRS_SQL
 from dist_map_reduce_spark.registry import query
+from dist_map_reduce_spark.session import iter_checkpoint
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -80,10 +81,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # carry the old component through the propagate step so the
         # convergence check is a filter on the SAME materialized
         # snapshot, not an extra join of new vs old labels. Eager
-        # localCheckpoint materializes AND truncates the lineage
-        # (SCALE.md iterative-lineage rule); snapshot blocks release
-        # via the context cleaner once unreferenced.
-        stepped = (
+        # checkpointing materializes AND truncates the lineage
+        # (SCALE.md iterative-lineage rule; reliable dir when the app
+        # set one, else local — session.iter_checkpoint); snapshot
+        # blocks release via the context cleaner once unreferenced.
+        stepped = iter_checkpoint(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 labels.doc_id,
@@ -93,7 +95,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("new_component"),
             )
-            .localCheckpoint(eager=True)
         )
         # convergence check: one scalar to the driver, not the data
         changed = (
@@ -175,3 +176,97 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("members"),
     )
     return caching.persist_tracked(out, "dedup_clusters_out", sf_dir)
+
+
+@query(
+    "dedup_keep_drop_list",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_CANDIDATE_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.r FROM edges e JOIN reach w ON w.node = e.dst
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, component,
+             row_number() OVER (
+               PARTITION BY component
+               ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM labeled
+    )
+    SELECT r.doc_id, r.component,
+           k.doc_id AS canonical_id,
+           CASE WHEN r.rn = 1 THEN 'keep' ELSE 'drop' END AS action
+    FROM ranked r JOIN ranked k ON k.component = r.component AND k.rn = 1
+    """,
+)
+def dedup_keep_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of the dedup pipeline: a KEEP/DROP decision
+    for EVERY document in the corpus. Documents in a near-dup cluster
+    keep only the canonical member — the longest text (n_chars desc,
+    doc_id tiebreak), the standard content-preserving choice, NOT
+    simply min doc_id; singletons (no candidate pair) keep themselves.
+
+    Scale shape: the cluster labels come from the cached
+    ``dedup_clusters`` run (connected components over the MinHash
+    candidate graph — O(diameter) shuffles on the sparse pair set);
+    this adds one left join of the corpus against the (small) member
+    list, then ONE window exchange on component computing both the
+    keep rank and the canonical id (``first`` over the same ordered
+    spec — no corpus-sized join-back; components are mostly
+    singletons, so a "canonical per component" table would be
+    corpus-sized and never broadcastable). The decision list streams
+    straight to a sink at 100 TB."""
+    from dist_map_reduce_spark.catalog import load_table
+    from pyspark.sql import Window as W
+
+    # reuse the cached cluster table (members already flattened);
+    # explode back to one row per clustered doc
+    members = (
+        dedup_clusters(spark, sf_dir)
+        .select(
+            "component",
+            F.explode(F.split("members", ",")).alias("doc_id_str"),
+        )
+        .select(F.col("doc_id_str").cast("long").alias("doc_id"), "component")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = (
+        docs.join(members, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    w = W.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.select(
+            "doc_id",
+            "component",
+            F.first("doc_id").over(w).alias("canonical_id"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .select(
+            "doc_id",
+            "component",
+            "canonical_id",
+            F.when(F.col("rn") == 1, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+        )
+    )

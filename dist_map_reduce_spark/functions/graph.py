@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.functions.dedup import _CANDIDATE_PAIRS_SQL
 from dist_map_reduce_spark.registry import query
+from dist_map_reduce_spark.session import iter_checkpoint
 
 N_ITER = 3
 DAMPING = 0.85
@@ -125,13 +126,14 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n = deg.agg(F.count("*").alias("n_nodes"))
     # 1-row aggregate crossJoin: the sanctioned scalar-subquery shape
-    # localCheckpoint(eager) materializes the snapshot AND truncates
+    # Eager checkpointing materializes the snapshot AND truncates
     # the logical lineage — with two previous-round inputs (edges,
     # ranks) per round, an uncut lineage nests multiplicatively (the
     # 3-round plan string reached 13 MB even with persist(), because
-    # cached-relation reprs embed their build plans). On a cluster a
-    # reliable checkpoint dir replaces localCheckpoint verbatim.
-    ranks = (
+    # cached-relation reprs embed their build plans). Storage is
+    # conf-driven (session.iter_checkpoint): reliable checkpoint dir
+    # when the app set one via sc.setCheckpointDir, else local.
+    ranks = iter_checkpoint(
         deg.crossJoin(F.broadcast(n))
         .select(
             F.col("src").alias("node"),
@@ -140,16 +142,14 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_INIT_SQL).alias("r"),
         )
         .alias("ranks")
-        .localCheckpoint(eager=True)
-        .alias("ranks")
-    )
+    ).alias("ranks")
     for _ in range(N_ITER):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .select(edges.dst, F.expr(_contrib_sql("ranks")).alias("c"))
         )
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
+        ranks = iter_checkpoint(
             deg.join(summed, deg.src == summed.dst)
             .crossJoin(F.broadcast(n))
             .select(
@@ -158,9 +158,7 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_nodes",
                 F.expr(_STEP_SQL).alias("r"),
             )
-            .localCheckpoint(eager=True)
-            .alias("ranks")
-        )
+        ).alias("ranks")
     out = ranks.select(
         F.col("node").alias("doc_id"), F.col("r").cast("double").alias("pagerank")
     )

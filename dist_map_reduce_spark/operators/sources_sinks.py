@@ -137,3 +137,65 @@ def sink_parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> Data
     return back.groupBy(
         F.col("yr").cast("int").alias("yr"), "o_orderstatus"
     ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+N_SORT_RANGES = 8
+
+
+@query(
+    "sink_sorted_parquet_ranges",
+    oracle=f"""
+    SELECT {N_SORT_RANGES} AS n_files,
+           true AS ranges_disjoint,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+)
+def sink_sorted_parquet_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally sorted parquet sink WITHOUT a single-reducer sort:
+    ``repartitionByRange`` samples range boundaries on the sort key
+    (ts, event_id — a strict total order), every range sorts
+    independently (``sortWithinPartitions``), and each range lands in
+    its own file. This is how a 100 TB table gets a total order: N
+    parallel sorted runs with disjoint key ranges — the property that
+    makes parquet min/max zone maps prune point/range scans — versus
+    ``orderBy().write`` which is the same plan, or a naive
+    single-partition sort that serializes the corpus through one task.
+
+    The query re-reads the written files and verifies the contract
+    from file-level statistics alone (per-file min/max struct of the
+    sort key, files ordered and pairwise disjoint) — an
+    N_SORT_RANGES-row aggregate, no second full-data pass — then
+    returns (n_files, ranges_disjoint, n_rows) against a constant
+    oracle."""
+    out = _scratch(sf_dir, "events_sorted_ranges")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    (
+        ev.repartitionByRange(N_SORT_RANGES, F.col("ts"), F.col("event_id"))
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("lo"),
+            F.max(F.struct("ts", "event_id")).alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("lo")  # N_SORT_RANGES rows — single-task window is fine
+    return (
+        per_file.select(
+            "n",
+            (F.lag("hi").over(w) < F.col("lo")).alias("ok"),
+        )
+        .agg(
+            F.count("*").cast("int").alias("n_files"),
+            F.coalesce(F.min("ok"), F.lit(True)).alias("ranges_disjoint"),
+            F.sum("n").alias("n_rows"),
+        )
+    )

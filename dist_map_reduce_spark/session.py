@@ -16,7 +16,27 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize one round of an iterative loop AND truncate its
+    lineage (a loop whose round references ≥2 previous-round
+    DataFrames otherwise grows the lazy plan multiplicatively — see
+    functions/graph.py).
+
+    Checkpoint storage is conf-driven through Spark's standard knob:
+    if the application set a reliable checkpoint directory
+    (``sc.setCheckpointDir`` — an HDFS/object-store path on a real
+    cluster, surviving executor loss), rounds use ``checkpoint``;
+    otherwise ``localCheckpoint`` (executor-local blocks — right for
+    local[N], and acceptable on clusters that tolerate
+    recompute-on-executor-loss). Both are eager, so each round is
+    materialized exactly once."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def get_spark(

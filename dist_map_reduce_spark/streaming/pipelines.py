@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import table_path
+from dist_map_reduce_spark.money import sum_money
 from dist_map_reduce_spark.registry import query
 
 _SINK_SEQ = 0
@@ -81,8 +82,8 @@ def run_to_memory_sink(
 
 @query(
     "streaming_event_counts",
-    oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    oracle=f"""
+    SELECT event_type, count(*) AS n, {sum_money("value", "sum_value")}
     FROM events
     GROUP BY event_type
     """,
@@ -90,11 +91,14 @@ def run_to_memory_sink(
 def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming global aggregation (complete mode): after consuming
     the full input, the state equals the batch answer — checked
-    against the batch oracle."""
+    against the batch oracle. value sums accumulate in DECIMAL
+    (money.sum_money, identical text both dialects): a double sum is
+    association-order dependent and micro-batch merge order differs
+    from any batch engine's."""
     agg = (
         read_events_stream(spark, sf_dir)
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.expr(sum_money("value", "sum_value")))
     )
     return run_to_memory_sink(agg, "streaming_event_counts")
 
@@ -167,8 +171,8 @@ def streaming_watermarked_tumbling(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "streaming_stateful_user_totals",
-    oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events, {sum_money("value", "sum_value")}
     FROM events
     GROUP BY user_id
     """,
@@ -302,9 +306,9 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_static_join_enrich",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           {sum_money("value", "sum_value")}
     FROM events JOIN customer ON user_id = c_custkey
     WHERE event_type = 'purchase'
     GROUP BY c_mktsegment
@@ -330,7 +334,7 @@ def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.expr(sum_money("value", "sum_value")),
         )
     )
     return run_to_memory_sink(agg, "streaming_static_join_enrich")
@@ -466,6 +470,12 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         out = os.path.join(base, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(out)
         versions.append(out)
+        # the write above fully materialized the merge, so the
+        # superseded version is dead — drop it (otherwise version
+        # dirs accumulate one per micro-batch)
+        for old in versions[:-1]:
+            shutil.rmtree(old, ignore_errors=True)
+        del versions[:-1]
 
     purchases = read_events_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
@@ -479,6 +489,12 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination()
+    if not versions:
+        # the filtered stream produced no micro-batches (no purchase
+        # events): the target is legitimately empty
+        return spark.createDataFrame(
+            [], "user_id long, last_value double, last_ts timestamp"
+        )
     return spark.read.parquet(versions[-1]).select(
         "user_id", "last_value", "last_ts"
     )
@@ -486,10 +502,10 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "streaming_multibatch_counts",
-    oracle="""
+    oracle=f"""
     SELECT user_id % 50 AS user_bucket,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS sum_value
+           {sum_money("value", "sum_value")}
     FROM events
     GROUP BY user_id % 50
     """,
@@ -523,7 +539,7 @@ def streaming_multibatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy((F.col("user_id") % 50).alias("user_bucket"))
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.expr(sum_money("value", "sum_value")),
         )
     )
     return run_to_memory_sink(agg, "streaming_multibatch_counts")

@@ -1,8 +1,11 @@
 """Cache-boundedness audit: repeatedly invoking the queries that
 persist intermediates (or run jobs at construction time) must not
-grow the set of live cached RDDs or registered sink tables — the
-one-live-entry-per-slot discipline (caching.py, pipelines._LAST_SINK,
-clustering._PREV_FINAL) is what a long-lived session depends on.
+grow the set of live cached RDDs or registered sink tables. The
+mechanisms under test: the one-live-entry-per-slot discipline
+(caching.persist_tracked/peek), the one-sink-per-pipeline registry
+(pipelines._LAST_SINK), and the eager localCheckpoint snapshots in
+the iterative loops (clustering/graph), whose RDDs the context
+cleaner releases once the snapshot DataFrame is garbage-collected.
 """
 
 from __future__ import annotations

@@ -155,6 +155,20 @@ def test_hotkey_caps_are_noop_on_fixture(spark):
     assert max_bucket <= MAX_KEY_DOCS
     assert max_df <= MAX_KEY_DOCS
 
+    from dist_map_reduce_spark.functions.similarity import (
+        MAX_BUCKET_VECS,
+        bucket_col,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    max_lsh_bucket = (
+        emb.groupBy(bucket_col("embedding").alias("b"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_lsh_bucket <= MAX_BUCKET_VECS
+
 
 def test_hotkey_cap_drops_overcap_keys(spark):
     """Directly exercise the cap: a key shared by > MAX_KEY_DOCS docs
@@ -288,3 +302,78 @@ def test_scd2_history_properties(spark, changes):
         assert rows[-1].is_current and rows[-1].valid_to is None
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from, (k, a, b)
+
+def test_neardup_bucket_cap_drops_overcap_bucket(spark, tmp_path):
+    """An over-cap LSH bucket (a degenerate cluster of identical
+    vectors) must contribute NO near-dup pairs, while an under-cap
+    bucket still does — the windowed hot-bucket cap mirrors
+    dedup's MAX_KEY_DOCS policy."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.functions.similarity import (
+        MAX_BUCKET_VECS,
+        bucket_col,
+        dedup_embedding_neardup,
+    )
+
+    a_vec = [1.0] * 64
+    b_vec = [-1.0] * 64
+    rows = [(i, a_vec, 0) for i in range(MAX_BUCKET_VECS + 1)]
+    rows += [(1000, b_vec, 1), (1001, b_vec, 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    # precondition: the two clusters land in different buckets
+    buckets = {
+        r.b
+        for r in df.select(bucket_col("embedding").alias("b")).distinct().collect()
+    }
+    assert len(buckets) == 2
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    pairs = dedup_embedding_neardup(spark, str(tmp_path)).collect()
+    # only the 2-vector cold bucket pairs survive: C(2,2) = 1, cos 1.0
+    assert [(p.vec_a, p.vec_b, p.cos) for p in pairs] == [(1000, 1001, 1.0)]
+
+
+def test_n_planes_scales_with_corpus():
+    """Plane count grows log2 with corpus size (fixed planes make
+    probe cost linear in the corpus), floored at the fixture pin."""
+    import math
+
+    from dist_map_reduce_spark.functions.similarity import N_PLANES, n_planes_for
+
+    assert n_planes_for(500) == N_PLANES
+    assert n_planes_for(1024) == N_PLANES
+    # 10⁹ vectors / 1024-target → 2²⁰ buckets
+    assert n_planes_for(10**9) == 20
+    assert n_planes_for(10**12) == 30
+    sizes = [10**k for k in range(2, 13)]
+    planes = [n_planes_for(n) for n in sizes]
+    assert planes == sorted(planes)
+    for n, p in zip(sizes, planes):
+        if p > N_PLANES:
+            assert n / 2**p <= 1024 < n / 2 ** (p - 1)
+
+
+def test_ann_lsh_scaled_matches_fixture_pin_at_small_corpus(spark):
+    """At fixture scale n_planes_for keeps the 8-plane layout, so the
+    scaled entry point returns the registered query's exact result;
+    with more planes it still runs and respects the top-k contract."""
+    from dist_map_reduce_spark.functions.similarity import (
+        ann_lsh_topk_scaled,
+        similarity_ann_lsh_topk,
+    )
+
+    pinned = sorted(
+        map(tuple, similarity_ann_lsh_topk(spark, SF_SMOKE).collect())
+    )
+    scaled = sorted(map(tuple, ann_lsh_topk_scaled(spark, SF_SMOKE, 500).collect()))
+    assert scaled == pinned
+
+    wide = ann_lsh_topk_scaled(spark, SF_SMOKE, 500, target_bucket_size=4).collect()
+    per_query: dict[int, int] = {}
+    for r in wide:
+        assert 0 <= r.query_id < 5
+        per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
+    assert all(n <= 5 for n in per_query.values())

@@ -14,16 +14,57 @@ from dist_map_reduce_spark import registry
 
 registry.load_all()
 
-# Round-2 window: everything unchecked in round 1 (TPC-H extras,
-# subqueries, sinks, arrays/maps, skew, bucketing, etl, the LLM
-# stack) plus the two repaired approx contracts at slots 49-50.
+# Round-3 window: every query that had no driver row after rounds
+# 1-2 (35 of them), plus 15 re-confirmation slots; the tail is the
+# json trio + the three similarity queries changed or riskiest this
+# round (neardup's new hot-bucket cap, ann-lsh, iterative k-means).
 ROUND_WINDOW_TAIL = [
-    "multimodal_manifest",
-    "multimodal_byte_features",
-    "dedup_clusters",
-    "text_chunk_windows",
-    "approx_percentile_prices",
-    "approx_count_distinct_users",
+    "json_parse_and_aggregate",
+    "json_filter_on_extracted",
+    "json_variant_props",
+    "dedup_embedding_neardup",
+    "similarity_ann_lsh_topk",
+    "kmeans_embedding_cells",
+]
+
+# The 35 queries with no CORRECTNESS_r01/r02 row — round 3's rotation
+# exists to give every one of these a driver row; none may slip out.
+NEVER_DRIVER_CHECKED = [
+    "q8_national_market_share",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_who_kept_waiting",
+    "q22_lapsed_customer_balance",
+    "pii_redact_docs",
+    "sequence_pack_docs",
+    "decontaminate_against_eval",
+    "stratified_sample_by_lang",
+    "quality_percentile_filter",
+    "text_repetition_signals",
+    "corpus_mix_weights",
+    "multimodal_frame_sample",
+    "pagerank_dedup_graph",
+    "scd2_customer_segments",
+    "dq_expectations_orders",
+    "histogram_event_values",
+    "division_customers_every_year",
+    "funnel_click_to_purchase",
+    "udtf_tokenize_docs",
+    "grouped_map_zscore_orders",
+    "streaming_event_counts",
+    "streaming_tumbling_1h",
+    "streaming_watermarked_tumbling",
+    "streaming_stateful_user_totals",
+    "streaming_dedup_events",
+    "streaming_session_windows",
+    "streaming_static_join_enrich",
+    "streaming_stream_stream_join",
+    "streaming_foreachbatch_upsert",
+    "streaming_multibatch_counts",
+    "approx_topk_words",
+    "json_variant_props",
 ]
 
 
@@ -32,6 +73,15 @@ def test_correctness_window_tail_is_pinned():
     assert names[44:50] == ROUND_WINDOW_TAIL, (
         "registration slots 45-50 moved — a query was added to a "
         f"module that registers inside the 50-slot window: {names[44:50]}"
+    )
+
+
+def test_all_never_checked_queries_inside_window():
+    window = set(list(registry.QUERIES)[:50])
+    missing = [n for n in NEVER_DRIVER_CHECKED if n not in window]
+    assert not missing, (
+        "queries without any driver correctness row fell outside the "
+        f"50-slot round-3 window: {missing}"
     )
 
 
