@@ -26,6 +26,12 @@ from dist_map_reduce_spark.registry import query
 # to ASCII (fixture text is lowercase ASCII word soup, FIXTURES.md).
 TOKEN_PATTERN = "[^a-zA-Z]+"
 
+# General (multilingual) tokenizer: the full unicode.IsLetter
+# complement. Java regex and DuckDB's RE2 both support the \p{L}
+# Unicode property class with identical letter semantics, so the
+# same pattern text serves both sides of the oracle check.
+TOKEN_PATTERN_UNICODE = r"[^\p{L}]+"
+
 
 def words(docs: DataFrame, pattern: str = TOKEN_PATTERN) -> DataFrame:
     """documents(text) -> one row per token: (doc_id, word)."""
@@ -96,4 +102,36 @@ def q_wordcount_per_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         wc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "cnt")
+    )
+
+
+@query(
+    "wordcount_unicode",
+    oracle=r"""
+    SELECT word, count(*) AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_wordcount_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count with the GENERAL tokenizer: split on runs of
+    non-letters under the Unicode definition (``[^\\p{L}]+``) — the
+    exact semantics of the reference's unicode.IsLetter complement
+    (worker.go:271-275), where the ASCII ``TOKEN_PATTERN`` is only
+    the fixture-pinned restriction. On the ASCII fixture both
+    tokenizers coincide (digits/underscores are non-letters under
+    both); on a multilingual corpus this variant keeps accented and
+    non-Latin words intact while the ASCII one would shred them.
+    Same plan shape as ``wordcount`` — the pattern is evaluated
+    inside codegen'd ``split``, no Python in the path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        words(docs, pattern=TOKEN_PATTERN_UNICODE)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
     )

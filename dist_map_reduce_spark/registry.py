@@ -43,50 +43,52 @@ def load_all() -> None:
 
     ORDER MATTERS for evidence, not semantics: the verify harness
     records correctness rows for the first 50 registrations per
-    round, so modules rotate. Round 3: ALL 35 queries that have never
-    had a driver row (streaming, tpch_full, curation/packing/graph/
-    scd, python_udfs, approx_topk_words, json_variant_props) register
-    first; the ~15 spare slots re-confirm the riskiest green queries
-    after this round's refactors (minhash/ngram via the curation
-    import, multimodal, the json trio, approx pair, and the three
-    changed/iterative similarity queries — neardup's new hot-bucket
-    cap, ann-lsh, k-means — which similarity.py orders first).
+    round, so modules rotate. Round 4: the 2 queries without any
+    driver row yet (dedup_keep_drop_list, sink_sorted_parquet_ranges)
+    register first, then the modules refactored in r3/r4 (clustering
+    pulls in dedup's 4; all 7 similarity queries — the hot-bucket-cap
+    and topk/ivf paths changed), then the r1-stamped families that
+    have never been re-checked since round 1 (wordcount + the new
+    unicode variant, windows, setops, scalar_fns, timeseries, stats)
+    and relational's first 4 (q1/q3/q5/q6). relational's remaining
+    13 r1-stamped queries are next round's rotation.
     """
     # --- inside the 50-slot correctness window (slots 1-50) ---
-    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: slots 1-7)
-    from dist_map_reduce_spark.functions import packing  # noqa: F401  (2: 8-9)
-    # curation imports dedup first: 4 dedup re-confirms + 5 curation (10-18)
-    from dist_map_reduce_spark.functions import curation  # noqa: F401
-    # multimodal_ext imports multimodal first: 2 re-confirms + 1 (19-21)
-    from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401
-    from dist_map_reduce_spark.functions import graph  # noqa: F401  (1: 22)
-    from dist_map_reduce_spark.operators import scd  # noqa: F401  (5: 23-27)
-    from dist_map_reduce_spark.functions import python_udfs  # noqa: F401  (2: 28-29)
-    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401  (10: 30-39)
-    from dist_map_reduce_spark.operators import approx  # noqa: F401  (4: 40-43)
-    from dist_map_reduce_spark.operators import json_ops  # noqa: F401  (4: 44-47)
-    # similarity registers neardup, ann_lsh, kmeans first (48-50);
-    # its remaining 4 queries spill past the window (51-54)
-    from dist_map_reduce_spark.functions import similarity  # noqa: F401
-    # --- outside the window: driver-green in r1/r2, unchanged ---
+    # clustering imports dedup first: 4 dedup re-confirms + dedup_clusters
+    # + dedup_keep_drop_list (never-stamped) (6: slots 1-6)
+    from dist_map_reduce_spark.functions import clustering  # noqa: F401
+    # 4 r2 sink re-confirms + sink_sorted_parquet_ranges (never-stamped)
+    from dist_map_reduce_spark.operators import sources_sinks  # noqa: F401  (5: 7-11)
+    from dist_map_reduce_spark.functions import similarity  # noqa: F401  (7: 12-18)
+    from dist_map_reduce_spark.operators import wordcount  # noqa: F401  (3: 19-21, incl. new wordcount_unicode)
+    from dist_map_reduce_spark.operators import windows  # noqa: F401  (6: 22-27)
+    from dist_map_reduce_spark.operators import setops  # noqa: F401  (4: 28-31)
+    from dist_map_reduce_spark.operators import scalar_fns  # noqa: F401  (4: 32-35)
+    from dist_map_reduce_spark.operators import timeseries  # noqa: F401  (6: 36-41)
+    from dist_map_reduce_spark.operators import stats  # noqa: F401  (5: 42-46)
+    # relational registers q1, q3, q5, q6 first (47-50); its other 13
+    # spill past the window for round 5
+    from dist_map_reduce_spark.operators import relational  # noqa: F401
+    # --- outside the window: driver-green in r2/r3, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
-        clustering,
         chunking,
+        curation,
+        graph,
+        multimodal_ext,
+        packing,
+        python_udfs,
         text,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
-        tpch_more,
-        subqueries,
-        sources_sinks,
+        approx,
         arrays_maps,
-        skew,
         bucketing,
         etl,
-        wordcount,
-        relational,
-        windows,
-        setops,
-        scalar_fns,
-        timeseries,
-        stats,
+        json_ops,
+        scd,
+        skew,
+        subqueries,
+        tpch_full,
+        tpch_more,
     )
+    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
