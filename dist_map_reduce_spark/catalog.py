@@ -41,25 +41,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects (PARQUET_TYPE_ILLEGAL). Read it as int64 nanos and
-        # convert with integer division — lossless to Spark's native
-        # microsecond precision, fully distributed (no driver round
-        # trip), and matches DuckDB, which also truncates ns → µs.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The stored nanos are NAIVE wall-clock; timestamp_micros
-        # yields an ltz TIMESTAMP whose wall-clock reading depends on
-        # the session timezone. Pin UTC so the reading equals the
-        # stored value under ANY caller's session config. (All other
-        # fixture timestamps load as timestamp_ntz — tz-independent.)
-        # NOTE: this mutates the CALLING session's config — a
+        # events.ts is stored as NAIVE parquet timestamp[us] (verified
+        # with pyarrow at all three fixture scales), which Spark reads
+        # as TIMESTAMP_NTZ. Normalize to TIMESTAMP (ltz): event-time
+        # operators (withWatermark, window state) require it, and
+        # under a pinned-UTC session the wall-clock reading is
+        # identical to the stored value and to DuckDB's naive read.
+        # NOTE: pinning UTC mutates the CALLING session's config — a
         # documented side effect of reading this table (see
         # session.get_spark docstring); engine-owned sessions are
         # already UTC so only foreign non-UTC sessions observe it.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(df.dtypes).get("ts") != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

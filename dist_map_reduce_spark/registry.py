@@ -43,52 +43,51 @@ def load_all() -> None:
 
     ORDER MATTERS for evidence, not semantics: the verify harness
     records correctness rows for the first 50 registrations per
-    round, so modules rotate. Round 4: the 2 queries without any
-    driver row yet (dedup_keep_drop_list, sink_sorted_parquet_ranges)
-    register first, then the modules refactored in r3/r4 (clustering
-    pulls in dedup's 4; all 7 similarity queries — the hot-bucket-cap
-    and topk/ivf paths changed), then the r1-stamped families that
-    have never been re-checked since round 1 (wordcount + the new
-    unicode variant, windows, setops, scalar_fns, timeseries, stats)
-    and relational's first 4 (q1/q3/q5/q6). relational's remaining
-    13 r1-stamped queries are next round's rotation.
+    round, so modules rotate toward the stalest driver stamps (the
+    guard tests in tests/test_registry.py derive staleness from the
+    CORRECTNESS_r*.json files on disk). Round 5: the 10 streaming
+    queries first (read_events_stream changed this round — the
+    NTZ→TIMESTAMP fix — and their r3 stamps predate the Spark 4.1.2
+    environment), then relational (its 13 join/distinct/rollup/pivot
+    queries still carry round-1 stamps; q1/q3/q5/q6 re-confirm), then
+    every remaining r2-stamped family: tpch_more, subqueries,
+    arrays_maps, skew, bucketing, etl, chunking, and text straddling
+    the window boundary. Only 7 r2-stamped text queries spill to
+    round 6.
     """
     # --- inside the 50-slot correctness window (slots 1-50) ---
-    # clustering imports dedup first: 4 dedup re-confirms + dedup_clusters
-    # + dedup_keep_drop_list (never-stamped) (6: slots 1-6)
-    from dist_map_reduce_spark.functions import clustering  # noqa: F401
-    # 4 r2 sink re-confirms + sink_sorted_parquet_ranges (never-stamped)
-    from dist_map_reduce_spark.operators import sources_sinks  # noqa: F401  (5: 7-11)
-    from dist_map_reduce_spark.functions import similarity  # noqa: F401  (7: 12-18)
-    from dist_map_reduce_spark.operators import wordcount  # noqa: F401  (3: 19-21, incl. new wordcount_unicode)
-    from dist_map_reduce_spark.operators import windows  # noqa: F401  (6: 22-27)
-    from dist_map_reduce_spark.operators import setops  # noqa: F401  (4: 28-31)
-    from dist_map_reduce_spark.operators import scalar_fns  # noqa: F401  (4: 32-35)
-    from dist_map_reduce_spark.operators import timeseries  # noqa: F401  (6: 36-41)
-    from dist_map_reduce_spark.operators import stats  # noqa: F401  (5: 42-46)
-    # relational registers q1, q3, q5, q6 first (47-50); its other 13
-    # spill past the window for round 5
-    from dist_map_reduce_spark.operators import relational  # noqa: F401
-    # --- outside the window: driver-green in r2/r3, unchanged ---
+    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401  (10: 1-10)
+    from dist_map_reduce_spark.operators import relational  # noqa: F401  (17: 11-27)
+    from dist_map_reduce_spark.operators import tpch_more  # noqa: F401  (6: 28-33)
+    from dist_map_reduce_spark.operators import subqueries  # noqa: F401  (5: 34-38)
+    from dist_map_reduce_spark.operators import arrays_maps  # noqa: F401  (6: 39-44)
+    from dist_map_reduce_spark.operators import skew  # noqa: F401  (1: 45)
+    from dist_map_reduce_spark.operators import bucketing  # noqa: F401  (1: 46)
+    from dist_map_reduce_spark.operators import etl  # noqa: F401  (2: 47-48)
+    from dist_map_reduce_spark.functions import chunking  # noqa: F401  (1: 49)
+    # text registers text_quality_scores at slot 50; its other 7
+    # r2-stamped queries spill past the window for round 6
+    from dist_map_reduce_spark.functions import text  # noqa: F401
+    # --- outside the window: driver-green in r3/r4, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
-        chunking,
+        clustering,
         curation,
         graph,
         multimodal_ext,
         packing,
         python_udfs,
-        text,
+        similarity,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
         approx,
-        arrays_maps,
-        bucketing,
-        etl,
         json_ops,
+        scalar_fns,
         scd,
-        skew,
-        subqueries,
+        setops,
+        sources_sinks,
+        stats,
+        timeseries,
         tpch_full,
-        tpch_more,
+        windows,
+        wordcount,
     )
-    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401

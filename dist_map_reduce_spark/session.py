@@ -53,13 +53,12 @@ def get_spark(
     higher initial value.
 
     Session-config contract: the session timezone is UTC, and
-    ``catalog.load_table`` additionally sets
-    ``spark.sql.legacy.parquet.nanosAsLong`` (and re-pins UTC) on the
-    CALLING session when reading the events table — its nanosecond
-    timestamps are unreadable and timezone-ambiguous otherwise. A
-    caller-owned session with a non-UTC timezone will observe that
-    change; run engine queries on a session from this factory (or
-    one already pinned to UTC).
+    ``catalog.load_table`` re-pins UTC on the CALLING session when
+    reading the events table — its naive timestamp[us] column is
+    normalized to TIMESTAMP (ltz), whose wall-clock reading is
+    timezone-dependent otherwise. A caller-owned session with a
+    non-UTC timezone will observe that change; run engine queries on
+    a session from this factory (or one already pinned to UTC).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cpus}]"

@@ -38,9 +38,8 @@ _LAST_SINK: dict[str, str] = {}
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (schema pinned from the
-    batch reader; ns timestamps normalized exactly as the batch
-    catalog does)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch reader; naive timestamp[us] normalized to TIMESTAMP exactly
+    as the batch catalog does — withWatermark rejects TIMESTAMP_NTZ)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see catalog.py
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # the file-stream source requires a directory: stream the sf dir
@@ -51,8 +50,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(stream.dtypes).get("ts") != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -1,88 +1,82 @@
-"""Registration-order guard.
+"""Registration-order guard, derived from driver evidence on disk.
 
 The verify harness records correctness rows for the FIRST 50
 registered queries each round; the round's rotation decides which
-queries get driver-side evidence. Appending a @query to a module
-that registers inside the window silently pushes later slots out —
-this pin makes that a loud test failure instead. Rotate by editing
-registry.load_all() AND this pin together.
+queries get fresh driver-side evidence. These tests derive the
+expected properties from the ``CORRECTNESS_r*.json`` files instead of
+hand-pinned literals (round-3's pins were shipped stale in round 4),
+so they stay valid across rotations:
+
+- a query with NO driver row yet must be inside the window (it can
+  never earn a stamp otherwise);
+- with 136 queries and 50 slots the steady-state refresh cadence is
+  ceil(136/50) = 3 rounds, so no query OUTSIDE the window may carry a
+  stamp more than 3 rounds older than the newest evidence on disk.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
 
 from dist_map_reduce_spark import registry
 
 registry.load_all()
 
-# Round-3 window: every query that had no driver row after rounds
-# 1-2 (35 of them), plus 15 re-confirmation slots; the tail is the
-# json trio + the three similarity queries changed or riskiest this
-# round (neardup's new hot-bucket cap, ann-lsh, iterative k-means).
-ROUND_WINDOW_TAIL = [
-    "json_parse_and_aggregate",
-    "json_filter_on_extracted",
-    "json_variant_props",
-    "dedup_embedding_neardup",
-    "similarity_ann_lsh_topk",
-    "kmeans_embedding_cells",
-]
-
-# The 35 queries with no CORRECTNESS_r01/r02 row — round 3's rotation
-# exists to give every one of these a driver row; none may slip out.
-NEVER_DRIVER_CHECKED = [
-    "q8_national_market_share",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_suppliers_who_kept_waiting",
-    "q22_lapsed_customer_balance",
-    "pii_redact_docs",
-    "sequence_pack_docs",
-    "decontaminate_against_eval",
-    "stratified_sample_by_lang",
-    "quality_percentile_filter",
-    "text_repetition_signals",
-    "corpus_mix_weights",
-    "multimodal_frame_sample",
-    "pagerank_dedup_graph",
-    "scd2_customer_segments",
-    "dq_expectations_orders",
-    "histogram_event_values",
-    "division_customers_every_year",
-    "funnel_click_to_purchase",
-    "udtf_tokenize_docs",
-    "grouped_map_zscore_orders",
-    "streaming_event_counts",
-    "streaming_tumbling_1h",
-    "streaming_watermarked_tumbling",
-    "streaming_stateful_user_totals",
-    "streaming_dedup_events",
-    "streaming_session_windows",
-    "streaming_static_join_enrich",
-    "streaming_stream_stream_join",
-    "streaming_foreachbatch_upsert",
-    "streaming_multibatch_counts",
-    "approx_topk_words",
-    "json_variant_props",
-]
+WINDOW_SIZE = 50
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_correctness_window_tail_is_pinned():
-    names = list(registry.QUERIES)
-    assert names[44:50] == ROUND_WINDOW_TAIL, (
-        "registration slots 45-50 moved — a query was added to a "
-        f"module that registers inside the 50-slot window: {names[44:50]}"
-    )
+def _latest_stamps() -> tuple[dict[str, int], int]:
+    """(query -> newest round with a driver row, newest round on disk)."""
+    latest: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        with open(path) as f:
+            for name in json.load(f):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest, newest
 
 
-def test_all_never_checked_queries_inside_window():
-    window = set(list(registry.QUERIES)[:50])
-    missing = [n for n in NEVER_DRIVER_CHECKED if n not in window]
+def test_never_stamped_queries_inside_window():
+    latest, _ = _latest_stamps()
+    window = set(list(registry.QUERIES)[:WINDOW_SIZE])
+    missing = [n for n in registry.QUERIES if n not in latest and n not in window]
     assert not missing, (
-        "queries without any driver correctness row fell outside the "
-        f"50-slot round-3 window: {missing}"
+        "queries with no driver correctness row registered outside the "
+        f"{WINDOW_SIZE}-slot window and can never be stamped: {missing}"
     )
+
+
+def test_no_stale_query_outside_window():
+    latest, newest = _latest_stamps()
+    if newest == 0:
+        return  # no driver evidence yet (fresh clone) — nothing to enforce
+    window = set(list(registry.QUERIES)[:WINDOW_SIZE])
+    floor = newest - 3
+    stale = [
+        f"{n} (r{latest[n]})"
+        for n in registry.QUERIES
+        if n not in window and n in latest and latest[n] < floor
+    ]
+    assert not stale, (
+        f"queries outside the {WINDOW_SIZE}-slot window carry driver stamps "
+        f"older than r{floor} (newest evidence r{newest}) — rotate "
+        f"registry.load_all(): {stale}"
+    )
+
+
+def test_window_is_full():
+    # fewer than WINDOW_SIZE registrations would silently shrink the
+    # driver's evidence per round
+    assert len(registry.QUERIES) >= WINDOW_SIZE
 
 
 def test_every_query_has_unique_name_and_callable():
