@@ -52,8 +52,9 @@ _R = N_HASHES // N_BANDS
 # S-curve empirically).
 
 # Drop join keys shared by more than this many documents (see module
-# docstring). Far above anything in the fixtures (max shingle DF at
-# sf0.01 is 7) and far below a 100 TB hot key.
+# docstring; normative cap-policy table: SCALE.md §"Cap policy").
+# Far above anything in the fixtures (max shingle DF at sf0.01 is 7)
+# and far below a 100 TB hot key.
 MAX_KEY_DOCS = 100
 
 

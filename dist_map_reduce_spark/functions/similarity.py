@@ -123,10 +123,11 @@ def cosine_expr(a: str, b: str) -> Column:
 
 # Hot-bucket cap for the near-dup self-join: buckets holding more
 # vectors than this are dropped before pair generation (same policy
-# as dedup.MAX_KEY_DOCS for text shingles/bands). Far above any
-# fixture bucket (max 24 at sf0.1) and far below the degenerate
-# 100 TB case this guards against — millions of near-identical
-# vectors landing in one bucket and exploding the O(k²) join.
+# as dedup.MAX_KEY_DOCS for text shingles/bands; normative cap-policy
+# table: SCALE.md §"Cap policy"). Far above any fixture bucket (max
+# 24 at sf0.1) and far below the degenerate 100 TB case this guards
+# against — millions of near-identical vectors landing in one bucket
+# and exploding the O(k²) join.
 MAX_BUCKET_VECS = 100
 
 

@@ -2,24 +2,44 @@
 
 The reference is strictly batch (job ends at its Shutdown phase,
 reference: src/master/master.go:206-213); streaming is part of the
-engine's extended surface (SURVEY.md §2.2). Each pipeline reads the
-same parquet through ``readStream`` and drives it to completion with
-an ``availableNow`` trigger into a memory sink, so the registered
-query callables stay batch-comparable: for complete-mode aggregations
-the result equals the batch answer, giving a real oracle check on
-the streaming path.
+engine's extended surface (SURVEY.md §2.2).
 
-In production the source would be Kafka/files-in-arrival-order and
-the sink a table/foreachBatch; the pipeline definitions are
-unchanged — only source/sink bindings differ. Watermarked variants
-(append mode) drop nothing here only because availableNow processes
-all input in order; their oracle-less variants are registered
-rows-only since append-mode tail windows are legitimately withheld.
+Pipelines are defined against a SOURCE/SINK BINDING, not a concrete
+endpoint: every pipeline reads through ``read_events_stream`` and
+emits through ``run_sink``, which dispatch to the active ``Binding``.
+Available bindings:
+
+- ``FileSource`` (default): availableNow replay of the parquet
+  fixture — deterministic, which is what makes the oracle comparison
+  possible. In production the same binding tails a landing directory.
+- ``KafkaSource``: the production unbounded source (JSON values
+  parsed against the events schema). Requires the Kafka connector
+  jar, absent from this container — constructed and documented, not
+  integration-tested here.
+- ``MemorySink`` (default): the TEST adapter. Complete/update state
+  is materialized on the driver, which is exactly what the oracle
+  contract needs on bounded fixtures and exactly wrong at production
+  key-cardinality — production uses the two sinks below.
+- ``ParquetAppendSink``: append-mode results written by executors to
+  files + checkpoint; scales with output size, no driver state.
+- ``ForeachBatchMergeSink``: complete/update-mode results MERGEd
+  per micro-batch into a keyed target table (the streaming-CDC
+  pattern; with Delta/Iceberg the body becomes MERGE INTO).
+
+``tests/test_streaming.py`` runs the same pipelines through the
+scalable sinks and asserts they agree with the memory-sink answer,
+so the production code path is exercised, not just documented.
+Watermarked variants (append mode) drop nothing on replay only
+because availableNow processes all input in order.
 """
 
 from __future__ import annotations
 
+import contextlib
+import os
 import re
+import shutil
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +47,68 @@ from pyspark.sql import functions as F
 from dist_map_reduce_spark.catalog import table_path
 from dist_map_reduce_spark.money import sum_money
 from dist_map_reduce_spark.registry import query
+
+
+@dataclass(frozen=True)
+class FileSource:
+    """availableNow file stream over the fixture directory (or, in
+    production, a landing directory files arrive into)."""
+
+    glob: str = "events.parquet"
+    max_files_per_trigger: int | None = None
+
+    def read(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")  # see catalog.py
+        schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+        # the file-stream source requires a directory: stream the sf
+        # dir with a glob picking out the events table
+        reader = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", self.glob)
+        )
+        if self.max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
+        return _normalize_ts(reader.load(sf_dir))
+
+
+@dataclass(frozen=True)
+class KafkaSource:
+    """Unbounded production source: events as JSON message values,
+    parsed against the batch events schema. Needs the
+    spark-sql-kafka connector on the classpath; this container does
+    not ship it, so the binding is exercised only on real clusters."""
+
+    bootstrap_servers: str
+    topic: str
+    starting_offsets: str = "earliest"
+
+    def read(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("subscribe", self.topic)
+            .option("startingOffsets", self.starting_offsets)
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("e")
+        ).select("e.*")
+        return _normalize_ts(parsed)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Naive timestamp[us] reads as TIMESTAMP_NTZ, which
+    withWatermark rejects — cast to TIMESTAMP (ltz) under the
+    pinned-UTC session, exactly as the batch catalog does."""
+    if dict(df.dtypes).get("ts") != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
 
 _SINK_SEQ = 0
 # one live memory-sink table per pipeline name: repeated invocations
@@ -36,47 +118,160 @@ _SINK_SEQ = 0
 _LAST_SINK: dict[str, str] = {}
 
 
+class MemorySink:
+    """TEST adapter: drive the stream to completion (availableNow)
+    into a memory sink and return the materialized result. State
+    lives on the driver — right for bounded oracle fixtures, a
+    driver OOM at production key-cardinality (use
+    ForeachBatchMergeSink / ParquetAppendSink there)."""
+
+    def run(self, df: DataFrame, name: str, output_mode: str) -> DataFrame:
+        global _SINK_SEQ
+        _SINK_SEQ += 1
+        sink = f"{re.sub('[^a-zA-Z0-9_]', '_', name)}_{_SINK_SEQ}"
+        spark = df.sparkSession
+        prev = _LAST_SINK.get(name)
+        if prev is not None:
+            spark.catalog.dropTempView(prev)
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _LAST_SINK[name] = sink
+        return spark.table(sink)
+
+
+@dataclass(frozen=True)
+class ParquetAppendSink:
+    """Scalable append-mode sink: executors write result files under
+    ``base_dir/<name>`` with a streaming checkpoint for exactly-once
+    file commits. No driver-side state — output cost scales with the
+    emitted rows, not the keyspace."""
+
+    base_dir: str
+
+    def run(self, df: DataFrame, name: str, output_mode: str) -> DataFrame:
+        if output_mode != "append":
+            raise ValueError(
+                "ParquetAppendSink is append-only; complete/update "
+                "pipelines bind ForeachBatchMergeSink"
+            )
+        path = os.path.join(self.base_dir, name)
+        shutil.rmtree(path, ignore_errors=True)
+        q = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", path + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return df.sparkSession.read.schema(df.schema).parquet(path)
+
+
+@dataclass(frozen=True)
+class ForeachBatchMergeSink:
+    """Scalable complete/update-mode sink: each micro-batch's updated
+    aggregate rows are MERGEd by ``keys`` into a keyed target table
+    (parquet ping-pong here; MERGE INTO with Delta/Iceberg — the
+    dataflow is unchanged). Update-mode rows carry cumulative values,
+    so last-write-wins per key reproduces the final state without
+    ever materializing it on the driver."""
+
+    base_dir: str
+    keys: tuple[str, ...]
+
+    def run(self, df: DataFrame, name: str, output_mode: str) -> DataFrame:
+        if output_mode not in ("complete", "update"):
+            raise ValueError(
+                "ForeachBatchMergeSink serves complete/update modes; "
+                "append pipelines bind ParquetAppendSink"
+            )
+        base = os.path.join(self.base_dir, name)
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        versions: list[str] = []
+        keys = list(self.keys)
+
+        def merge_batch(batch: DataFrame, batch_id: int) -> None:
+            spark = batch.sparkSession
+            if versions:
+                target = spark.read.parquet(versions[-1])
+                # the batch's rows supersede the target's for their keys
+                merged = target.join(
+                    batch.select(keys), on=keys, how="left_anti"
+                ).unionByName(batch)
+            else:
+                merged = batch
+            out = os.path.join(base, f"v{batch_id}")
+            merged.write.mode("overwrite").parquet(out)
+            versions.append(out)
+            for old in versions[:-1]:
+                shutil.rmtree(old, ignore_errors=True)
+            del versions[:-1]
+
+        q = (
+            df.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(base, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark = df.sparkSession
+        if not versions:
+            return spark.createDataFrame([], df.schema)
+        return spark.read.parquet(versions[-1])
+
+
+@dataclass(frozen=True)
+class Binding:
+    """A (source, sink) pair pipelines run against."""
+
+    source: object
+    sink: object
+
+
+def bind(source: object | None = None, sink: object | None = None) -> Binding:
+    return Binding(source or FileSource(), sink or MemorySink())
+
+
+_ACTIVE_BINDING: Binding | None = None
+
+
+@contextlib.contextmanager
+def use_binding(binding: Binding):
+    """Run registered pipelines against a non-default binding (tests
+    bind the scalable sinks; a deployment binds Kafka → merge/append)."""
+    global _ACTIVE_BINDING
+    prev = _ACTIVE_BINDING
+    _ACTIVE_BINDING = binding
+    try:
+        yield
+    finally:
+        _ACTIVE_BINDING = prev
+
+
+def active_binding() -> Binding:
+    return _ACTIVE_BINDING or bind()
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events table (schema pinned from the
-    batch reader; naive timestamp[us] normalized to TIMESTAMP exactly
-    as the batch catalog does — withWatermark rejects TIMESTAMP_NTZ)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see catalog.py
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    # the file-stream source requires a directory: stream the sf dir
-    # with a glob picking out the events table
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") != "timestamp":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    """Streaming scan of the events table through the active source
+    binding (schema pinned from the batch reader; ts normalized to
+    TIMESTAMP exactly as the batch catalog does)."""
+    return active_binding().source.read(spark, sf_dir)
 
 
-def run_to_memory_sink(
-    df: DataFrame, name: str, output_mode: str = "complete"
-) -> DataFrame:
-    """Drive a streaming DataFrame to completion (availableNow) into
-    a memory sink and return the materialized result."""
-    global _SINK_SEQ
-    _SINK_SEQ += 1
-    sink = f"{re.sub('[^a-zA-Z0-9_]', '_', name)}_{_SINK_SEQ}"
-    spark = df.sparkSession
-    prev = _LAST_SINK.get(name)
-    if prev is not None:
-        spark.catalog.dropTempView(prev)
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _LAST_SINK[name] = sink
-    return spark.table(sink)
+def run_sink(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame to completion through the active
+    sink binding and return the materialized result."""
+    return active_binding().sink.run(df, name, output_mode)
 
 
 @query(
@@ -99,7 +294,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.expr(sum_money("value", "sum_value")))
     )
-    return run_to_memory_sink(agg, "streaming_event_counts")
+    return run_sink(agg, "streaming_event_counts")
 
 
 @query(
@@ -125,7 +320,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return run_to_memory_sink(agg, "streaming_tumbling_1h")
+    return run_sink(agg, "streaming_tumbling_1h")
 
 
 @query(
@@ -165,7 +360,7 @@ def streaming_watermarked_tumbling(spark: SparkSession, sf_dir: str) -> DataFram
             "n",
         )
     )
-    return run_to_memory_sink(agg, "streaming_watermarked_tumbling", "append")
+    return run_sink(agg, "streaming_watermarked_tumbling", "append")
 
 
 @query(
@@ -222,7 +417,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    sink = run_to_memory_sink(emitted, "streaming_stateful_user_totals", "update")
+    sink = run_sink(emitted, "streaming_stateful_user_totals", "update")
     # update-mode sink holds one row per key per batch; running totals
     # are monotone, so the per-key max is the final state
     return sink.groupBy("user_id").agg(
@@ -252,7 +447,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
-    return run_to_memory_sink(dedup, "streaming_dedup_events", "complete")
+    return run_sink(dedup, "streaming_dedup_events", "complete")
 
 
 @query(
@@ -300,7 +495,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory_sink(agg, "streaming_session_windows", "append")
+    return run_sink(agg, "streaming_session_windows", "append")
 
 
 @query(
@@ -336,7 +531,7 @@ def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(sum_money("value", "sum_value")),
         )
     )
-    return run_to_memory_sink(agg, "streaming_static_join_enrich")
+    return run_sink(agg, "streaming_static_join_enrich")
 
 
 @query(
@@ -395,7 +590,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delay_sec"
         ),
     )
-    return run_to_memory_sink(
+    return run_sink(
         joined, "streaming_stream_stream_join", output_mode="append"
     )
 
@@ -541,4 +736,4 @@ def streaming_multibatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(sum_money("value", "sum_value")),
         )
     )
-    return run_to_memory_sink(agg, "streaming_multibatch_counts")
+    return run_sink(agg, "streaming_multibatch_counts")

@@ -1,6 +1,8 @@
 """Streaming ≡ batch equivalence (SURVEY.md §7 M3 risk mitigation:
 streaming has no SQL oracle, so we assert it against the batch
-engine on identical input)."""
+engine on identical input), plus source/sink binding equivalence:
+the scalable production sinks must produce the same answers as the
+memory test adapter."""
 
 from __future__ import annotations
 
@@ -8,6 +10,8 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark import registry
 from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.operators.sources_sinks import _scratch
+from dist_map_reduce_spark.streaming import pipelines
 from tests.conftest import SF_SMOKE, canon_rows
 
 registry.load_all()
@@ -47,6 +51,69 @@ def test_streaming_watermarked_prefix_of_batch(spark):
     batch_rows = set(canon_rows(batch))
     assert emitted_rows <= batch_rows
     assert len(emitted_rows) > 0
+
+
+def test_foreachbatch_merge_sink_matches_memory(spark):
+    """The same complete-mode pipeline through the scalable
+    ForeachBatchMergeSink (per-batch keyed MERGE, no driver state)
+    must equal the memory-sink answer — the production sink is a
+    code path, not documentation. maxFilesPerTrigger=1 over the
+    4-chunk staging would be ideal, but the fixture is one file;
+    multi-batch merge is covered by streaming_multibatch_counts."""
+    fn = registry.QUERIES["streaming_event_counts"]
+    via_memory = fn(spark, SF_SMOKE).toPandas()
+    merge = pipelines.ForeachBatchMergeSink(
+        base_dir=_scratch(SF_SMOKE, "merge_sink"), keys=("event_type",)
+    )
+    with pipelines.use_binding(pipelines.bind(sink=merge)):
+        via_merge = fn(spark, SF_SMOKE).toPandas()
+    assert canon_rows(via_merge) == canon_rows(via_memory)
+
+
+def test_parquet_append_sink_matches_memory(spark):
+    """The same append-mode (watermarked) pipeline through the
+    scalable ParquetAppendSink (executor-written files + checkpoint)
+    must emit exactly the memory-sink rows."""
+    fn = registry.QUERIES["streaming_watermarked_tumbling"]
+    via_memory = fn(spark, SF_SMOKE).toPandas()
+    append = pipelines.ParquetAppendSink(base_dir=_scratch(SF_SMOKE, "append_sink"))
+    with pipelines.use_binding(pipelines.bind(sink=append)):
+        via_files = fn(spark, SF_SMOKE).toPandas()
+    assert canon_rows(via_files) == canon_rows(via_memory)
+    assert len(via_files) > 0
+
+
+def test_update_mode_stateful_through_merge_sink(spark):
+    """applyInPandasWithState (update mode) through the keyed merge
+    sink: last-write-wins per user reproduces the final state."""
+    fn = registry.QUERIES["streaming_stateful_user_totals"]
+    via_memory = fn(spark, SF_SMOKE).toPandas()
+    merge = pipelines.ForeachBatchMergeSink(
+        base_dir=_scratch(SF_SMOKE, "merge_sink_state"), keys=("user_id",)
+    )
+    with pipelines.use_binding(pipelines.bind(sink=merge)):
+        via_merge = fn(spark, SF_SMOKE).toPandas()
+    assert canon_rows(via_merge) == canon_rows(via_memory)
+
+
+def test_kafka_source_shapes_plan(spark):
+    """KafkaSource can't run here (connector jar absent), but its
+    parse projection must be constructible: from_json against the
+    events schema with ts normalized to TIMESTAMP. Build the same
+    projection over a static frame shaped like Kafka's output."""
+    schema = load_table(spark, SF_SMOKE, "events").schema
+    kafka_shaped = spark.createDataFrame(
+        [('{"event_id": 1, "user_id": 2, "event_type": "click", '
+          '"value": 1.5, "ts": "2024-01-01T00:00:00"}',)],
+        "value string",
+    )
+    parsed = kafka_shaped.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e")
+    ).select("e.*")
+    parsed = pipelines._normalize_ts(parsed)
+    row = parsed.collect()[0]
+    assert dict(parsed.dtypes)["ts"] == "timestamp"
+    assert row.event_type == "click" and row.user_id == 2
 
 
 def test_streaming_sessions_subset_of_batch(spark):
