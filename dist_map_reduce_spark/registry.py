@@ -64,9 +64,11 @@ def load_all() -> None:
     from dist_map_reduce_spark.operators import skew  # noqa: F401  (1: 45)
     from dist_map_reduce_spark.operators import bucketing  # noqa: F401  (1: 46)
     from dist_map_reduce_spark.operators import etl  # noqa: F401  (2: 47-48)
-    from dist_map_reduce_spark.functions import chunking  # noqa: F401  (1: 49)
-    # text registers text_quality_scores at slot 50; its other 7
-    # r2-stamped queries spill past the window for round 6
+    # new in r5 (never stamped — must be inside the window)
+    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401  (1: 49)
+    # chunking takes slot 50; text's 8 r2-stamped queries spill past
+    # the window for round 6
+    from dist_map_reduce_spark.functions import chunking  # noqa: F401
     from dist_map_reduce_spark.functions import text  # noqa: F401
     # --- outside the window: driver-green in r3/r4, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401

@@ -377,3 +377,61 @@ def test_ann_lsh_scaled_matches_fixture_pin_at_small_corpus(spark):
         assert 0 <= r.query_id < 5
         per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
     assert all(n <= 5 for n in per_query.values())
+
+
+def test_simhash_banding_exact_under_cap(spark):
+    """Independent re-derivation of simhash_hamming_neardup's CAPPED
+    semantics: brute-force the fingerprints in Python — the result
+    must be exactly {pairs with Hamming<=3 sharing >=1 under-cap
+    band}, and pigeonhole guarantees banding misses nothing among
+    under-cap docs (unlike the MinHash caps, THIS cap is active on
+    the word-soup fixtures — the degenerate-cluster case it exists
+    for; see SCALE.md cap policy)."""
+    from collections import defaultdict
+
+    from dist_map_reduce_spark import registry
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.functions.dedup_common import MAX_KEY_DOCS
+    from dist_map_reduce_spark.functions.dedup_simhash import (
+        BAND_BITS,
+        MAX_HAMMING,
+        N_BANDS,
+        simhash32,
+    )
+
+    fp = {
+        r.doc_id: r.simhash32
+        for r in simhash32(load_table(spark, SF_SMOKE, "documents")).collect()
+    }
+    buckets = defaultdict(list)
+    mask = (1 << BAND_BITS) - 1
+    for d, f in fp.items():
+        for i in range(N_BANDS):
+            buckets[(i, (f >> (BAND_BITS * i)) & mask)].append(d)
+    # the cap must be ACTIVE on this fixture (the behavior under test)
+    assert max(len(v) for v in buckets.values()) > MAX_KEY_DOCS
+    expected = set()
+    for docs in buckets.values():
+        if len(docs) > MAX_KEY_DOCS:
+            continue
+        docs = sorted(docs)
+        for ii in range(len(docs)):
+            for jj in range(ii + 1, len(docs)):
+                a, b = docs[ii], docs[jj]
+                if bin(fp[a] ^ fp[b]).count("1") <= MAX_HAMMING:
+                    expected.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["simhash_hamming_neardup"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+    # pigeonhole: any Hamming<=MAX_HAMMING pair shares a band exactly
+    # (N_BANDS bands, <=N_BANDS-1 differing bits can touch <=N_BANDS-1
+    # bands) — spot-check on the found pairs
+    for a, b in list(got)[:50]:
+        assert any(
+            (fp[a] >> (BAND_BITS * i)) & mask == (fp[b] >> (BAND_BITS * i)) & mask
+            for i in range(N_BANDS)
+        )
