@@ -31,6 +31,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import query
 
@@ -593,8 +594,12 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rank cells per vector by cosine (deterministic tie-break on
     # cell id); rn=1 is the vector's home cell, rn<=NPROBE are the
-    # query's probe cells
-    ranked = (
+    # query's probe cells. Persisted: both the cell assignment and
+    # the probe list consume it, and without the persist the whole
+    # broadcast-join + per-vector window runs twice (measured ~2× the
+    # query's cost at sf0.1). Size is n_vectors × n_cells ranking
+    # rows — the same order as the assignment output itself.
+    ranked = persist_tracked(
         emb.join(F.broadcast(cent))
         .select(
             "vec_id",
@@ -609,7 +614,9 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ccos").desc(), F.col("cand_cell").asc()
                 )
             ),
-        )
+        ),
+        "ivf_ranked_cells",
+        sf_dir,
     )
     cells = ranked.filter(F.col("rn") == 1).select(
         "vec_id", "embedding", F.col("cand_cell").alias("cell")

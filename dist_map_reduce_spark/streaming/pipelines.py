@@ -161,7 +161,13 @@ class ParquetAppendSink:
                 "pipelines bind ForeachBatchMergeSink"
             )
         path = os.path.join(self.base_dir, name)
+        # drop output AND checkpoint together: a surviving checkpoint
+        # marks the source offsets committed, so a rerun would emit
+        # nothing into the freshly-cleared output dir (in production
+        # the pair persists together and the checkpoint provides
+        # exactly-once resume; here each invocation is a fresh replay)
         shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + "_ckpt", ignore_errors=True)
         q = (
             df.writeStream.outputMode("append")
             .format("parquet")

@@ -180,3 +180,21 @@ def test_partitioned_sink_read_prunes_partitions(spark):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(yr" in plan or "PartitionFilters: [(yr" in plan, plan
+
+
+def test_simhash_neardup_plan_shape(spark):
+    """SimHash banded near-dup: the vote aggregation must stay in
+    HashAggregate (fixed-width bigint sums), the cap window and the
+    posting-list groupBy must share one exchange, the Hamming verify
+    joins must broadcast the cached fingerprint table, and nothing
+    may cartesian-product."""
+    from dist_map_reduce_spark import caching
+
+    caching.clear()
+    plan = _plan(spark, "simhash_hamming_neardup")
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan, "vote agg fell out of HashAggregate"
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "fingerprint verify joins should broadcast the cached fp table"
+    )
+    assert "Window" in plan  # the hot-key cap

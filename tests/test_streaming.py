@@ -96,6 +96,47 @@ def test_update_mode_stateful_through_merge_sink(spark):
     assert canon_rows(via_merge) == canon_rows(via_memory)
 
 
+def test_merge_sink_across_real_microbatches(spark):
+    """ForeachBatchMergeSink's last-write-wins-per-key claim only
+    means something across MULTIPLE batches: stage events as 4 parquet
+    chunks, stream with maxFilesPerTrigger=1 (4 real micro-batches,
+    update mode emits re-updated keys each batch), and assert the
+    merged target equals the batch aggregate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.money import sum_money
+
+    staged = _scratch(SF_SMOKE, "events_chunks_mergetest")
+    if not os.path.isdir(staged):
+        load_table(spark, SF_SMOKE, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.expr(sum_money("value", "sum_value"))
+    )
+    merge = pipelines.ForeachBatchMergeSink(
+        base_dir=_scratch(SF_SMOKE, "merge_sink_multibatch"),
+        keys=("event_type",),
+    )
+    merged = merge.run(agg, "multibatch_counts", "update").toPandas()
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.expr(sum_money("value", "sum_value")))
+        .toPandas()
+    )
+    assert canon_rows(merged) == canon_rows(batch)
+
+
 def test_kafka_source_shapes_plan(spark):
     """KafkaSource can't run here (connector jar absent), but its
     parse projection must be constructible: from_json against the
