@@ -26,14 +26,12 @@ from pyspark.sql import functions as F
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import query
 
-# repo-local scratch (gitignored); never touches /root/testdata
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), ".scratch")
-
-
-def _scratch(sf_dir: str, name: str) -> str:
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(SCRATCH, sf_tag, name)
+# scratch helpers live in the registration-free scratch module;
+# re-exported here for existing importers (tests, streaming)
+from dist_map_reduce_spark.scratch import (  # noqa: E402,F401
+    SCRATCH,
+    scratch_path as _scratch,
+)
 
 
 @query(

@@ -66,8 +66,9 @@ def load_all() -> None:
     from dist_map_reduce_spark.operators import etl  # noqa: F401  (2: 47-48)
     # new in r5 (never stamped — must be inside the window)
     from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401  (1: 49)
-    # chunking takes slot 50; text's 8 r2-stamped queries spill past
-    # the window for round 6
+    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401  (1: 50)
+    # chunking + text's 9 r2-stamped queries spill past the window —
+    # they are round 6's rotation
     from dist_map_reduce_spark.functions import chunking  # noqa: F401
     from dist_map_reduce_spark.functions import text  # noqa: F401
     # --- outside the window: driver-green in r3/r4, unchanged ---
