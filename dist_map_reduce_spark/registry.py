@@ -63,12 +63,14 @@ def load_all() -> None:
     from dist_map_reduce_spark.operators import arrays_maps  # noqa: F401  (6: 39-44)
     from dist_map_reduce_spark.operators import skew  # noqa: F401  (1: 45)
     from dist_map_reduce_spark.operators import bucketing  # noqa: F401  (1: 46)
-    from dist_map_reduce_spark.operators import etl  # noqa: F401  (2: 47-48)
     # new in r5 (never stamped — must be inside the window)
-    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401  (1: 49)
-    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401  (1: 50)
-    # chunking + text's 9 r2-stamped queries spill past the window —
-    # they are round 6's rotation
+    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401  (1: 47)
+    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401  (1: 48)
+    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (1: 49)
+    # etl's first query (dq_referential_integrity) takes slot 50; its
+    # second (merge_upsert_customers, r2) plus chunking + text's 9
+    # r2-stamped queries spill past the window — round 6's rotation
+    from dist_map_reduce_spark.operators import etl  # noqa: F401
     from dist_map_reduce_spark.functions import chunking  # noqa: F401
     from dist_map_reduce_spark.functions import text  # noqa: F401
     # --- outside the window: driver-green in r3/r4, unchanged ---
