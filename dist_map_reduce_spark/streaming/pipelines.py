@@ -52,26 +52,28 @@ from dist_map_reduce_spark.registry import query
 @dataclass(frozen=True)
 class FileSource:
     """availableNow file stream over the fixture directory (or, in
-    production, a landing directory files arrive into)."""
+    production, a landing directory files arrive into). ``path``
+    overrides the directory entirely (e.g. a staged multi-chunk
+    landing dir); otherwise the sf dir is streamed with a glob
+    picking out the events table (the file-stream source requires a
+    directory)."""
 
     glob: str = "events.parquet"
     max_files_per_trigger: int | None = None
+    path: str | None = None
 
     def read(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")  # see catalog.py
-        schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-        # the file-stream source requires a directory: stream the sf
-        # dir with a glob picking out the events table
-        reader = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", self.glob)
-        )
+        schema_src = self.path or table_path(sf_dir, "events")
+        schema = spark.read.parquet(schema_src).schema
+        reader = spark.readStream.schema(schema).format("parquet")
+        if self.path is None:
+            reader = reader.option("pathGlobFilter", self.glob)
         if self.max_files_per_trigger is not None:
             reader = reader.option(
                 "maxFilesPerTrigger", str(self.max_files_per_trigger)
             )
-        return _normalize_ts(reader.load(sf_dir))
+        return _normalize_ts(reader.load(self.path or sf_dir))
 
 
 @dataclass(frozen=True)
@@ -626,9 +628,9 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
     import shutil
 
-    from dist_map_reduce_spark.operators.sources_sinks import _scratch
+    from dist_map_reduce_spark.scratch import scratch_path
 
-    base = _scratch(sf_dir, "stream_upsert_target")
+    base = scratch_path(sf_dir, "stream_upsert_target")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     versions: list[str] = []
@@ -721,20 +723,14 @@ def streaming_multibatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from dist_map_reduce_spark.catalog import load_table
-    from dist_map_reduce_spark.operators.sources_sinks import _scratch
+    from dist_map_reduce_spark.scratch import scratch_path
 
-    staged = _scratch(sf_dir, "events_chunks")
+    staged = scratch_path(sf_dir, "events_chunks")
     if not os.path.isdir(staged):
         load_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
         ).parquet(staged)
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", "1")
-        .load(staged)
-    )
+    stream = FileSource(path=staged, max_files_per_trigger=1).read(spark, sf_dir)
     agg = (
         stream.groupBy((F.col("user_id") % 50).alias("user_bucket"))
         .agg(
