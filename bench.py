@@ -46,11 +46,15 @@ HEADLINE = [
     "text_tf_idf_top_terms",
     "text_repetition_signals",
     "q21_suppliers_who_kept_waiting",
-    # r5 additions: the at-scale ANN entry points and one streaming
-    # pipeline (availableNow wall-time, full read->window->sink)
+    # r5 additions: the at-scale ANN entry points, one streaming
+    # pipeline (availableNow wall-time, full read->window->sink),
+    # and the three new r5 operators
     "similarity_ann_ivf_topk",
     "ann_lsh_topk_scaled",
     "streaming_tumbling_1h",
+    "simhash_hamming_neardup",
+    "sink_orc_roundtrip_agg",
+    "events_resample_5m_locf",
 ]
 
 

@@ -51,20 +51,17 @@ MAX_HAMMING = N_BANDS - 1
 
 def simhash32(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash32): 32-bit fingerprint, one aggregation
-    shuffle — each md5 hex digit of each token votes one bit."""
+    shuffle — each md5 hex digit of each token votes one bit. The
+    digest is projected ONCE per token before the 32 vote sums
+    reference it (explicit, rather than trusting codegen common-
+    subexpression elimination across aggregate expressions)."""
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
-    )
+    ).select("doc_id", F.md5(F.col("word").cast("binary")).alias("h"))
     votes = tokens.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    F.substring(
-                        F.md5(F.col("word").cast("binary")), i + 1, 1
-                    )
-                    >= "8",
-                    1,
-                ).otherwise(-1)
+                F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
             ).alias(f"s{i}")
             for i in range(N_BITS)
         ]

@@ -50,10 +50,11 @@ def load_all() -> None:
     NTZ→TIMESTAMP fix — and their r3 stamps predate the Spark 4.1.2
     environment), then relational (its 13 join/distinct/rollup/pivot
     queries still carry round-1 stamps; q1/q3/q5/q6 re-confirm), then
-    every remaining r2-stamped family: tpch_more, subqueries,
-    arrays_maps, skew, bucketing, etl, chunking, and text straddling
-    the window boundary. Only 7 r2-stamped text queries spill to
-    round 6.
+    the r2-stamped families tpch_more, subqueries, arrays_maps, skew,
+    bucketing, then the three queries NEW in r5 (never stamped), with
+    etl straddling the window boundary. Ten r2-stamped queries spill
+    to round 6: merge_upsert_customers, text_chunk_windows, and the
+    text family.
     """
     # --- inside the 50-slot correctness window (slots 1-50) ---
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401  (10: 1-10)

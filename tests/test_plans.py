@@ -198,3 +198,27 @@ def test_simhash_neardup_plan_shape(spark):
         "fingerprint verify joins should broadcast the cached fp table"
     )
     assert "Window" in plan  # the hot-key cap
+
+
+def test_orc_readback_prunes_columns(spark):
+    """The ORC read side must show column pruning — only the
+    aggregation columns reach the scan, same discipline as parquet."""
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.scratch import scratch_path
+
+    out = scratch_path(SF_SMOKE, "lineitem_orc_plan")
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.schema(li.schema).orc(out)
+    plan = (
+        back.groupBy("l_returnflag")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = next(l for l in plan.splitlines() if "FileScan orc" in l)
+    assert "l_returnflag" in scan
+    assert "l_extendedprice" not in scan, "ORC scan reads unused columns"

@@ -435,3 +435,39 @@ def test_simhash_banding_exact_under_cap(spark):
             (fp[a] >> (BAND_BITS * i)) & mask == (fp[b] >> (BAND_BITS * i)) & mask
             for i in range(N_BANDS)
         )
+
+
+def test_resample_spine_invariants(spark):
+    """Structural invariants of the gap-filled resample: per-series
+    contiguous 5-min spine, observed counts sum to the raw event
+    count, empty buckets carry the last observed sum (LOCF non-null
+    everywhere after the first bucket, which is observed by
+    construction)."""
+    from collections import defaultdict
+
+    from dist_map_reduce_spark import registry
+    from dist_map_reduce_spark.catalog import load_table
+
+    rows = registry.QUERIES["events_resample_5m_locf"](
+        spark, SF_SMOKE
+    ).collect()
+    total_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n for r in rows) == total_events
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.bucket_start)
+        # contiguous 5-minute grid
+        for a, b in zip(series, series[1:]):
+            assert (b.bucket_start - a.bucket_start).total_seconds() == 300
+        # first bucket holds the series' first event; LOCF therefore
+        # never leaves a null behind it
+        assert series[0].n > 0
+        assert all(r.sum_locf is not None for r in series)
+        # gaps must actually exist for the fill to mean anything
+        assert any(r.n == 0 for r in series)
+        # LOCF: an empty bucket repeats the previous bucket's fill
+        for a, b in zip(series, series[1:]):
+            if b.n == 0:
+                assert b.sum_locf == a.sum_locf
