@@ -51,10 +51,9 @@ def load_all() -> None:
     environment), then relational (its 13 join/distinct/rollup/pivot
     queries still carry round-1 stamps; q1/q3/q5/q6 re-confirm), then
     the r2-stamped families tpch_more, subqueries, arrays_maps, skew,
-    bucketing, then the three queries NEW in r5 (never stamped), with
-    etl straddling the window boundary. Ten r2-stamped queries spill
-    to round 6: merge_upsert_customers, text_chunk_windows, and the
-    text family.
+    bucketing, then the four queries NEW in r5 (never stamped) closing
+    the window. Eleven r2-stamped queries spill to round 6: etl's two,
+    text_chunk_windows, and the text family.
     """
     # --- inside the 50-slot correctness window (slots 1-50) ---
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401  (10: 1-10)
@@ -68,9 +67,9 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401  (1: 47)
     from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401  (1: 48)
     from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (1: 49)
-    # etl's first query (dq_referential_integrity) takes slot 50; its
-    # second (merge_upsert_customers, r2) plus chunking + text's 9
-    # r2-stamped queries spill past the window — round 6's rotation
+    from dist_map_reduce_spark.operators import cohorts  # noqa: F401  (1: 50)
+    # etl (2, r2) plus chunking + text's 9 r2-stamped queries spill
+    # past the window — round 6's rotation
     from dist_map_reduce_spark.operators import etl  # noqa: F401
     from dist_map_reduce_spark.functions import chunking  # noqa: F401
     from dist_map_reduce_spark.functions import text  # noqa: F401
