@@ -79,6 +79,22 @@ def events_resample_5m_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample events onto a 5-minute grid per event_type: empty
     buckets appear with n = 0 and the last observed bucket sum
     carried forward (LOCF)."""
+    filled = _filled_spine(spark, sf_dir)
+    locf = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return filled.select(
+        "event_type",
+        F.col("bucket").alias("bucket_start"),
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n"),
+        F.last("s", ignorenulls=True).over(locf).alias("sum_locf"),
+    )
+
+
+def _filled_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bucket, n_obs, s): the per-series 5-minute grid
+    left-joined with the observed bucket aggregates (null n_obs/s in
+    gap buckets)."""
     ev = load_table(spark, sf_dir, "events")
     obs = (
         ev.groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
@@ -99,13 +115,48 @@ def events_resample_5m_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    filled = spine.join(obs, ["event_type", "bucket"], "left")
-    locf = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+    return spine.join(obs, ["event_type", "bucket"], "left")
+
+
+def resample_5m_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation variant of the gap fill: an empty bucket
+    takes the straight line between the previous and next OBSERVED
+    bucket sums (tail gaps fall back to LOCF — there is no next
+    observation to interpolate toward). Library entry point (not yet
+    a registered oracle query); same spine-sized cost model as LOCF —
+    the backward and forward scans are two frames over ONE
+    (series-partitioned, bucket-sorted) exchange.
+
+    The interpolation weight is a ratio of exact bucket indices and
+    the arithmetic is plain IEEE doubles evaluated identically per
+    row, so the result is deterministic and engine-reproducible."""
+    filled = _filled_spine(spark, sf_dir).withColumn(
+        "i", (F.unix_timestamp("bucket") / 300).cast("long")
+    )
+    back = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    return filled.select(
+    fwd = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_i = F.when(F.col("n_obs").isNotNull(), F.col("i"))
+    df = (
+        filled.withColumn("prev_s", F.last("s", ignorenulls=True).over(back))
+        .withColumn("prev_i", F.last(obs_i, ignorenulls=True).over(back))
+        .withColumn("next_s", F.first("s", ignorenulls=True).over(fwd))
+        .withColumn("next_i", F.first(obs_i, ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("i") - F.col("prev_i")) / (F.col("next_i") - F.col("prev_i"))
+    interp = (
+        F.when(F.col("n_obs").isNotNull(), F.col("s"))
+        .when(F.col("next_s").isNull(), F.col("prev_s"))
+        .otherwise(
+            F.col("prev_s") + (F.col("next_s") - F.col("prev_s")) * frac
+        )
+    )
+    return df.select(
         "event_type",
         F.col("bucket").alias("bucket_start"),
         F.coalesce("n_obs", F.lit(0)).cast("long").alias("n"),
-        F.last("s", ignorenulls=True).over(locf).alias("sum_locf"),
+        interp.alias("sum_interp"),
     )

@@ -471,3 +471,43 @@ def test_resample_spine_invariants(spark):
         for a, b in zip(series, series[1:]):
             if b.n == 0:
                 assert b.sum_locf == a.sum_locf
+
+
+def test_resample_interp_matches_independent_recompute(spark):
+    """Linear-interp gap fill re-derived independently in Python from
+    the observed buckets: observed buckets keep their sum, interior
+    gaps lie on the straight line between neighbors, tail gaps LOCF."""
+    from dist_map_reduce_spark.operators.timeseries_fill import (
+        _filled_spine,
+        resample_5m_interp,
+    )
+
+    got = {
+        (r.event_type, r.bucket_start): (r.n, r.sum_interp)
+        for r in resample_5m_interp(spark, SF_SMOKE).collect()
+    }
+    spine = _filled_spine(spark, SF_SMOKE).collect()
+    series: dict[str, list] = {}
+    for r in sorted(spine, key=lambda r: (r.event_type, r.bucket)):
+        series.setdefault(r.event_type, []).append(r)
+    n_checked = 0
+    for et, rows in series.items():
+        obs = [(k, r.s) for k, r in enumerate(rows) if r.n_obs is not None]
+        for k, r in enumerate(rows):
+            n, val = got[(et, r.bucket)]
+            if r.n_obs is not None:
+                assert (n, val) == (r.n_obs, r.s)
+                continue
+            assert n == 0
+            prev = max((o for o in obs if o[0] < k), key=lambda o: o[0])
+            nxt = [o for o in obs if o[0] > k]
+            if not nxt:
+                expect = prev[1]  # tail LOCF
+            else:
+                nx = min(nxt, key=lambda o: o[0])
+                expect = prev[1] + (nx[1] - prev[1]) * (
+                    (k - prev[0]) / (nx[0] - prev[0])
+                )
+            assert val == expect, (et, r.bucket, val, expect)
+            n_checked += 1
+    assert n_checked > 0  # gaps existed and were verified
