@@ -511,3 +511,45 @@ def test_resample_interp_matches_independent_recompute(spark):
             assert val == expect, (et, r.bucket, val, expect)
             n_checked += 1
     assert n_checked > 0  # gaps existed and were verified
+
+
+def test_abc_classification_invariants(spark):
+    """ABC classification re-derived independently: rank customers by
+    account balance within market segment; cumulative shares must be
+    monotone per segment, class boundaries at 80%/95% inclusive, and
+    every segment's top entity is class A."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.operators.contribution import abc_classification
+
+    cust = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    out = abc_classification(
+        cust, "c_acctbal", "c_custkey", by=["c_mktsegment"]
+    ).collect()
+    from collections import defaultdict
+
+    by_seg = defaultdict(list)
+    for r in out:
+        by_seg[r.c_mktsegment].append(r)
+    assert len(by_seg) > 1
+    for rows in by_seg.values():
+        rows.sort(key=lambda r: (-r.c_acctbal, r.c_custkey))
+        total = sum(r.c_acctbal for r in rows)
+        cum = 0.0
+        for r in rows:
+            cum += r.c_acctbal
+            expect_share = cum / total
+            assert abs(r.cum_share - expect_share) < 1e-9
+            expect_class = (
+                "A" if r.cum_share <= 0.80
+                else "B" if r.cum_share <= 0.95 else "C"
+            )
+            assert r.abc_class == expect_class
+        assert rows[0].abc_class == "A"
+        assert rows[-1].abc_class == "C"
+        assert abs(rows[-1].cum_share - 1.0) < 1e-9
