@@ -67,7 +67,7 @@ def _ann_lsh_topk_scaled(spark, sf_dir):
     from dist_map_reduce_spark.functions.similarity import ann_lsh_topk_scaled
 
     n = pq.ParquetFile(
-        os.path.join(SF_DIR, "embeddings.parquet")
+        os.path.join(sf_dir, "embeddings.parquet")
     ).metadata.num_rows
     return ann_lsh_topk_scaled(spark, sf_dir, corpus_size=n)
 

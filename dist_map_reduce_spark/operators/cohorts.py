@@ -8,11 +8,11 @@ later. Weekly grain because the fixture spans one month; the month
 variant is the same plan with ``date_trunc('month')`` and a
 month-arithmetic offset.
 
-Plan shape / 100 TB posture: cohort assignment is one user-keyed
-aggregate; the activity set is one (user, week)-keyed distinct
-aggregate; the two join on user_id — both sides arrive hash-
-partitioned by user from their own aggregates, and AQE broadcasts the
-cohort side when small. The final aggregate runs on (cohorts ×
+Plan shape / 100 TB posture: ONE scan of events — the activity set
+is one (user, week)-keyed distinct aggregate, and since date_trunc
+is monotone the cohort week is just min(active_week), computed with
+a user-partitioned window over that same aggregate's partitioning
+(no second scan, no join). The final aggregate runs on (cohorts ×
 weeks)-sized data. ``n_active`` is ``count(*)``, not
 ``count(DISTINCT)``: activity rows are already distinct per
 (user, week) and the cohort is functional on user, so the cheap
@@ -62,20 +62,25 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     week. Both engines truncate weeks to Monday, and cohort weeks stay
     TIMESTAMP-typed on both sides (the repo's date-output convention,
     see scalar_fns/timeseries oracles)."""
+    from pyspark.sql import Window as W
+
     purchases = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select("user_id", "ts")
     )
-    cohorts = purchases.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
     activity = purchases.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
     ).distinct()
+    # date_trunc is monotone, so the cohort week equals
+    # min(active_week) — derived with a window over the (already
+    # user-hash-partitioned) activity set instead of a second events
+    # scan + aggregate + join
+    cohorted = activity.withColumn(
+        "cohort_week", F.min("active_week").over(W.partitionBy("user_id"))
+    )
     return (
-        activity.join(cohorts, "user_id")
-        .groupBy(
+        cohorted.groupBy(
             "cohort_week",
             (F.datediff("active_week", "cohort_week") / 7)
             .cast("long")

@@ -37,7 +37,11 @@ def abc_classification(
     (required: without a unique tie-break the cumulative share —
     hence the class of boundary rows — would be nondeterministic).
     ``by`` scopes the classification within partitions (ABC per
-    category); cumulative share is inclusive of the current row.
+    category); ``cum_share`` is inclusive of the current row, but the
+    CLASS is decided by the share BEFORE the row: the entity that
+    crosses a threshold belongs to the class it completes (on truly
+    Pareto data a 96%-of-total top entity must be 'A', which an
+    inclusive-share test would put in the tail class).
     """
     parts = [F.col(c) for c in (by or [])]
     order = [F.col(measure).desc(), F.col(tie_break) if isinstance(tie_break, str) else tie_break]
@@ -46,10 +50,12 @@ def abc_classification(
     )
     whole = Window.partitionBy(*parts)
     a_cut, b_cut = thresholds
-    share = F.sum(measure).over(running) / F.sum(measure).over(whole)
-    return df.withColumn("cum_share", share).withColumn(
+    total = F.sum(measure).over(whole)
+    cum = F.sum(measure).over(running)
+    prev_share = (cum - F.col(measure)) / total
+    return df.withColumn("cum_share", cum / total).withColumn(
         label_col,
-        F.when(F.col("cum_share") <= a_cut, "A")
-        .when(F.col("cum_share") <= b_cut, "B")
+        F.when(prev_share < a_cut, "A")
+        .when(prev_share < b_cut, "B")
         .otherwise("C"),
     )

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.money import sum_money
 from dist_map_reduce_spark.registry import query
@@ -94,25 +95,32 @@ def events_resample_5m_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _filled_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, bucket, n_obs, s): the per-series 5-minute grid
     left-joined with the observed bucket aggregates (null n_obs/s in
-    gap buckets)."""
+    gap buckets). ONE scan of events — the spine endpoints derive
+    from the bucket aggregate itself."""
     ev = load_table(spark, sf_dir, "events")
-    obs = (
+    # persisted: the bucket aggregate feeds BOTH the spine-endpoint
+    # derivation and the fill join — without the persist Spark
+    # recomputes the subtree (and re-scans events) per consumer. It
+    # is grid-sized (O(buckets × series)), the smallest thing in the
+    # plan, so caching it is what makes the events scan happen once.
+    obs = persist_tracked(
         ev.groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
         .agg(F.count("*").alias("n_obs"), F.expr(sum_money("value", "s")))
-        .select("event_type", F.col("w.start").alias("bucket"), "n_obs", "s")
+        .select("event_type", F.col("w.start").alias("bucket"), "n_obs", "s"),
+        "resample_obs_5m",
+        sf_dir,
     )
-    rng = ev.groupBy("event_type").agg(
-        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    # Per-series spine endpoints come from the OBS aggregate, not a
+    # second scan of events: bucket is already epoch-aligned, so
+    # min/max(bucket) equal the floored min/max(ts) endpoints — the
+    # obs FileScan stays the only input-sized stage (PLANS.md).
+    rng = obs.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
     )
-    # per-series spine on the same epoch-aligned grid window() uses
     spine = rng.select(
         "event_type",
         F.explode(
-            F.sequence(
-                F.expr("timestamp_seconds(floor(unix_timestamp(mn) / 300) * 300)"),
-                F.expr("timestamp_seconds(floor(unix_timestamp(mx) / 300) * 300)"),
-                F.expr("INTERVAL 5 MINUTES"),
-            )
+            F.sequence(F.col("b0"), F.col("b1"), F.expr("INTERVAL 5 MINUTES"))
         ).alias("bucket"),
     )
     return spine.join(obs, ["event_type", "bucket"], "left")

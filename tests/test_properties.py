@@ -545,11 +545,26 @@ def test_abc_classification_invariants(spark):
             cum += r.c_acctbal
             expect_share = cum / total
             assert abs(r.cum_share - expect_share) < 1e-9
+            prev_share = expect_share - r.c_acctbal / total
             expect_class = (
-                "A" if r.cum_share <= 0.80
-                else "B" if r.cum_share <= 0.95 else "C"
+                "A" if prev_share < 0.80
+                else "B" if prev_share < 0.95 else "C"
             )
             assert r.abc_class == expect_class
         assert rows[0].abc_class == "A"
         assert rows[-1].abc_class == "C"
         assert abs(rows[-1].cum_share - 1.0) < 1e-9
+
+
+def test_abc_classification_pareto_top_entity_is_A(spark):
+    """On genuinely skewed data the entity covering 96% of the
+    measure must be class A — the threshold-crossing row belongs to
+    the class it completes (the bug an inclusive-share test misses
+    on near-uniform fixtures)."""
+    from dist_map_reduce_spark.operators.contribution import abc_classification
+
+    df = spark.createDataFrame(
+        [("w", 96.0), ("x", 2.0), ("y", 1.0), ("z", 1.0)], "k string, m double"
+    )
+    got = {r.k: r.abc_class for r in abc_classification(df, "m", "k").collect()}
+    assert got == {"w": "A", "x": "C", "y": "C", "z": "C"}

@@ -9,9 +9,10 @@ so they stay valid across rotations:
 
 - a query with NO driver row yet must be inside the window (it can
   never earn a stamp otherwise);
-- with 136 queries and 50 slots the steady-state refresh cadence is
-  ceil(136/50) = 3 rounds, so no query OUTSIDE the window may carry a
-  stamp more than 3 rounds older than the newest evidence on disk.
+- with N registered queries and 50 slots the steady-state refresh
+  cadence is ceil(N/50) rounds (derived from the live registry, not
+  hard-coded), so no query OUTSIDE the window may carry a stamp more
+  than that many rounds older than the newest evidence on disk.
 """
 
 from __future__ import annotations
@@ -60,7 +61,8 @@ def test_no_stale_query_outside_window():
     if newest == 0:
         return  # no driver evidence yet (fresh clone) — nothing to enforce
     window = set(list(registry.QUERIES)[:WINDOW_SIZE])
-    floor = newest - 3
+    cadence = -(-len(registry.QUERIES) // WINDOW_SIZE)  # ceil
+    floor = newest - cadence
     stale = [
         f"{n} (r{latest[n]})"
         for n in registry.QUERIES

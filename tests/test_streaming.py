@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark import registry
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.operators.sources_sinks import _scratch
+from dist_map_reduce_spark.scratch import scratch_path as _scratch
 from dist_map_reduce_spark.streaming import pipelines
 from tests.conftest import SF_SMOKE, canon_rows
 
@@ -140,9 +140,15 @@ def test_merge_sink_across_real_microbatches(spark):
 def test_kafka_source_shapes_plan(spark):
     """KafkaSource can't run here (connector jar absent), but its
     parse projection must be constructible: from_json against the
-    events schema with ts normalized to TIMESTAMP. Build the same
-    projection over a static frame shaped like Kafka's output."""
-    schema = load_table(spark, SF_SMOKE, "events").schema
+    RAW parquet schema — where ts is TIMESTAMP_NTZ, exactly what
+    KafkaSource.read uses — so the _normalize_ts cast is genuinely
+    exercised, not a no-op on a pre-normalized schema."""
+    from dist_map_reduce_spark.catalog import table_path
+
+    schema = spark.read.parquet(table_path(SF_SMOKE, "events")).schema
+    assert dict(zip(schema.names, [f.dataType.simpleString() for f in schema.fields]))[
+        "ts"
+    ] == "timestamp_ntz", "precondition: raw fixture schema is NTZ"
     kafka_shaped = spark.createDataFrame(
         [('{"event_id": 1, "user_id": 2, "event_type": "click", '
           '"value": 1.5, "ts": "2024-01-01T00:00:00"}',)],
@@ -151,6 +157,7 @@ def test_kafka_source_shapes_plan(spark):
     parsed = kafka_shaped.select(
         F.from_json(F.col("value").cast("string"), schema).alias("e")
     ).select("e.*")
+    assert dict(parsed.dtypes)["ts"] == "timestamp_ntz"
     parsed = pipelines._normalize_ts(parsed)
     row = parsed.collect()[0]
     assert dict(parsed.dtypes)["ts"] == "timestamp"
