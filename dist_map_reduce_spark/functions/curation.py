@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.functions.dedup import _SHINGLE_SQL, shingles
+from dist_map_reduce_spark.functions.dedup_common import _SHINGLE_SQL, shingles
 from dist_map_reduce_spark.registry import query
 
 # Held-out evaluation source: anything sharing enough shingles with

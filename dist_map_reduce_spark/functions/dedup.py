@@ -43,21 +43,30 @@ from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import query
 
-N_HASHES = 16  # minhash signature length
-N_BANDS = 4    # bands of r = N_HASHES / N_BANDS rows each
-_R = N_HASHES // N_BANDS
 # With b=4 bands of r=4 the candidate probability is 1-(1-s^4)^4:
 # ~0.99 at Jaccard 0.9, ~0.04 at Jaccard 0.3 — a near-dup threshold
 # around s* = (1/b)^(1/r) ≈ 0.71 (tests/test_properties.py pins the
 # S-curve empirically).
 
-# Hot-key cap + pair generation live in dedup_common (registration-
-# free) so sibling modules reuse them without importing this module's
-# registrations; re-exported here for existing importers.
+# Constants, shingling, hot-key cap/pair generation, and the minhash
+# oracle-SQL builders live in dedup_common (registration-free) so
+# sibling modules (dedup_simhash, curation, graph) reuse them without
+# importing this module's registrations; re-exported here for
+# existing importers.
 from dist_map_reduce_spark.functions.dedup_common import (  # noqa: E402,F401
+    _CANDIDATE_PAIRS_SQL,
+    _R,
+    _SHINGLE_SQL,
     MAX_KEY_DOCS,
+    N_BANDS,
+    N_HASHES,
+    _minhash_bands_sql,
+    _minhash_sig_sql,
+    _N_SALTS,
     _pairs_within_keys,
     _simhash_bit_sql,
+    _slice,
+    shingles,
 )
 
 
@@ -69,38 +78,6 @@ def _tune_cached_plans(df: DataFrame) -> None:
     df.sparkSession.conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
     )
-
-
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) with distinct k-word shingles per document.
-
-    The word array is projected ONCE before the transform — an
-    expression referencing split() inside the lambda re-tokenizes the
-    document per element, turning shingling O(words) into O(words²).
-    """
-    idx = " , ".join(f"ws[i - {k - 1 - j}]" for j in range(k))
-    expr = f"""
-    CASE WHEN size(ws) >= {k} THEN
-      transform(sequence({k - 1}, size(ws) - 1),
-                i -> concat_ws(' ', {idx}))
-    ELSE array(text) END
-    """
-    return docs.select(
-        "doc_id", "text", F.split("text", " ").alias("ws")
-    ).select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
-
-
-_SHINGLE_SQL = """
-    SELECT doc_id, unnest(list_distinct(sh)) AS shingle
-    FROM (
-      SELECT doc_id,
-             CASE WHEN len(ws) >= 3 THEN
-               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                FOR i IN generate_series(1, len(ws) - 2)]
-             ELSE [text] END AS sh
-      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
-    )
-"""
 
 
 @query(
@@ -120,22 +97,11 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Each md5 digest (32 hex chars) is sliced into 4 independent 32-bit
-# (8-hex) hash values, so 16 minhashes cost 4 md5 evaluations per
-# shingle instead of 16 — the standard slice-a-wide-hash trick. The
-# slices are parsed to BIGINT before the min-aggregation: min over a
-# bigint keeps the signature aggregation in HashAggregate, whereas 16
-# var-length string buffers force a SortAggregate fallback (a
-# per-partition sort in the hottest stage of the pipeline); ordering
-# is identical since the slices are fixed-width hex.
-_N_SALTS = (N_HASHES + 3) // 4
-
-
-def _slice(j: int) -> tuple[int, int]:
-    """hash j → (salt index, 1-based hex offset of its 8-hex slice)."""
-    return j // 4, 1 + 8 * (j % 4)
-
-
+# The md5 slices are parsed to BIGINT before the min-aggregation:
+# min over a bigint keeps the signature aggregation in HashAggregate,
+# whereas 16 var-length string buffers force a SortAggregate fallback
+# (a per-partition sort in the hottest stage of the pipeline);
+# ordering is identical since the slices are fixed-width hex.
 def _minhash_signature(sh: DataFrame) -> DataFrame:
     """doc_id → N_HASHES min 32-bit (bigint) minhashes."""
     md5s = sh.select(
@@ -220,48 +186,6 @@ def _capped_postings(sh: DataFrame) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .select("ds")
     )
-
-
-def _minhash_sig_sql() -> str:
-    mins = ", ".join(
-        f"min(('0x' || substring(md5('s{_slice(j)[0]}:' || shingle),"
-        f" {_slice(j)[1]}, 8))::BIGINT) AS h{j}"
-        for j in range(N_HASHES)
-    )
-    return f"SELECT doc_id, {mins} FROM ({_SHINGLE_SQL}) GROUP BY doc_id"
-
-
-def _minhash_bands_sql() -> str:
-    bands = ", ".join(
-        "md5("
-        + " || ':' || ".join(f"h{b * _R + i}::VARCHAR" for i in range(_R))
-        + f") AS b{b}"
-        for b in range(N_BANDS)
-    )
-    arms = " UNION ALL ".join(
-        f"SELECT doc_id, '{b}' AS band_id, b{b} AS band_key FROM banded"
-        for b in range(N_BANDS)
-    )
-    return f"WITH sig AS ({_minhash_sig_sql()}), banded AS (SELECT doc_id, {bands} FROM sig) {arms}"
-
-
-# Shared by minhash_band_candidates and the dedup_clusters oracle.
-_CANDIDATE_PAIRS_SQL = f"""
-    WITH bands AS ({_minhash_bands_sql()}),
-    bsz AS (
-      SELECT band_id, band_key, count(*) AS n_docs
-      FROM bands GROUP BY band_id, band_key
-    ),
-    capped AS (
-      SELECT b.doc_id, b.band_id, b.band_key
-      FROM bands b JOIN bsz USING (band_id, band_key)
-      WHERE bsz.n_docs <= {MAX_KEY_DOCS}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM capped a JOIN capped b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
-"""
 
 
 @query("minhash_band_candidates", oracle=_CANDIDATE_PAIRS_SQL)

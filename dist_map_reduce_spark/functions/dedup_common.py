@@ -19,6 +19,96 @@ from pyspark.sql import functions as F
 MAX_KEY_DOCS = 100
 
 
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) with distinct k-word shingles per document.
+
+    The word array is projected ONCE before the transform — an
+    expression referencing split() inside the lambda re-tokenizes the
+    document per element, turning shingling O(words) into O(words²).
+    """
+    idx = " , ".join(f"ws[i - {k - 1 - j}]" for j in range(k))
+    expr = f"""
+    CASE WHEN size(ws) >= {k} THEN
+      transform(sequence({k - 1}, size(ws) - 1),
+                i -> concat_ws(' ', {idx}))
+    ELSE array(text) END
+    """
+    return docs.select(
+        "doc_id", "text", F.split("text", " ").alias("ws")
+    ).select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
+
+
+_SHINGLE_SQL = """
+    SELECT doc_id, unnest(list_distinct(sh)) AS shingle
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3 THEN
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                FOR i IN generate_series(1, len(ws) - 2)]
+             ELSE [text] END AS sh
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    )
+"""
+
+
+N_HASHES = 16  # minhash signature length
+N_BANDS = 4    # bands of r = N_HASHES / N_BANDS rows each
+_R = N_HASHES // N_BANDS
+
+# Each md5 digest (32 hex chars) is sliced into 4 independent 32-bit
+# (8-hex) hash values, so 16 minhashes cost 4 md5 evaluations per
+# shingle instead of 16 — the standard slice-a-wide-hash trick.
+_N_SALTS = (N_HASHES + 3) // 4
+
+
+def _slice(j: int) -> tuple[int, int]:
+    """hash j → (salt index, 1-based hex offset of its 8-hex slice)."""
+    return j // 4, 1 + 8 * (j % 4)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min(('0x' || substring(md5('s{_slice(j)[0]}:' || shingle),"
+        f" {_slice(j)[1]}, 8))::BIGINT) AS h{j}"
+        for j in range(N_HASHES)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_SHINGLE_SQL}) GROUP BY doc_id"
+
+
+def _minhash_bands_sql() -> str:
+    bands = ", ".join(
+        "md5("
+        + " || ':' || ".join(f"h{b * _R + i}::VARCHAR" for i in range(_R))
+        + f") AS b{b}"
+        for b in range(N_BANDS)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}' AS band_id, b{b} AS band_key FROM banded"
+        for b in range(N_BANDS)
+    )
+    return f"WITH sig AS ({_minhash_sig_sql()}), banded AS (SELECT doc_id, {bands} FROM sig) {arms}"
+
+
+# Shared by minhash_band_candidates and the dedup_clusters /
+# pagerank_dedup_graph oracles (functions/graph.py).
+_CANDIDATE_PAIRS_SQL = f"""
+    WITH bands AS ({_minhash_bands_sql()}),
+    bsz AS (
+      SELECT band_id, band_key, count(*) AS n_docs
+      FROM bands GROUP BY band_id, band_key
+    ),
+    capped AS (
+      SELECT b.doc_id, b.band_id, b.band_key
+      FROM bands b JOIN bsz USING (band_id, band_key)
+      WHERE bsz.n_docs <= {MAX_KEY_DOCS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+"""
+
+
 def _simhash_bit_sql(i: int) -> str:
     return (
         f"sum(CASE WHEN substring(md5(word), {i + 1}, 1) >= '8' "

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dist_map_reduce_spark.functions.dedup import _CANDIDATE_PAIRS_SQL
+from dist_map_reduce_spark.functions.dedup_common import _CANDIDATE_PAIRS_SQL
 from dist_map_reduce_spark.registry import query
 from dist_map_reduce_spark.session import iter_checkpoint
 

@@ -17,110 +17,44 @@ so expected bucket occupancy stays bounded (SCALE.md §sign-LSH); the
 registered fixture queries pin ``N_PLANES = 8`` so their oracles stay
 static.
 
-Registration order note: the three queries most at risk this round
-(the newly capped near-dup join, the plane-count-audited LSH top-k,
-and the iterative k-means build) register FIRST so they land inside
-the driver's 50-slot correctness window (registry.load_all).
+The geometry/index math (hyperplanes, cosine, k-means fit, the IVF
+cell-restricted search) lives registration-free in
+``similarity_common`` so other modules — the k-means IVF variant in
+``similarity_ivf_kmeans`` — can reuse it without dragging this
+module's seven registrations into the correctness window. Names are
+re-imported here for compatibility (tests and SCALE.md reference
+them via this module).
 """
 
 from __future__ import annotations
 
-import hashlib
-import math
-
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.functions.similarity_common import (  # noqa: F401
+    DIM,
+    K_CELLS,
+    KMEANS_ROUNDS,
+    N_PLANES,
+    N_QUERIES,
+    NPROBE,
+    PLANES,
+    PROBE_MASKS,
+    _bucket_sql,
+    _dot_expr,
+    _plane,
+    _plane_sql,
+    bucket_col,
+    cosine_expr,
+    ivf_oracle_sql,
+    ivf_search,
+    kmeans_ctes,
+    kmeans_fit,
+    n_planes_for,
+    probe_masks,
+)
 from dist_map_reduce_spark.registry import query
-
-DIM = 64
-N_PLANES = 8
-N_QUERIES = 5  # query set: vec_id < 5
-
-
-def _plane(j: int) -> list[float]:
-    """Deterministic ±1 hyperplane from md5 — no RNG state, identical
-    in any engine that has md5."""
-    return [
-        1.0 if int(hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
-        for d in range(DIM)
-    ]
-
-
-PLANES: list[list[float]] = [_plane(j) for j in range(N_PLANES)]
-
-
-def n_planes_for(corpus_size: int, target_bucket_size: int = 1024) -> int:
-    """Plane count that keeps expected bucket occupancy near
-    ``target_bucket_size``: ceil(log2(n / target)), floored at the
-    fixture constant N_PLANES. A fixed plane count is a scale bug —
-    at 10⁹ vectors 8 planes leave n/256 vectors per bucket, making
-    every probe linear in the corpus; with planes derived from n the
-    per-probe candidate set stays ~target_bucket_size regardless of
-    corpus size. See SCALE.md §sign-LSH for the full policy (and when
-    to prefer the IVF path instead)."""
-    if corpus_size <= target_bucket_size:
-        return N_PLANES
-    return max(N_PLANES, math.ceil(math.log2(corpus_size / target_bucket_size)))
-
-
-def _dot_expr(vec_col: str, weights: list[float]) -> Column:
-    arr = ", ".join(f"{w}D" for w in weights)
-    return F.expr(
-        f"aggregate(zip_with({vec_col}, array({arr}), (x, y) -> CAST(x AS DOUBLE) * y),"
-        f" 0D, (a, v) -> a + v)"
-    )
-
-
-def bucket_col(vec_col: str, n_planes: int = N_PLANES) -> Column:
-    """Sign-LSH bucket id: bit j = (v · plane_j) > 0. Planes beyond
-    the precomputed fixture set are derived on demand (same md5
-    scheme), so any ``n_planes_for``-chosen count works; >31 planes
-    widen the id to bigint."""
-    out = F.lit(0).cast("bigint" if n_planes > 31 else "int")
-    for j in range(n_planes):
-        plane = PLANES[j] if j < len(PLANES) else _plane(j)
-        out = out + F.when(_dot_expr(vec_col, plane) > 0, F.lit(1 << j)).otherwise(0)
-    return out.cast("bigint" if n_planes > 31 else "int")
-
-
-def _bucket_sql(vec_expr: str) -> str:
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_sql(j)}) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
-    )
-    return f"({bits})"
-
-
-def _plane_sql(j: int) -> str:
-    return "[" + ", ".join(str(w) for w in PLANES[j]) + "]::DOUBLE[]"
-
-
-def cosine_expr(a: str, b: str) -> Column:
-    """Cosine similarity of two array columns, computed in float64
-    (matches DuckDB list_cosine_similarity on DOUBLE[] exactly up to
-    the final rounding)."""
-    dot = F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        f" 0D, (acc, v) -> acc + v)"
-    )
-    na = F.sqrt(
-        F.expr(
-            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            f" 0D, (acc, v) -> acc + v)"
-        )
-    )
-    nb = F.sqrt(
-        F.expr(
-            f"aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            f" 0D, (acc, v) -> acc + v)"
-        )
-    )
-    return dot / (na * nb)
-
 
 # Hot-bucket cap for the near-dup self-join: buckets holding more
 # vectors than this are dropped before pair generation (same policy
@@ -186,17 +120,6 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.2)
     )
-
-
-def probe_masks(n_planes: int) -> list[int]:
-    """Multi-probe masks: the query's own bucket plus every bucket at
-    Hamming distance 1 (one hyperplane sign flipped) — the standard
-    recall/cost knob for sign-LSH; candidate work stays proportional
-    to (1 + n_planes) buckets, never the corpus."""
-    return [0] + [1 << j for j in range(n_planes)]
-
-
-PROBE_MASKS: list[int] = probe_masks(N_PLANES)
 
 
 _LSH_ORACLE = f"""
@@ -306,44 +229,10 @@ def ann_lsh_topk_scaled(
     )
 
 
-K_CELLS = 8       # k-means cluster count
-KMEANS_ROUNDS = 3  # fixed assignment rounds (2 centroid updates)
-
-
 def _kmeans_oracle() -> str:
-    """Unrolled Lloyd iterations in DuckDB SQL — same deterministic
-    init (vectors 0..K-1, 6-dp rounded), same rounded-cosine
-    assignment with min-cell tie-break, same 6-dp rounded means."""
-    ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
-        f"""c0 AS (
-          SELECT vec_id AS cell, list_transform(emb, x -> round(x, 6)) AS cent
-          FROM e WHERE vec_id < {K_CELLS}
-        )""",
-    ]
-    for r in range(1, KMEANS_ROUNDS + 1):
-        ctes.append(f"""a{r} AS (
-          SELECT vec_id, emb, cell FROM (
-            SELECT e.vec_id, e.emb, c.cell,
-                   row_number() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY round(list_cosine_similarity(e.emb, c.cent), 6) DESC,
-                              c.cell ASC
-                   ) AS rn
-            FROM e CROSS JOIN c{r - 1} c
-          ) WHERE rn = 1
-        )""")
-        if r < KMEANS_ROUNDS:
-            ctes.append(f"""c{r} AS (
-          SELECT cell, list(m ORDER BY pos) AS cent FROM (
-            SELECT cell, i - 1 AS pos, round(avg(emb[i]), 6) AS m
-            FROM a{r}, LATERAL (
-              SELECT unnest(generate_series(1, {DIM})) AS i
-            ) t
-            GROUP BY cell, i
-          )
-          GROUP BY cell
-        )""")
+    """Unrolled Lloyd iterations in DuckDB SQL (similarity_common.
+    kmeans_ctes) aggregated to the per-cell summary."""
+    ctes, _ = kmeans_ctes()
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
@@ -358,58 +247,13 @@ def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embedding corpus (Lloyd's algorithm,
     KMEANS_ROUNDS assignment rounds) — the production coarse-quantizer
     build for an IVF index when no labels exist (SCALE.md). Fully
-    deterministic: init centroids are vectors 0..K-1, assignment
-    ranks by 6-dp-rounded cosine with a min-cell tie-break, and
-    updated centroids are 6-dp-rounded per-dimension means — so the
-    whole iterative computation hash-matches the unrolled-SQL oracle.
-
-    Scale shape per round: one broadcast of the K×DIM centroid table
-    against a corpus scan (assignment) + one posexplode/aggregate
-    shuffle keyed on (cell, pos) (means). No vector visits the
-    driver; the loop is a fixed-depth plan, not a driver round-trip.
-    """
-    from pyspark.sql import Window as W
-
+    deterministic (similarity_common.kmeans_fit): init centroids are
+    vectors 0..K-1, assignment ranks by 6-dp-rounded cosine with a
+    min-cell tie-break, and updated centroids are 6-dp-rounded
+    per-dimension means — so the whole iterative computation
+    hash-matches the unrolled-SQL oracle."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cell"),
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double"), 6)
-        ).alias("cent"),
-    )
-    assigned = None
-    for r in range(1, KMEANS_ROUNDS + 1):
-        scored = emb.join(F.broadcast(cent)).select(
-            "vec_id",
-            "embedding",
-            "cell",
-            F.round(cosine_expr("embedding", "cent"), 6).alias("ccos"),
-        )
-        w = W.partitionBy("vec_id").orderBy(
-            F.col("ccos").desc(), F.col("cell").asc()
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cell")
-        )
-        if r < KMEANS_ROUNDS:
-            cent = (
-                assigned.select(
-                    "cell", F.posexplode("embedding").alias("pos", "v")
-                )
-                .groupBy("cell", "pos")
-                .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
-                .groupBy("cell")
-                .agg(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                        ),
-                        lambda s: s.m,
-                    ).alias("cent")
-                )
-            )
+    assigned, _ = kmeans_fit(emb)
     return assigned.groupBy("cell").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
@@ -508,15 +352,10 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NPROBE = 3  # IVF: search the query's 3 nearest cells
-
-
-_IVF_ORACLE = f"""
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ),
-    cent AS (
-      SELECT label, list(m ORDER BY pos) AS centroid
+_LABEL_CENT_CTES = [
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    f"""cent AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS cent
       FROM (
         SELECT label, i - 1 AS pos,
                round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
@@ -526,42 +365,21 @@ _IVF_ORACLE = f"""
         GROUP BY label, i
       )
       GROUP BY label
-    ),
-    ranked AS (
-      SELECT e.vec_id, e.emb, cent.label AS cand_cell,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round(list_cosine_similarity(e.emb, cent.centroid), 6) DESC,
-                        cent.label ASC
-             ) AS rn
-      FROM e CROSS JOIN cent
-    ),
-    cells AS (SELECT vec_id, emb, cand_cell AS cell FROM ranked WHERE rn = 1),
-    qprobes AS (
-      SELECT vec_id AS query_id, emb AS qe, cand_cell AS qcell
-      FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
-    ),
-    scored AS (
-      SELECT q.query_id, c.vec_id,
-             round(list_cosine_similarity(q.qe, c.emb), 6) AS cos
-      FROM qprobes q JOIN cells c
-        ON c.cell = q.qcell AND c.vec_id <> q.query_id
-    )
-    SELECT query_id, vec_id, cos
-    FROM scored
-    QUALIFY row_number() OVER (
-      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
-    ) <= 5
-"""
+    )""",
+]
 
 
-@query("similarity_ann_ivf_topk", oracle=_IVF_ORACLE)
+@query(
+    "similarity_ann_ivf_topk",
+    oracle=ivf_oracle_sql("cent", _LABEL_CENT_CTES),
+)
 def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest label
     centroid (coarse cell), then scored search only inside the
     query's NPROBE nearest cells (multi-probe). Two narrow passes +
     an equi-join on cell id — the centroid table is bounded
-    (n_labels × DIM) and broadcasts.
+    (n_labels × DIM) and broadcasts; the shared search body is
+    similarity_common.ivf_search.
 
     The index is DETERMINISTIC (centroids = per-label means rounded
     to 6 dp, assignment tie-broken on cell id), so although the
@@ -569,8 +387,6 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible — the oracle replicates the whole cell-restricted
     search and the rows value-hash-match. Recall vs exact top-k is
     exercised in tests/test_similarity.py."""
-    from pyspark.sql import Window as W
-
     emb = load_table(spark, sf_dir, "embeddings")
     # centroids pivoted back to arrays, driver-free: collect_list over
     # a (label, pos)-sorted struct. Components are rounded to 6 dp so
@@ -592,56 +408,4 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cand_cell"), "centroid")
     )
-    # rank cells per vector by cosine (deterministic tie-break on
-    # cell id); rn=1 is the vector's home cell, rn<=NPROBE are the
-    # query's probe cells. Persisted: both the cell assignment and
-    # the probe list consume it, and without the persist the whole
-    # broadcast-join + per-vector window runs twice (measured ~2× the
-    # query's cost at sf0.1). Size is n_vectors × n_cells ranking
-    # rows — the same order as the assignment output itself.
-    ranked = persist_tracked(
-        emb.join(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "embedding",
-            "cand_cell",
-            F.round(cosine_expr("embedding", "centroid"), 6).alias("ccos"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(
-                    F.col("ccos").desc(), F.col("cand_cell").asc()
-                )
-            ),
-        ),
-        "ivf_ranked_cells",
-        sf_dir,
-    )
-    cells = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "embedding", F.col("cand_cell").alias("cell")
-    )
-    qprobes = F.broadcast(
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("cand_cell").alias("qcell"),
-        )
-    )
-    scored = (
-        cells.join(
-            qprobes,
-            (cells.cell == qprobes.qcell) & (cells.vec_id != qprobes.query_id),
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_expr("qe", "embedding"), 6).alias("cos"),
-        )
-    )
-    w2 = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-    )
+    return ivf_search(emb, cent, "ivf_ranked_cells", sf_dir)

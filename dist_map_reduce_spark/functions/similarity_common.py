@@ -1,0 +1,336 @@
+"""Registration-free geometry/index helpers for the similarity family.
+
+Shared by ``functions/similarity.py`` (the seven registered fixture
+queries) and ``functions/similarity_ivf_kmeans.py`` (the k-means IVF
+search). Lives in its own module for the same reason as
+``dedup_common``: importing a module registers ALL its queries, so a
+new in-window module must be able to reuse the math without dragging
+the whole similarity family's registrations into the driver's 50-slot
+correctness window (registry.load_all ordering contract).
+
+Everything here is deterministic by construction — md5-derived
+hyperplanes, 6-dp-rounded cosines and means, id tie-breaks — so every
+index built from these helpers is exactly reproducible and
+oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 5  # query set: vec_id < 5
+K_CELLS = 8       # k-means cluster count
+KMEANS_ROUNDS = 3  # fixed assignment rounds (2 centroid updates)
+NPROBE = 3  # IVF: search the query's 3 nearest cells
+
+
+def _plane(j: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 — no RNG state, identical
+    in any engine that has md5."""
+    return [
+        1.0 if int(hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+        for d in range(DIM)
+    ]
+
+
+PLANES: list[list[float]] = [_plane(j) for j in range(N_PLANES)]
+
+
+def n_planes_for(corpus_size: int, target_bucket_size: int = 1024) -> int:
+    """Plane count that keeps expected bucket occupancy near
+    ``target_bucket_size``: ceil(log2(n / target)), floored at the
+    fixture constant N_PLANES. A fixed plane count is a scale bug —
+    at 10⁹ vectors 8 planes leave n/256 vectors per bucket, making
+    every probe linear in the corpus; with planes derived from n the
+    per-probe candidate set stays ~target_bucket_size regardless of
+    corpus size. See SCALE.md §sign-LSH for the full policy (and when
+    to prefer the IVF path instead)."""
+    if corpus_size <= target_bucket_size:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(corpus_size / target_bucket_size)))
+
+
+def _dot_expr(vec_col: str, weights: list[float]) -> Column:
+    arr = ", ".join(f"{w}D" for w in weights)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, array({arr}), (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" 0D, (a, v) -> a + v)"
+    )
+
+
+def bucket_col(vec_col: str, n_planes: int = N_PLANES) -> Column:
+    """Sign-LSH bucket id: bit j = (v · plane_j) > 0. Planes beyond
+    the precomputed fixture set are derived on demand (same md5
+    scheme), so any ``n_planes_for``-chosen count works; >31 planes
+    widen the id to bigint."""
+    out = F.lit(0).cast("bigint" if n_planes > 31 else "int")
+    for j in range(n_planes):
+        plane = PLANES[j] if j < len(PLANES) else _plane(j)
+        out = out + F.when(_dot_expr(vec_col, plane) > 0, F.lit(1 << j)).otherwise(0)
+    return out.cast("bigint" if n_planes > 31 else "int")
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_sql(j)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"({bits})"
+
+
+def _plane_sql(j: int) -> str:
+    return "[" + ", ".join(str(w) for w in PLANES[j]) + "]::DOUBLE[]"
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array columns, computed in float64
+    (matches DuckDB list_cosine_similarity on DOUBLE[] exactly up to
+    the final rounding)."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            f" 0D, (acc, v) -> acc + v)"
+        )
+    )
+    nb = F.sqrt(
+        F.expr(
+            f"aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            f" 0D, (acc, v) -> acc + v)"
+        )
+    )
+    return dot / (na * nb)
+
+
+def probe_masks(n_planes: int) -> list[int]:
+    """Multi-probe masks: the query's own bucket plus every bucket at
+    Hamming distance 1 (one hyperplane sign flipped) — the standard
+    recall/cost knob for sign-LSH; candidate work stays proportional
+    to (1 + n_planes) buckets, never the corpus."""
+    return [0] + [1 << j for j in range(n_planes)]
+
+
+PROBE_MASKS: list[int] = probe_masks(N_PLANES)
+
+
+def kmeans_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over (vec_id, embedding): KMEANS_ROUNDS
+    assignment rounds from the deterministic init (centroids =
+    vectors 0..K_CELLS-1, 6-dp rounded). Returns ``(assigned,
+    centroids)`` — the final (vec_id, embedding, cell) assignment and
+    the (cell, cent) table it was assigned against.
+
+    Fully deterministic: assignment ranks by 6-dp-rounded cosine with
+    a min-cell tie-break and updated centroids are 6-dp-rounded
+    per-dimension means, so the whole iterative computation
+    hash-matches an unrolled-SQL oracle (``kmeans_ctes``).
+
+    Scale shape per round: one broadcast of the K×DIM centroid table
+    against a corpus scan (assignment) + one posexplode/aggregate
+    shuffle keyed on (cell, pos) (means). No vector visits the
+    driver; the loop is a fixed-depth plan, not a driver round-trip.
+    """
+    from pyspark.sql import Window as W
+
+    cent = emb.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), 6)
+        ).alias("cent"),
+    )
+    assigned = None
+    for r in range(1, KMEANS_ROUNDS + 1):
+        scored = emb.join(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(cosine_expr("embedding", "cent"), 6).alias("ccos"),
+        )
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cell").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+        if r < KMEANS_ROUNDS:
+            cent = (
+                assigned.select(
+                    "cell", F.posexplode("embedding").alias("pos", "v")
+                )
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                        ),
+                        lambda s: s.m,
+                    ).alias("cent")
+                )
+            )
+    return assigned, cent
+
+
+def kmeans_ctes() -> tuple[list[str], str]:
+    """The unrolled Lloyd iterations as DuckDB CTEs — same
+    deterministic init/assignment/means as ``kmeans_fit``. Returns
+    ``(ctes, final_centroid_cte)`` where the final centroid CTE
+    (c{KMEANS_ROUNDS-1}) is the table the last assignment round
+    a{KMEANS_ROUNDS} ran against."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"""c0 AS (
+          SELECT vec_id AS cell, list_transform(emb, x -> round(x, 6)) AS cent
+          FROM e WHERE vec_id < {K_CELLS}
+        )""",
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        ctes.append(f"""a{r} AS (
+          SELECT vec_id, emb, cell FROM (
+            SELECT e.vec_id, e.emb, c.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.emb, c.cent), 6) DESC,
+                              c.cell ASC
+                   ) AS rn
+            FROM e CROSS JOIN c{r - 1} c
+          ) WHERE rn = 1
+        )""")
+        if r < KMEANS_ROUNDS:
+            ctes.append(f"""c{r} AS (
+          SELECT cell, list(m ORDER BY pos) AS cent FROM (
+            SELECT cell, i - 1 AS pos, round(avg(emb[i]), 6) AS m
+            FROM a{r}, LATERAL (
+              SELECT unnest(generate_series(1, {DIM})) AS i
+            ) t
+            GROUP BY cell, i
+          )
+          GROUP BY cell
+        )""")
+    return ctes, f"c{KMEANS_ROUNDS - 1}"
+
+
+def ivf_search(emb: DataFrame, cent: DataFrame, slot: str, sf_dir: str) -> DataFrame:
+    """IVF cell-restricted ANN search shared by the label-centroid and
+    k-means variants: rank every vector's cells by 6-dp-rounded
+    cosine against the (bounded, broadcast) centroid table ``cent``
+    (columns cand_cell, centroid), assign each vector to its rn=1
+    home cell, and score queries only against their NPROBE nearest
+    cells; top-5 per query with deterministic tie-breaks.
+
+    The persisted ranking keeps only (vec_id, cand_cell, rn) rows at
+    rn ≤ NPROBE — both consumers (assignment and probe list) re-join
+    the embedding column from the corpus scan, so the cache holds
+    three small ints per vector instead of n_cells copies of every
+    embedding (the footprint the round-5 advice flagged). The
+    assignment re-join is an equi-join on vec_id between two
+    corpus-sized sides — co-partitionable at scale, and cheaper than
+    caching n_cells× the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    from dist_map_reduce_spark.caching import persist_tracked
+
+    ranked = persist_tracked(
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cand_cell",
+            F.round(cosine_expr("embedding", "centroid"), 6).alias("ccos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), F.col("cand_cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= NPROBE)
+        .select("vec_id", "cand_cell", "rn"),
+        slot,
+        sf_dir,
+    )
+    cells = emb.select("vec_id", "embedding").join(
+        ranked.filter(F.col("rn") == 1).select(
+            "vec_id", F.col("cand_cell").alias("cell")
+        ),
+        "vec_id",
+    )
+    q_emb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qprobes = F.broadcast(
+        ranked.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cand_cell").alias("qcell"),
+        )
+        .join(q_emb, "query_id")
+    )
+    scored = cells.join(
+        qprobes,
+        (cells.cell == qprobes.qcell) & (cells.vec_id != qprobes.query_id),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr("qe", "embedding"), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+def ivf_oracle_sql(cent_cte: str, extra_ctes: list[str] | None = None) -> str:
+    """The IVF search as DuckDB SQL, parameterized on the centroid
+    CTE name (columns cell, cent) — mirrors ``ivf_search`` exactly.
+    ``extra_ctes`` precede the search CTEs (e.g. the unrolled k-means
+    build); an ``e`` CTE of (vec_id, emb DOUBLE[]) must be present or
+    included there."""
+    ctes = list(extra_ctes or [])
+    ctes.append(f"""ranked AS (
+      SELECT e.vec_id, e.emb, c.cell AS cand_cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.emb, c.cent), 6) DESC,
+                        c.cell ASC
+             ) AS rn
+      FROM e CROSS JOIN {cent_cte} c
+    )""")
+    ctes.append("cells AS (SELECT vec_id, emb, cand_cell AS cell FROM ranked WHERE rn = 1)")
+    ctes.append(f"""qprobes AS (
+      SELECT vec_id AS query_id, emb AS qe, cand_cell AS qcell
+      FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+    )""")
+    ctes.append("""scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(q.qe, c.emb), 6) AS cos
+      FROM qprobes q JOIN cells c
+        ON c.cell = q.qcell AND c.vec_id <> q.query_id
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT query_id, vec_id, cos
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) <= 5
+    """
+    )

@@ -3,9 +3,8 @@
 The classic warehouse analysis: rank entities by a measure, compute
 each entity's cumulative share of the total, and classify A (the
 entities covering the first ~80% of the measure), B (to ~95%), C
-(the tail). Registration-free library entry point for now (the
-50-slot correctness window is full this round); an oracle query over
-customers-by-acctbal is a natural round-6 registration.
+(the tail). ``contribution_abc_customers`` is the registered oracle
+query (customers by positive account balance).
 
 Scale posture: ABC runs on AGGREGATED entities (parts, customers,
 SKUs) — never on a raw fact table (a global window over facts is the
@@ -19,8 +18,11 @@ partitioning, so classification adds one exchange over the input.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.registry import query
 
 
 def abc_classification(
@@ -42,6 +44,19 @@ def abc_classification(
     crosses a threshold belongs to the class it completes (on truly
     Pareto data a 96%-of-total top entity must be 'A', which an
     inclusive-share test would put in the tail class).
+
+    Precondition: ``measure`` must be non-negative with a positive
+    per-partition total. A zero total makes every share null (all
+    rows fall through to 'C'), and negative measures break the
+    monotonicity of ``cum_share`` that the A/B/C thresholds assume —
+    filter or split signed measures before classifying.
+
+    Engine-reproducibility: the running and whole-partition sums are
+    taken on the measure as-is (DECIMAL inputs accumulate exactly),
+    and only the final share is computed in float64 — one division of
+    two exact values, so with a DECIMAL measure every share (hence
+    every label) is bit-identical across engines regardless of
+    aggregation association order.
     """
     parts = [F.col(c) for c in (by or [])]
     order = [F.col(measure).desc(), F.col(tie_break) if isinstance(tie_break, str) else tie_break]
@@ -50,12 +65,66 @@ def abc_classification(
     )
     whole = Window.partitionBy(*parts)
     a_cut, b_cut = thresholds
-    total = F.sum(measure).over(whole)
+    total = F.sum(measure).over(whole).cast("double")
     cum = F.sum(measure).over(running)
-    prev_share = (cum - F.col(measure)) / total
-    return df.withColumn("cum_share", cum / total).withColumn(
+    prev_share = (cum - F.col(measure)).cast("double") / total
+    return df.withColumn("cum_share", cum.cast("double") / total).withColumn(
         label_col,
         F.when(prev_share < a_cut, "A")
         .when(prev_share < b_cut, "B")
         .otherwise("C"),
+    )
+
+
+@query(
+    "contribution_abc_customers",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_custkey,
+           round(
+             CAST(sum(bal) OVER run AS DOUBLE)
+               / CAST(sum(bal) OVER () AS DOUBLE), 6
+           ) AS cum_share,
+           CASE
+             WHEN CAST(sum(bal) OVER run - bal AS DOUBLE)
+                    / CAST(sum(bal) OVER () AS DOUBLE) < 0.80 THEN 'A'
+             WHEN CAST(sum(bal) OVER run - bal AS DOUBLE)
+                    / CAST(sum(bal) OVER () AS DOUBLE) < 0.95 THEN 'B'
+             ELSE 'C'
+           END AS abc_class
+    FROM c
+    WINDOW run AS (
+      ORDER BY bal DESC, c_custkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def contribution_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of customers by positive account
+    balance: each customer's cumulative share of total balance and
+    the A/B/C class it falls in. The positive-balance filter
+    satisfies the operator's non-negative-measure precondition
+    (TPC-H acctbal can run to -999.99); the DECIMAL(18,2) cast makes
+    both engines' window sums exact so shares hash-match.
+
+    Scale posture: runs on the ENTITY table (customers), never raw
+    facts; the single-partition ranking window is acceptable only
+    because the input is aggregate-sized — at 100 TB classify within
+    ``by`` partitions (see abc_classification docstring).
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+        )
+    )
+    out = abc_classification(cust, "bal", "c_custkey")
+    return out.select(
+        "c_custkey",
+        F.round("cum_share", 6).alias("cum_share"),
+        "abc_class",
     )

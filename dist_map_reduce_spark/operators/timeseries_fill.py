@@ -126,18 +126,79 @@ def _filled_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(obs, ["event_type", "bucket"], "left")
 
 
+@query(
+    "events_resample_5m_interp",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+             count(*) AS n_obs,
+             {sum_money("value", "s")}
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', min(ts)) AS b0,
+             time_bucket(INTERVAL '5 minutes', max(ts)) AS b1
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(b0, b1, INTERVAL 5 MINUTE)) AS bucket
+      FROM rng
+    ),
+    filled AS (
+      SELECT sp.event_type, sp.bucket, o.n_obs, o.s,
+             CAST(epoch(sp.bucket) / 300 AS BIGINT) AS i
+      FROM spine sp
+      LEFT JOIN obs o
+        ON o.event_type = sp.event_type AND o.bucket = sp.bucket
+    ),
+    edges AS (
+      SELECT event_type, bucket, n_obs, s, i,
+             last_value(s IGNORE NULLS) OVER back AS prev_s,
+             last_value(CASE WHEN n_obs IS NOT NULL THEN i END IGNORE NULLS)
+               OVER back AS prev_i,
+             first_value(s IGNORE NULLS) OVER fwd AS next_s,
+             first_value(CASE WHEN n_obs IS NOT NULL THEN i END IGNORE NULLS)
+               OVER fwd AS next_i
+      FROM filled
+      WINDOW back AS (
+        PARTITION BY event_type ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ),
+      fwd AS (
+        PARTITION BY event_type ORDER BY bucket
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+      )
+    )
+    SELECT event_type,
+           bucket AS bucket_start,
+           CAST(COALESCE(n_obs, 0) AS BIGINT) AS n,
+           CASE
+             WHEN n_obs IS NOT NULL THEN CAST(s AS DOUBLE)
+             WHEN next_s IS NULL THEN CAST(prev_s AS DOUBLE)
+             ELSE CAST(prev_s AS DOUBLE)
+                  + (CAST(next_s AS DOUBLE) - CAST(prev_s AS DOUBLE))
+                    * ((i - prev_i) / (next_i - prev_i))
+           END AS sum_interp
+    FROM edges
+    """,
+)
 def resample_5m_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation variant of the gap fill: an empty bucket
     takes the straight line between the previous and next OBSERVED
     bucket sums (tail gaps fall back to LOCF — there is no next
-    observation to interpolate toward). Library entry point (not yet
-    a registered oracle query); same spine-sized cost model as LOCF —
-    the backward and forward scans are two frames over ONE
+    observation to interpolate toward). Same spine-sized cost model
+    as LOCF — the backward and forward scans are two frames over ONE
     (series-partitioned, bucket-sorted) exchange.
 
-    The interpolation weight is a ratio of exact bucket indices and
-    the arithmetic is plain IEEE doubles evaluated identically per
-    row, so the result is deterministic and engine-reproducible."""
+    The interpolation weight is a ratio of exact bucket indices, the
+    endpoint sums are exact DECIMALs converted to float64 BEFORE the
+    endpoint difference (the oracle mirrors the conversion points
+    exactly), and the remaining arithmetic is plain IEEE doubles
+    evaluated identically per row — deterministic and
+    engine-reproducible with no rounding step."""
     filled = _filled_spine(spark, sf_dir).withColumn(
         "i", (F.unix_timestamp("bucket") / 300).cast("long")
     )
@@ -155,12 +216,12 @@ def resample_5m_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_i", F.first(obs_i, ignorenulls=True).over(fwd))
     )
     frac = (F.col("i") - F.col("prev_i")) / (F.col("next_i") - F.col("prev_i"))
+    prev_d = F.col("prev_s").cast("double")
+    next_d = F.col("next_s").cast("double")
     interp = (
-        F.when(F.col("n_obs").isNotNull(), F.col("s"))
-        .when(F.col("next_s").isNull(), F.col("prev_s"))
-        .otherwise(
-            F.col("prev_s") + (F.col("next_s") - F.col("prev_s")) * frac
-        )
+        F.when(F.col("n_obs").isNotNull(), F.col("s").cast("double"))
+        .when(F.col("next_s").isNull(), prev_d)
+        .otherwise(prev_d + (next_d - prev_d) * frac)
     )
     return df.select(
         "event_type",

@@ -45,54 +45,54 @@ def load_all() -> None:
     records correctness rows for the first 50 registrations per
     round, so modules rotate toward the stalest driver stamps (the
     guard tests in tests/test_registry.py derive staleness from the
-    CORRECTNESS_r*.json files on disk). Round 5: the 10 streaming
-    queries first (read_events_stream changed this round — the
-    NTZ→TIMESTAMP fix — and their r3 stamps predate the Spark 4.1.2
-    environment), then relational (its 13 join/distinct/rollup/pivot
-    queries still carry round-1 stamps; q1/q3/q5/q6 re-confirm), then
-    the r2-stamped families tpch_more, subqueries, arrays_maps, skew,
-    bucketing, then the four queries NEW in r5 (never stamped) closing
-    the window. Eleven r2-stamped queries spill to round 6: etl's two,
-    text_chunk_windows, and the text family.
+    CORRECTNESS_r*.json files on disk). Round 6: the eleven r2-stamped
+    queries first (etl's two, chunking, the text family — last driver
+    check four rounds and three refactor waves ago), then every
+    r3-stamped family (curation, graph, multimodal_ext, packing,
+    python_udfs, approx, json_ops, scd, tpch_full — 33 queries), then
+    the queries NEW this round (never stamped): contribution's ABC,
+    timeseries_fill's interp variant (its LOCF sibling r5-stamped
+    rides along), and the k-means IVF search. 48 slots used; after
+    this round nothing outside the window is older than r4.
     """
     # --- inside the 50-slot correctness window (slots 1-50) ---
-    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401  (10: 1-10)
-    from dist_map_reduce_spark.operators import relational  # noqa: F401  (17: 11-27)
-    from dist_map_reduce_spark.operators import tpch_more  # noqa: F401  (6: 28-33)
-    from dist_map_reduce_spark.operators import subqueries  # noqa: F401  (5: 34-38)
-    from dist_map_reduce_spark.operators import arrays_maps  # noqa: F401  (6: 39-44)
-    from dist_map_reduce_spark.operators import skew  # noqa: F401  (1: 45)
-    from dist_map_reduce_spark.operators import bucketing  # noqa: F401  (1: 46)
-    # new in r5 (never stamped — must be inside the window)
-    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401  (1: 47)
-    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401  (1: 48)
-    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (1: 49)
-    from dist_map_reduce_spark.operators import cohorts  # noqa: F401  (1: 50)
-    # etl (2, r2) plus chunking + text's 9 r2-stamped queries spill
-    # past the window — round 6's rotation
-    from dist_map_reduce_spark.operators import etl  # noqa: F401
-    from dist_map_reduce_spark.functions import chunking  # noqa: F401
-    from dist_map_reduce_spark.functions import text  # noqa: F401
-    # --- outside the window: driver-green in r3/r4, unchanged ---
+    from dist_map_reduce_spark.operators import etl  # noqa: F401  (2: 1-2)
+    from dist_map_reduce_spark.functions import chunking  # noqa: F401  (1: 3)
+    from dist_map_reduce_spark.functions import text  # noqa: F401  (8: 4-11)
+    from dist_map_reduce_spark.functions import curation  # noqa: F401  (5: 12-16)
+    from dist_map_reduce_spark.functions import graph  # noqa: F401  (1: 17)
+    from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401  (3: 18-20)
+    from dist_map_reduce_spark.functions import packing  # noqa: F401  (2: 21-22)
+    from dist_map_reduce_spark.functions import python_udfs  # noqa: F401  (2: 23-24)
+    from dist_map_reduce_spark.operators import approx  # noqa: F401  (4: 25-28)
+    from dist_map_reduce_spark.operators import json_ops  # noqa: F401  (4: 29-32)
+    from dist_map_reduce_spark.operators import scd  # noqa: F401  (5: 33-37)
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 38-44)
+    # new in r6 (never stamped — must be inside the window)
+    from dist_map_reduce_spark.operators import contribution  # noqa: F401  (1: 45)
+    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (2: 46-47)
+    from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401  (1: 48)
+    # --- outside the window: driver-green in r4/r5, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
         clustering,
-        curation,
-        graph,
-        multimodal_ext,
-        packing,
-        python_udfs,
+        dedup_simhash,
         similarity,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
-        approx,
-        json_ops,
+        arrays_maps,
+        bucketing,
+        cohorts,
+        relational,
         scalar_fns,
-        scd,
         setops,
+        skew,
         sources_sinks,
+        sources_sinks_orc,
         stats,
+        subqueries,
         timeseries,
-        tpch_full,
+        tpch_more,
         windows,
         wordcount,
     )
+    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401

@@ -152,9 +152,19 @@ class ParquetAppendSink:
     """Scalable append-mode sink: executors write result files under
     ``base_dir/<name>`` with a streaming checkpoint for exactly-once
     file commits. No driver-side state — output cost scales with the
-    emitted rows, not the keyspace."""
+    emitted rows, not the keyspace.
+
+    ``resume=True`` keeps the existing output/checkpoint pair, so the
+    run continues from the committed offsets (the production
+    restart-after-crash path: only uncommitted input is processed,
+    and the read-back sees each input row's output exactly once via
+    the file sink's _spark_metadata commit log). The default is a
+    fresh replay — fixture pipelines are rerun on identical input,
+    where a surviving checkpoint would mark everything committed and
+    emit nothing into the freshly-cleared output dir."""
 
     base_dir: str
+    resume: bool = False
 
     def run(self, df: DataFrame, name: str, output_mode: str) -> DataFrame:
         if output_mode != "append":
@@ -163,13 +173,13 @@ class ParquetAppendSink:
                 "pipelines bind ForeachBatchMergeSink"
             )
         path = os.path.join(self.base_dir, name)
-        # drop output AND checkpoint together: a surviving checkpoint
-        # marks the source offsets committed, so a rerun would emit
-        # nothing into the freshly-cleared output dir (in production
-        # the pair persists together and the checkpoint provides
-        # exactly-once resume; here each invocation is a fresh replay)
-        shutil.rmtree(path, ignore_errors=True)
-        shutil.rmtree(path + "_ckpt", ignore_errors=True)
+        if not self.resume:
+            # drop output AND checkpoint together: a surviving
+            # checkpoint marks the source offsets committed, so a
+            # rerun would emit nothing into the freshly-cleared
+            # output dir
+            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(path + "_ckpt", ignore_errors=True)
         q = (
             df.writeStream.outputMode("append")
             .format("parquet")
@@ -179,7 +189,17 @@ class ParquetAppendSink:
             .start()
         )
         q.awaitTermination()
-        return df.sparkSession.read.schema(df.schema).parquet(path)
+        spark = df.sparkSession
+        # a watermarked append stream can legitimately emit ZERO rows
+        # (input span shorter than one window ⇒ every window withheld
+        # at availableNow): no parquet files exist then, and a bare
+        # read would raise PATH_NOT_FOUND instead of an empty result
+        wrote_files = os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+        if not wrote_files:
+            return spark.createDataFrame([], df.schema)
+        return spark.read.schema(df.schema).parquet(path)
 
 
 @dataclass(frozen=True)
@@ -195,10 +215,29 @@ class ForeachBatchMergeSink:
     keys: tuple[str, ...]
 
     def run(self, df: DataFrame, name: str, output_mode: str) -> DataFrame:
+        """Drive ``df`` to completion, merging each micro-batch into
+        the keyed target.
+
+        CONTRACT: the stream always runs in 'update' mode and the
+        merge is last-write-wins per ``keys`` — correct exactly when
+        emitted rows carry CUMULATIVE values keyed by ``keys`` (i.e.
+        ``keys`` equals the pipeline's grouping columns, the shape of
+        every registered complete/update pipeline). A pipeline whose
+        'complete' result is not a keyed cumulative aggregate, or
+        whose grouping differs from the bound ``keys``, must bind a
+        different sink — the guard below rejects batches whose key
+        columns are not all present."""
         if output_mode not in ("complete", "update"):
             raise ValueError(
                 "ForeachBatchMergeSink serves complete/update modes; "
                 "append pipelines bind ParquetAppendSink"
+            )
+        missing = [k for k in self.keys if k not in df.columns]
+        if missing:
+            raise ValueError(
+                f"ForeachBatchMergeSink keys {missing} absent from the "
+                f"pipeline's output columns {df.columns} — the merge "
+                "would not be keyed by the aggregate's grouping"
             )
         base = os.path.join(self.base_dir, name)
         shutil.rmtree(base, ignore_errors=True)

@@ -180,3 +180,58 @@ def test_streaming_sessions_subset_of_batch(spark):
     )
     assert set(canon_rows(emitted)) <= set(canon_rows(batch))
     assert len(emitted) > 0
+
+
+def test_parquet_append_sink_zero_emission_returns_empty(spark):
+    """A watermarked append stream whose input spans less than one
+    window emits NOTHING at availableNow (every window withheld by
+    the watermark): the sink must return an empty DataFrame with the
+    pipeline's schema, not raise PATH_NOT_FOUND on the unwritten
+    output dir."""
+    import os
+
+    staged = _scratch(SF_SMOKE, "events_one_window")
+    if not os.path.isdir(staged):
+        ev = load_table(spark, SF_SMOKE, "events")
+        lo = ev.agg(F.min("ts")).collect()[0][0]
+        ev.filter(
+            F.col("ts") < F.lit(lo) + F.expr("INTERVAL 10 MINUTES")
+        ).write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(staged)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    append = pipelines.ParquetAppendSink(
+        base_dir=_scratch(SF_SMOKE, "append_sink_empty")
+    )
+    out = append.run(agg, "zero_emission", "append")
+    assert out.count() == 0
+    assert out.columns == ["window_start", "event_type", "n"]
+
+
+def test_merge_sink_rejects_mismatched_keys(spark):
+    """The merge sink's last-write-wins contract requires its keys to
+    be the pipeline's grouping columns — binding it with keys absent
+    from the output must fail loudly, not silently mis-merge."""
+    import pytest
+
+    from dist_map_reduce_spark.catalog import table_path
+
+    merge = pipelines.ForeachBatchMergeSink(
+        base_dir=_scratch(SF_SMOKE, "merge_sink_badkeys"),
+        keys=("not_a_column",),
+    )
+    path = table_path(SF_SMOKE, "events")
+    agg = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .format("parquet")
+        .load(path)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    with pytest.raises(ValueError, match="not_a_column"):
+        merge.run(agg, "badkeys", "update")

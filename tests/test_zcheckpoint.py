@@ -31,3 +31,70 @@ def test_reliable_checkpoint_dir_is_used_when_set(spark, tmp_path_factory):
     assert after == before
     rdd_dirs = list(Path(ckdir).glob("*/rdd-*"))
     assert rdd_dirs, "no reliable checkpoint data written under the set dir"
+
+
+def test_append_sink_checkpoint_recovery_exactly_once(spark):
+    """Streaming restart-after-crash through ParquetAppendSink: an
+    availableNow run consumes the input available at start and stops;
+    a later run bound to the SAME checkpoint must process ONLY input
+    committed after the first run's offsets — each input row appears
+    in the committed output exactly once, never replayed. This is the
+    engine-fidelity analog of the reference's one fault-tolerance
+    mechanism (timeout re-queue of unfinished tasks,
+    src/master/master.go:251-271): Spark re-executes uncommitted
+    work from the checkpoint instead of a master re-queuing it, and
+    the file sink's _spark_metadata commit log makes re-execution
+    invisible to readers.
+
+    Deterministic by construction: the 'crash' is the boundary
+    between two availableNow runs (first drains chunk A, second
+    starts with chunk B added), so no mid-batch kill race decides
+    what was committed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.scratch import scratch_path as _scratch
+    from dist_map_reduce_spark.streaming import pipelines
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    staged = _scratch(SF_SMOKE, "events_recovery_staged")
+    base = _scratch(SF_SMOKE, "append_sink_recovery")
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+
+    chunk_a = ev.filter(F.col("event_id") % 2 == 0)
+    chunk_b = ev.filter(F.col("event_id") % 2 == 1)
+    chunk_a.write.mode("overwrite").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+
+    def run(sink):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(staged)
+        )
+        return sink.run(stream, "recovery", "append")
+
+    first = run(pipelines.ParquetAppendSink(base_dir=base))
+    n_a = first.count()
+    assert n_a == chunk_a.count()
+
+    # "crash" boundary: first run is gone; new input lands
+    chunk_b.write.mode("append").parquet(staged)
+
+    resumed = run(pipelines.ParquetAppendSink(base_dir=base, resume=True))
+    got = resumed.groupBy().agg(
+        F.count("*").alias("n"),
+        F.count_distinct("event_id").alias("n_ids"),
+    ).collect()[0]
+    total = ev.count()
+    assert got.n == total, "resume lost or replayed committed input"
+    assert got.n_ids == total, "duplicate event rows after resume"
