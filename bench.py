@@ -55,6 +55,10 @@ HEADLINE = [
     "simhash_hamming_neardup",
     "sink_orc_roundtrip_agg",
     "events_resample_5m_locf",
+    # r6 additions: the three operators registered this round
+    "events_resample_5m_interp",
+    "contribution_abc_customers",
+    "similarity_ann_ivf_kmeans_topk",
 ]
 
 
