@@ -59,6 +59,7 @@ HEADLINE = [
     "events_resample_5m_interp",
     "contribution_abc_customers",
     "similarity_ann_ivf_kmeans_topk",
+    "text_bpe_pretoken_counts",
 ]
 
 

@@ -72,6 +72,7 @@ def load_all() -> None:
     from dist_map_reduce_spark.operators import contribution  # noqa: F401  (1: 45)
     from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (2: 46-47)
     from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401  (1: 48)
+    from dist_map_reduce_spark.functions import text_bpe  # noqa: F401  (1: 49)
     # --- outside the window: driver-green in r4/r5, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
         clustering,

@@ -77,3 +77,37 @@ def test_kmeans_cells_partition_corpus(spark):
     assert cells.n_vectors.sum() == n_vecs
     assert len(cells) <= K_CELLS
     assert (cells.min_vec_id >= 0).all()
+
+
+def test_ivf_kmeans_agrees_with_build_and_scores(spark):
+    """The k-means IVF search must score only vectors whose k-means
+    home cell is one of the query's probe cells, with the same
+    invariants as the label-IVF path (≤5 per query, no self-match,
+    scores in [-1, 1])."""
+    got = registry.QUERIES["similarity_ann_ivf_kmeans_topk"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert len(got) > 0
+    assert got.groupby("query_id").size().max() <= 5
+    assert got.cos.between(-1, 1).all()
+    assert (got.query_id != got.vec_id).all()
+
+
+def test_ivf_ranking_cache_is_slim(spark):
+    """The round-5 minhash bench regression was executor-memory
+    pressure from the IVF ranking cache holding n_cells copies of
+    every embedding. Guard the fix structurally: after an IVF run,
+    the persisted ranking slot must contain NO array column and only
+    probe-depth rows (rn <= NPROBE per vector)."""
+    from dist_map_reduce_spark import caching
+    from dist_map_reduce_spark.functions.similarity_common import NPROBE
+
+    registry.QUERIES["similarity_ann_ivf_topk"](spark, SF_SMOKE).count()
+    cached = caching.peek("ivf_ranked_cells", SF_SMOKE)
+    assert cached is not None, "IVF ranking slot not populated"
+    kinds = [f.dataType.typeName() for f in cached.schema.fields]
+    assert "array" not in kinds, (
+        f"IVF ranking cache carries an array column again: {cached.schema}"
+    )
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert cached.count() <= n_vecs * NPROBE

@@ -66,3 +66,49 @@ def test_unicode_tokenizer_matches_duckdb_re2(spark, duck):
         if word != ""
     }
     assert spark_tokens == duck_tokens
+
+
+def test_bpe_pretokenizer_arms_java_equals_re2(spark):
+    """The fixture corpus is ASCII word soup, so the oracle parity
+    check for text_bpe_pretoken_counts never exercises contractions,
+    Unicode letter runs, digit runs, or punctuation runs. Pin the
+    split on crafted inputs: expected token lists, and Java-regex ≡
+    DuckDB-RE2 agreement on the same strings (the premise of the
+    oracle)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.functions.text_bpe import PRETOKEN_PATTERN
+
+    texts = [
+        (1, "don't we'll I'm it's"),
+        (2, "Café costs 42 euros—really?!"),
+        (3, "Привет мир 3.14"),
+        (4, "  double  spaces  "),
+        (5, "漢字42字 mixed"),
+    ]
+    expected = {
+        1: ["don", "'t", " we", "'ll", " I", "'m", " it", "'s"],
+        2: ["Café", " costs", " 42", " euros", "—", "really", "?!"],
+        3: ["Привет", " мир", " 3", ".", "14"],
+        4: ["  ", "double", "  ", "spaces", "  "],
+        5: ["漢字", "42", "字", " mixed"],
+    }
+    df = spark.createDataFrame(texts, "doc_id int, text string").select(
+        "doc_id",
+        F.regexp_extract_all(
+            "text", F.lit(PRETOKEN_PATTERN), F.lit(0)
+        ).alias("toks"),
+    )
+    got_spark = {r.doc_id: r.toks for r in df.collect()}
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    sql_pat = PRETOKEN_PATTERN.replace("'", "''")
+    got_duck = {
+        i: con.execute(
+            f"SELECT regexp_extract_all(?, '{sql_pat}')", [t]
+        ).fetchone()[0]
+        for i, t in texts
+    }
+    assert got_duck == expected
