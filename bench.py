@@ -55,11 +55,15 @@ HEADLINE = [
     "simhash_hamming_neardup",
     "sink_orc_roundtrip_agg",
     "events_resample_5m_locf",
-    # r6 additions: the three operators registered this round
+    # r6 additions: corpus-statistic + robust-stats operators
     "events_resample_5m_interp",
     "contribution_abc_customers",
     "similarity_ann_ivf_kmeans_topk",
     "text_bpe_pretoken_counts",
+    "text_dup_ngram_fraction",
+    "lm_unigram_doc_scores",
+    "stats_mad_outliers_events",
+    "similarity_ann_pq_adc_topk",
 ]
 
 

@@ -47,13 +47,18 @@ def load_all() -> None:
     guard tests in tests/test_registry.py derive staleness from the
     CORRECTNESS_r*.json files on disk). Round 6: the eleven r2-stamped
     queries first (etl's two, chunking, the text family — last driver
-    check four rounds and three refactor waves ago), then every
-    r3-stamped family (curation, graph, multimodal_ext, packing,
-    python_udfs, approx, json_ops, scd, tpch_full — 33 queries), then
-    the queries NEW this round (never stamped): contribution's ABC,
-    timeseries_fill's interp variant (its LOCF sibling r5-stamped
-    rides along), and the k-means IVF search. 48 slots used; after
-    this round nothing outside the window is older than r4.
+    check four rounds and three refactor waves ago), then the
+    r3-stamped families minus ``approx`` (curation, graph,
+    multimodal_ext, packing, python_udfs, json_ops, scd, tpch_full —
+    29 queries), then the queries NEW this round (never stamped):
+    contribution's ABC, timeseries_fill's interp variant (its LOCF
+    sibling r5-stamped rides along), the k-means IVF search, the BPE
+    pre-tokenizer, and the r6 additions (dup-ngram fraction, unigram
+    LM scores, MAD outliers, PQ-ADC search). ``approx`` (4 queries,
+    r3-stamped) rotated OUT to make room — its first registration
+    (approx_percentile_prices) still lands at slot 50; the other
+    three are first in line for the r7 window, together with
+    whatever r6 leaves stale.
     """
     # --- inside the 50-slot correctness window (slots 1-50) ---
     from dist_map_reduce_spark.operators import etl  # noqa: F401  (2: 1-2)
@@ -64,16 +69,20 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401  (3: 18-20)
     from dist_map_reduce_spark.functions import packing  # noqa: F401  (2: 21-22)
     from dist_map_reduce_spark.functions import python_udfs  # noqa: F401  (2: 23-24)
-    from dist_map_reduce_spark.operators import approx  # noqa: F401  (4: 25-28)
-    from dist_map_reduce_spark.operators import json_ops  # noqa: F401  (4: 29-32)
-    from dist_map_reduce_spark.operators import scd  # noqa: F401  (5: 33-37)
-    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 38-44)
-    # new in r6 (never stamped — must be inside the window)
-    from dist_map_reduce_spark.operators import contribution  # noqa: F401  (1: 45)
-    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (2: 46-47)
-    from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401  (1: 48)
-    from dist_map_reduce_spark.functions import text_bpe  # noqa: F401  (1: 49)
+    from dist_map_reduce_spark.operators import json_ops  # noqa: F401  (4: 25-28)
+    from dist_map_reduce_spark.operators import scd  # noqa: F401  (5: 29-33)
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 34-40)
+    # new in r5/r6 (freshly stamped or never stamped — stay inside)
+    from dist_map_reduce_spark.operators import contribution  # noqa: F401  (1: 41)
+    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (2: 42-43)
+    from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401  (1: 44)
+    from dist_map_reduce_spark.functions import text_bpe  # noqa: F401  (1: 45)
+    from dist_map_reduce_spark.functions import text_dupngrams  # noqa: F401  (1: 46)
+    from dist_map_reduce_spark.functions import lm_score  # noqa: F401  (1: 47)
+    from dist_map_reduce_spark.operators import stats_robust  # noqa: F401  (1: 48)
+    from dist_map_reduce_spark.functions import similarity_pq  # noqa: F401  (1: 49)
     # --- outside the window: driver-green in r4/r5, unchanged ---
+    from dist_map_reduce_spark.operators import approx  # noqa: F401
     from dist_map_reduce_spark.functions import (  # noqa: F401
         clustering,
         dedup_simhash,

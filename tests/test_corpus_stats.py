@@ -1,0 +1,113 @@
+"""Unit tests for the round-6 corpus-statistic operators: cross-doc
+duplicated n-gram fraction, unigram-LM scoring, and median/MAD
+outliers — crafted inputs with hand-computed answers (the oracle
+parity in test_parity.py checks the fixtures; these pin semantics).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.functions.lm_score import unigram_vocab
+from dist_map_reduce_spark.functions.text_dupngrams import doc_ngrams
+from dist_map_reduce_spark.operators.stats_robust import mad_outliers
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestDupNgrams:
+    def test_ngram_positions(self, spark):
+        docs = _docs(spark, ["a b c d e f g h i"])  # 9 words -> 2 8-grams
+        grams = doc_ngrams(docs).collect()
+        assert [g.gram for g in grams] == [
+            "a b c d e f g h",
+            "b c d e f g h i",
+        ]
+
+    def test_short_doc_has_no_grams(self, spark):
+        docs = _docs(spark, ["a b c"])
+        assert doc_ngrams(docs).count() == 0
+
+    def test_cross_doc_duplication_only(self, spark):
+        shared = "one two three four five six seven eight"
+        docs = _docs(
+            spark,
+            [
+                shared + " tailA",  # grams: shared, two..tailA
+                shared + " tailB",  # grams: shared, two..tailB
+                # repeats its own 8-gram twice but shares nothing:
+                # within-doc repetition must NOT count as duplication
+                "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8",
+            ],
+        )
+        gd = doc_ngrams(docs).groupBy("doc_id", "gram").agg(
+            F.count("*").alias("c")
+        )
+        gs = gd.groupBy("gram").agg(F.count("*").alias("nd"))
+        rows = {
+            r.doc_id: (r.tot, r.dup)
+            for r in gd.join(gs, "gram")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("tot"),
+                F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0)).alias(
+                    "dup"
+                ),
+            )
+            .collect()
+        }
+        assert rows[0] == (2, 1)  # shared gram dup, tailA gram unique
+        assert rows[1] == (2, 1)
+        # doc 2: 9 gram positions, the all-x gram occurs only in doc 2
+        assert rows[2] == (9, 0)
+
+
+class TestUnigramLM:
+    def test_vocab_counts(self, spark):
+        docs = _docs(spark, ["a a b", "b c"])
+        counts = {r.token: r.cnt for r in unigram_vocab(docs).collect()}
+        assert counts == {"a": 2, "b": 2, "c": 1}
+
+    def test_rare_tokens_score_lower(self, spark):
+        from dist_map_reduce_spark.functions.lm_score import (
+            lm_unigram_doc_scores,
+        )
+        from tests.conftest import SF_SMOKE
+
+        rows = lm_unigram_doc_scores(spark, SF_SMOKE).collect()
+        assert all(r.avg_logprob < 0 for r in rows)
+        assert all(
+            math.isclose(
+                r.bits_per_token, -r.avg_logprob / math.log(2), rel_tol=1e-4
+            )
+            for r in rows
+        )
+
+
+class TestMadOutliers:
+    def test_known_outlier(self, spark):
+        # nine points at 0..8 plus one at 1000: median 4.5, MAD 2.5,
+        # cut 4.4478*2.5=11.12 -> only the 1000 point is outside
+        vals = [(float(v), "g") for v in range(9)] + [(1000.0, "g")]
+        df = spark.createDataFrame(vals, "value double, grp string")
+        r = mad_outliers(df, "value", ["grp"]).collect()[0]
+        assert r.med == 4.5
+        assert r.mad == 2.5
+        assert r.n == 10
+        assert r.n_outliers == 1
+
+    def test_groups_are_independent(self, spark):
+        vals = [(float(v), "a") for v in range(5)] + [
+            (float(v * 100), "b") for v in range(5)
+        ]
+        df = spark.createDataFrame(vals, "value double, grp string")
+        rows = {r.grp: r for r in mad_outliers(df, "value", ["grp"]).collect()}
+        assert rows["a"].med == 2.0 and rows["a"].mad == 1.0
+        assert rows["b"].med == 200.0 and rows["b"].mad == 100.0
+        assert rows["a"].n_outliers == 0 and rows["b"].n_outliers == 0

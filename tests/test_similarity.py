@@ -111,3 +111,43 @@ def test_ivf_ranking_cache_is_slim(spark):
     )
     n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
     assert cached.count() <= n_vecs * NPROBE
+
+
+def test_pq_codes_cover_corpus(spark):
+    """Every vector gets exactly M_SUB codes, each in [0, K_PQ)."""
+    from dist_map_reduce_spark.functions.similarity_pq import (
+        K_PQ,
+        M_SUB,
+        pq_fit,
+        subvector_rows,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    codes, cb = pq_fit(subvector_rows(emb))
+    per_vec = codes.groupBy("vec_id").agg(F.count("*").alias("k")).toPandas()
+    assert len(per_vec) == n and (per_vec.k == M_SUB).all()
+    rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < K_PQ
+    # the trained codebook is complete: M_SUB * K_PQ centroids of
+    # SUBDIM dims each
+    cbp = cb.toPandas()
+    assert len(cbp) == M_SUB * K_PQ
+    assert cbp.cent.map(len).eq(8).all()
+
+
+def test_pq_adc_ranks_near_neighbors(spark):
+    """ADC distances are approximate, but the compressed-domain
+    ranking should still surface genuinely close vectors: each
+    query's PQ top-1 must land in the exact cosine top-10 for at
+    least one query (same bar as the LSH recall test)."""
+    exact = registry.QUERIES["similarity_topk_cosine"](spark, SF_SMOKE).toPandas()
+    pq = registry.QUERIES["similarity_ann_pq_adc_topk"](spark, SF_SMOKE).toPandas()
+    assert len(pq) > 0
+    assert pq.groupby("query_id").size().max() <= 5
+    assert (pq.query_id != pq.vec_id).all()
+    assert (pq.adist >= 0).all()
+    exact_pairs = set(zip(exact.query_id, exact.vec_id))
+    top1 = pq.sort_values(["query_id", "adist"]).groupby("query_id").head(1)
+    hits = sum((q, v) in exact_pairs for q, v in zip(top1.query_id, top1.vec_id))
+    assert hits >= 1, "PQ top-1 never intersects exact top-10 — quantizer broken"

@@ -98,3 +98,90 @@ def test_append_sink_checkpoint_recovery_exactly_once(spark):
     total = ev.count()
     assert got.n == total, "resume lost or replayed committed input"
     assert got.n_ids == total, "duplicate event rows after resume"
+
+
+def test_append_sink_mid_stream_crash_then_resume(spark):
+    """A genuine mid-stream crash: one availableNow run where
+    micro-batch 0 (file A) COMMITS and micro-batch 1 (file B, which
+    contains a poison row) THROWS, killing the query with committed
+    and uncommitted work in the same run. After the poison input is
+    repaired, a resume bound to the same checkpoint must emit file
+    A's rows zero more times and file B's rows exactly once — the
+    checkpoint + _spark_metadata commit log version of the
+    reference's re-queue-only-unfinished-tasks rule
+    (src/master/master.go:251-271)."""
+    import shutil
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.scratch import scratch_path as _scratch
+    from dist_map_reduce_spark.streaming import pipelines
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    staged = _scratch(SF_SMOKE, "events_crash_staged")
+    base = _scratch(SF_SMOKE, "append_sink_crash")
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+
+    chunk_a = ev.filter(F.col("event_id") % 2 == 0)
+    chunk_b = ev.filter(F.col("event_id") % 2 == 1)
+    # file A (clean) must sort before file B (poisoned) in the file
+    # source's mtime-then-path order: write A first, B second, with
+    # path names that agree with the mtime order as a tie-break
+    chunk_a.coalesce(1).write.mode("overwrite").parquet(staged + "/a")
+    chunk_b.withColumn(
+        "event_type",
+        F.when(F.col("event_id") == 1, F.lit("__poison__")).otherwise(
+            F.col("event_type")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(staged + "/b")
+
+    schema = spark.read.parquet(staged + "/a").schema
+
+    def run(resume: bool):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(staged + "/*")
+        )
+        # tripwire: evaluating a poison row kills the micro-batch.
+        # Folded into the projected column so pruning can't drop it.
+        guarded = stream.withColumn(
+            "event_type",
+            F.when(
+                F.assert_true(
+                    F.col("event_type") != F.lit("__poison__"), F.lit("poison row")
+                ).isNull(),
+                F.col("event_type"),
+            ),
+        )
+        sink = pipelines.ParquetAppendSink(base_dir=base, resume=resume)
+        return sink.run(guarded, "crash", "append")
+
+    with pytest.raises(StreamingQueryException):
+        run(resume=False)
+
+    committed = spark.read.schema(schema).parquet(base + "/crash")
+    n_committed = committed.count()
+    assert n_committed == chunk_a.count(), (
+        "expected exactly file A committed before the crash "
+        f"(got {n_committed} rows)"
+    )
+
+    # repair: rewrite file B without the poison row, same path so the
+    # uncommitted offsets re-read the fixed bytes
+    chunk_b.coalesce(1).write.mode("overwrite").parquet(staged + "/b")
+
+    resumed = run(resume=True)
+    got = resumed.groupBy().agg(
+        F.count("*").alias("n"), F.count_distinct("event_id").alias("n_ids")
+    ).collect()[0]
+    total = ev.count()
+    assert got.n == total, "crash-resume lost or replayed committed rows"
+    assert got.n_ids == total, "duplicate rows after crash-resume"
