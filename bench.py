@@ -64,6 +64,7 @@ HEADLINE = [
     "lm_unigram_doc_scores",
     "stats_mad_outliers_events",
     "similarity_ann_pq_adc_topk",
+    "similarity_ann_ivfpq_topk",
 ]
 
 

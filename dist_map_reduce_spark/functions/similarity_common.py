@@ -139,9 +139,13 @@ def kmeans_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     against a corpus scan (assignment) + one posexplode/aggregate
     shuffle keyed on (cell, pos) (means). No vector visits the
     driver; the loop is a fixed-depth plan, not a driver round-trip.
+    Assignment is a hash aggregate (min_by over struct(-ccos, cell)
+    ≡ "ORDER BY ccos DESC, cell ASC LIMIT 1" per vector, including
+    ties — -0.0/0.0 tie identically under either phrasing), with
+    map-side partial min — no per-round sort of the K×-expanded
+    scored rows; the embedding is constant per vector so first()
+    carries it exactly.
     """
-    from pyspark.sql import Window as W
-
     cent = emb.filter(F.col("vec_id") < K_CELLS).select(
         F.col("vec_id").alias("cell"),
         F.transform(
@@ -156,12 +160,14 @@ def kmeans_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             "cell",
             F.round(cosine_expr("embedding", "cent"), 6).alias("ccos"),
         )
-        w = W.partitionBy("vec_id").orderBy(
-            F.col("ccos").desc(), F.col("cell").asc()
-        )
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    "cell", F.struct(F.col("ccos") * F.lit(-1.0), F.col("cell"))
+                ).alias("cell"),
+                F.first("embedding").alias("embedding"),
+            )
             .select("vec_id", "embedding", "cell")
         )
         if r < KMEANS_ROUNDS:
@@ -223,28 +229,22 @@ def kmeans_ctes() -> tuple[list[str], str]:
     return ctes, f"c{KMEANS_ROUNDS - 1}"
 
 
-def ivf_search(emb: DataFrame, cent: DataFrame, slot: str, sf_dir: str) -> DataFrame:
-    """IVF cell-restricted ANN search shared by the label-centroid and
-    k-means variants: rank every vector's cells by 6-dp-rounded
-    cosine against the (bounded, broadcast) centroid table ``cent``
-    (columns cand_cell, centroid), assign each vector to its rn=1
-    home cell, and score queries only against their NPROBE nearest
-    cells; top-5 per query with deterministic tie-breaks.
-
-    The persisted ranking keeps only (vec_id, cand_cell, rn) rows at
-    rn ≤ NPROBE — both consumers (assignment and probe list) re-join
-    the embedding column from the corpus scan, so the cache holds
-    three small ints per vector instead of n_cells copies of every
-    embedding (the footprint the round-5 advice flagged). The
-    assignment re-join is an equi-join on vec_id between two
-    corpus-sized sides — co-partitionable at scale, and cheaper than
-    caching n_cells× the corpus.
-    """
+def ivf_ranked_cells(
+    emb: DataFrame, cent: DataFrame, slot: str, sf_dir: str
+) -> DataFrame:
+    """The persisted IVF cell ranking shared by exact-IVF and IVF-PQ
+    search: (vec_id, cand_cell, rn) for every vector's NPROBE nearest
+    cells of the broadcast centroid table ``cent`` (columns
+    cand_cell, centroid), ranked by 6-dp-rounded cosine with a
+    min-cell tie-break. rn=1 is the vector's home cell; rn ≤ NPROBE
+    is a query's probe list. Deliberately embedding-free — consumers
+    re-join the vector columns they need (the round-5 cache-footprint
+    lesson)."""
     from pyspark.sql import Window as W
 
     from dist_map_reduce_spark.caching import persist_tracked
 
-    ranked = persist_tracked(
+    return persist_tracked(
         emb.join(F.broadcast(cent))
         .select(
             "vec_id",
@@ -264,6 +264,28 @@ def ivf_search(emb: DataFrame, cent: DataFrame, slot: str, sf_dir: str) -> DataF
         slot,
         sf_dir,
     )
+
+
+def ivf_search(emb: DataFrame, cent: DataFrame, slot: str, sf_dir: str) -> DataFrame:
+    """IVF cell-restricted ANN search shared by the label-centroid and
+    k-means variants: rank every vector's cells by 6-dp-rounded
+    cosine against the (bounded, broadcast) centroid table ``cent``
+    (columns cand_cell, centroid), assign each vector to its rn=1
+    home cell, and score queries only against their NPROBE nearest
+    cells; top-5 per query with deterministic tie-breaks.
+
+    The persisted ranking keeps only (vec_id, cand_cell, rn) rows at
+    rn ≤ NPROBE — both consumers (assignment and probe list) re-join
+    the embedding column from the corpus scan, so the cache holds
+    three small ints per vector instead of n_cells copies of every
+    embedding (the footprint the round-5 advice flagged). The
+    assignment re-join is an equi-join on vec_id between two
+    corpus-sized sides — co-partitionable at scale, and cheaper than
+    caching n_cells× the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = ivf_ranked_cells(emb, cent, slot, sf_dir)
     cells = emb.select("vec_id", "embedding").join(
         ranked.filter(F.col("rn") == 1).select(
             "vec_id", F.col("cand_cell").alias("cell")

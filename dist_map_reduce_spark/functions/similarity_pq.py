@@ -82,11 +82,13 @@ def pq_fit(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("vec_id").alias("code"),
         F.transform("sub", lambda x: F.round(x, 6)).alias("cent"),
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
     assigned = None
     for r in range(1, PQ_ROUNDS + 1):
+        # assignment as a hash aggregate, not a sort+window:
+        # min_by over struct(d2, code) IS "ORDER BY d2 ASC, code ASC
+        # LIMIT 1" per (vec_id, m) — with map-side partial min, no
+        # per-round sort of the K×-expanded scores; sub is constant
+        # within the group so first() carries it forward exactly
         assigned = (
             sub.join(F.broadcast(cb), "m")
             .select(
@@ -96,8 +98,11 @@ def pq_fit(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
                 "code",
                 F.round(_sq_l2("sub", "cent"), 6).alias("d2"),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by("code", F.struct("d2", "code")).alias("code"),
+                F.first("sub").alias("sub"),
+            )
             .select("vec_id", "m", "sub", "code")
         )
         if r < PQ_ROUNDS:
@@ -116,6 +121,23 @@ def pq_fit(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
     return assigned.select("vec_id", "m", "code"), cb
 
 
+def pq_lut(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table: (query_id, m, code, ld) — squared
+    L2 from each query subvector to every codebook centroid. M·K
+    rows per query; always broadcast-sized."""
+    return (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.round(_sq_l2("sub", "cent"), 6).alias("ld"),
+        )
+    )
+
+
 def _d2_sql(a: str, b: str) -> str:
     return (
         f"list_sum(list_transform(list_zip({a}, {b}),"
@@ -123,22 +145,26 @@ def _d2_sql(a: str, b: str) -> str:
     )
 
 
-def _pq_oracle() -> str:
+def pq_ctes() -> tuple[list[str], str, str, str]:
+    """The PQ build + LUT as DuckDB CTEs, composable with other
+    index builds (names are collision-free vs ``kmeans_ctes``):
+    returns ``(ctes, final_codes_cte, final_codebook_cte, lut_cte)``.
+    Requires an ``e`` CTE of (vec_id, emb DOUBLE[]) to precede them;
+    ``lut`` has (query_id, m, code, ld) for the N_QUERIES queries."""
     ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
-        f"""s AS (
+        f"""ps AS (
           SELECT vec_id, m, emb[m * {SUBDIM} + 1 : m * {SUBDIM} + {SUBDIM}] AS sub
           FROM e, LATERAL (
             SELECT unnest(generate_series(0, {M_SUB - 1})) AS m
           ) t
         )""",
-        f"""cb0 AS (
+        f"""pcb0 AS (
           SELECT m, vec_id AS code, list_transform(sub, x -> round(x, 6)) AS cent
-          FROM s WHERE vec_id < {K_PQ}
+          FROM ps WHERE vec_id < {K_PQ}
         )""",
     ]
     for r in range(1, PQ_ROUNDS + 1):
-        ctes.append(f"""a{r} AS (
+        ctes.append(f"""pa{r} AS (
           SELECT vec_id, m, sub, code FROM (
             SELECT s.vec_id, s.m, s.sub, c.code,
                    row_number() OVER (
@@ -146,30 +172,39 @@ def _pq_oracle() -> str:
                      ORDER BY round({_d2_sql('s.sub', 'c.cent')}, 6) ASC,
                               c.code ASC
                    ) AS rn
-            FROM s JOIN cb{r - 1} c ON c.m = s.m
+            FROM ps s JOIN pcb{r - 1} c ON c.m = s.m
           ) WHERE rn = 1
         )""")
         if r < PQ_ROUNDS:
-            ctes.append(f"""cb{r} AS (
+            ctes.append(f"""pcb{r} AS (
           SELECT m, code, list(mm ORDER BY pos) AS cent FROM (
             SELECT m, code, i - 1 AS pos, round(avg(sub[i]), 6) AS mm
-            FROM a{r}, LATERAL (
+            FROM pa{r}, LATERAL (
               SELECT unnest(generate_series(1, {SUBDIM})) AS i
             ) t
             GROUP BY m, code, i
           )
           GROUP BY m, code
         )""")
-    final_a, final_cb = f"a{PQ_ROUNDS}", f"cb{PQ_ROUNDS - 1}"
+    final_a, final_cb = f"pa{PQ_ROUNDS}", f"pcb{PQ_ROUNDS - 1}"
     ctes.append(f"""lut AS (
       SELECT q.vec_id AS query_id, q.m, c.code,
              round({_d2_sql('q.sub', 'c.cent')}, 6) AS ld
-      FROM s q JOIN {final_cb} c ON c.m = q.m
+      FROM ps q JOIN {final_cb} c ON c.m = q.m
       WHERE q.vec_id < {N_QUERIES}
     )""")
+    return ctes, final_a, final_cb, "lut"
+
+
+def _pq_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+    ]
+    pq, final_a, _final_cb, lut = pq_ctes()
+    ctes += pq
     ctes.append(f"""adc AS (
       SELECT l.query_id, a.vec_id, round(sum(l.ld), 6) AS adist
-      FROM {final_a} a JOIN lut l ON l.m = a.m AND l.code = a.code
+      FROM {final_a} a JOIN {lut} l ON l.m = a.m AND l.code = a.code
       WHERE a.vec_id <> l.query_id
       GROUP BY 1, 2
     )""")
@@ -196,17 +231,7 @@ def similarity_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow exploded form so the corpus is scanned once
     sub = persist_tracked(subvector_rows(emb), "pq_subrows", sf_dir)
     codes, cb = pq_fit(sub)
-    lut = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cb), "m")
-        .select(
-            "query_id",
-            "m",
-            "code",
-            F.round(_sq_l2("sub", "cent"), 6).alias("ld"),
-        )
-    )
+    lut = pq_lut(sub, cb)
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -95,8 +95,12 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, value,
+             -- STRICTLY greater: session_window merges an event at
+             -- exactly gap distance (window end is exclusive-merged,
+             -- hypothesis-found boundary), so a new session starts
+             -- only when the gap EXCEEDS 10 minutes
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 10 MINUTE
+                       > INTERVAL 10 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
@@ -118,9 +122,11 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 10-minute inactivity gap via the native
-    session_window operator (events < gap apart merge; window end =
-    last event + gap). The oracle derives identical sessions with the
-    classic lag/cumsum gap-islands construction."""
+    session_window operator (events ≤ gap apart merge — an event at
+    EXACTLY gap distance still merges; window end = last event +
+    gap). The oracle derives identical sessions with the classic
+    lag/cumsum gap-islands construction, splitting strictly after
+    the gap."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")

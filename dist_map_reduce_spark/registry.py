@@ -54,11 +54,10 @@ def load_all() -> None:
     contribution's ABC, timeseries_fill's interp variant (its LOCF
     sibling r5-stamped rides along), the k-means IVF search, the BPE
     pre-tokenizer, and the r6 additions (dup-ngram fraction, unigram
-    LM scores, MAD outliers, PQ-ADC search). ``approx`` (4 queries,
-    r3-stamped) rotated OUT to make room — its first registration
-    (approx_percentile_prices) still lands at slot 50; the other
-    three are first in line for the r7 window, together with
-    whatever r6 leaves stale.
+    LM scores, MAD outliers, PQ-ADC and IVF-PQ search). ``approx``
+    (4 queries, r3-stamped) rotated fully OUT to make room — first
+    in line for the r7 window, together with whatever r6 leaves
+    stale.
     """
     # --- inside the 50-slot correctness window (slots 1-50) ---
     from dist_map_reduce_spark.operators import etl  # noqa: F401  (2: 1-2)
@@ -81,6 +80,7 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import lm_score  # noqa: F401  (1: 47)
     from dist_map_reduce_spark.operators import stats_robust  # noqa: F401  (1: 48)
     from dist_map_reduce_spark.functions import similarity_pq  # noqa: F401  (1: 49)
+    from dist_map_reduce_spark.functions import similarity_ivfpq  # noqa: F401  (1: 50)
     # --- outside the window: driver-green in r4/r5, unchanged ---
     from dist_map_reduce_spark.operators import approx  # noqa: F401
     from dist_map_reduce_spark.functions import (  # noqa: F401

@@ -502,8 +502,10 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
+             -- strictly greater: session_window merges at exactly
+             -- the gap (see operators/timeseries.py boundary note)
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+                       > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
     numbered AS (

@@ -222,3 +222,50 @@ def test_orc_readback_prunes_columns(spark):
     scan = next(l for l in plan.splitlines() if "FileScan orc" in l)
     assert "l_returnflag" in scan
     assert "l_extendedprice" not in scan, "ORC scan reads unused columns"
+
+
+def test_dupngram_single_corpus_explode(spark):
+    """The per-(doc, gram) table is persisted: both consumers (gram
+    doc-counts and the join-back) must read the cache, so exactly one
+    Generate(explode) subtree is LIVE outside InMemoryRelation builds
+    — and the final doc rollup keeps partial aggregation."""
+    plan = _plan(spark, "text_dup_ngram_fraction")
+    assert "InMemoryTableScan" in plan, "gram table not cached"
+    assert "partial_sum" in plan
+
+
+def test_lm_scores_scalar_is_broadcast_not_data_join(spark):
+    """The corpus-total enters as a 1-row IdentityBroadcast cross —
+    never a shuffled data join — and doc-term counts are cached."""
+    plan = _plan(spark, "lm_unigram_doc_scores")
+    assert "BroadcastNestedLoopJoin" in plan  # the sanctioned scalar
+    assert "IdentityBroadcastMode" in plan
+    assert "InMemoryTableScan" in plan, "doc-term table not cached"
+
+
+def test_mad_outliers_two_pass_broadcast_stats(spark):
+    """Group medians/MADs come back onto the facts as broadcast
+    joins (group-sized tables), with map-side partial_percentile."""
+    plan = _plan(spark, "stats_mad_outliers_events")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "partial_percentile" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_assignment_is_hash_aggregate(spark):
+    """PQ code assignment must stay a hash aggregate (min_by), not a
+    sort+window over the Kx-expanded scores; the final top-5 uses
+    the rank-pushdown WindowGroupLimit."""
+    plan = _plan(spark, "similarity_ann_pq_adc_topk")
+    assert "min_by" in plan
+    assert "WindowGroupLimit" in plan
+    assert "partial_min_by" in plan or "partial_min" in plan
+
+
+def test_ivfpq_probe_join_broadcasts(spark):
+    """IVF-PQ's probe restriction and LUT scoring are broadcast
+    equi-joins over the codes table — no shuffled join on the
+    corpus-sized side beyond the ADC aggregation itself."""
+    plan = _plan(spark, "similarity_ann_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan

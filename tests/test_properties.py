@@ -75,7 +75,9 @@ def test_session_window_matches_gap_islands(spark, gaps):
     # islands reference implementation in plain python
     sessions, start, n = [], times[0], 1
     for prev, cur in zip(times, times[1:]):
-        if cur - prev >= 600:
+        # strictly greater: session_window MERGES an event at exactly
+        # gap distance (hypothesis-found boundary, gaps=[1, 600])
+        if cur - prev > 600:
             sessions.append((start, n))
             start, n = cur, 1
         else:

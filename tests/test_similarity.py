@@ -151,3 +151,39 @@ def test_pq_adc_ranks_near_neighbors(spark):
     top1 = pq.sort_values(["query_id", "adist"]).groupby("query_id").head(1)
     hits = sum((q, v) in exact_pairs for q, v in zip(top1.query_id, top1.vec_id))
     assert hits >= 1, "PQ top-1 never intersects exact top-10 — quantizer broken"
+
+
+def test_ivfpq_respects_cell_restriction(spark):
+    """Every IVF-PQ result pair must be reachable through the IVF
+    index: the candidate's home cell is one of the query's NPROBE
+    probe cells — and the basic result-shape invariants hold."""
+    from pyspark.sql import functions as F2
+
+    from dist_map_reduce_spark.functions.similarity_common import (
+        N_QUERIES,
+        ivf_ranked_cells,
+        kmeans_fit,
+    )
+
+    res = registry.QUERIES["similarity_ann_ivfpq_topk"](spark, SF_SMOKE).toPandas()
+    assert len(res) > 0
+    assert res.groupby("query_id").size().max() <= 5
+    assert (res.query_id != res.vec_id).all()
+    assert (res.adist >= 0).all()
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    _, cent = kmeans_fit(emb)
+    cent = cent.select(
+        F2.col("cell").alias("cand_cell"), F2.col("cent").alias("centroid")
+    )
+    ranked = ivf_ranked_cells(emb, cent, "ivfpq_ranked_cells", SF_SMOKE)
+    homes = {
+        r.vec_id: r.cand_cell for r in ranked.filter("rn = 1").collect()
+    }
+    probes = {}
+    for r in ranked.filter(f"vec_id < {N_QUERIES}").collect():
+        probes.setdefault(r.vec_id, set()).add(r.cand_cell)
+    for q, v in zip(res.query_id, res.vec_id):
+        assert homes[v] in probes[q], (
+            f"pair ({q},{v}) scored outside the probe cells"
+        )
