@@ -41,7 +41,7 @@ from dist_map_reduce_spark.functions.similarity_common import (
 )
 from dist_map_reduce_spark.functions.similarity_pq import (
     pq_ctes,
-    pq_fit,
+    pq_index,
     pq_lut,
     subvector_rows,
 )
@@ -98,7 +98,7 @@ def similarity_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # PQ side: persisted subvectors -> codes + codebook -> query LUT
     sub = persist_tracked(subvector_rows(emb), "pq_subrows", sf_dir)
-    codes, cb = pq_fit(sub)
+    codes, cb = pq_index(sub, sf_dir)
     lut = pq_lut(sub, cb)
     # IVF side: trained coarse quantizer + shared persisted ranking
     _, cent = kmeans_fit(emb)

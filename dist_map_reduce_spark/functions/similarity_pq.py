@@ -73,6 +73,20 @@ def subvector_rows(emb: DataFrame) -> DataFrame:
     )
 
 
+def pq_index(sub: DataFrame, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The persisted PQ index: ``pq_fit`` with both outputs in
+    tracked cache slots — codes are (vec_id, m, code) ints (the 32×-
+    compressed corpus, the whole point of PQ) and the codebook is
+    M·K rows, so the footprint is trivial while repeat searches skip
+    the Lloyd training entirely (production builds once and serves
+    many queries; the IVF ranking slot follows the same policy)."""
+    codes, cb = pq_fit(sub)
+    return (
+        persist_tracked(codes, "pq_codes", sf_dir),
+        persist_tracked(cb, "pq_codebook", sf_dir),
+    )
+
+
 def pq_fit(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Composite-key Lloyd's over subvector rows: returns ``(codes,
     codebook)`` — the final (vec_id, m, code) assignment and the
@@ -230,7 +244,7 @@ def similarity_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every training round and the LUT read this table: persist the
     # narrow exploded form so the corpus is scanned once
     sub = persist_tracked(subvector_rows(emb), "pq_subrows", sf_dir)
-    codes, cb = pq_fit(sub)
+    codes, cb = pq_index(sub, sf_dir)
     lut = pq_lut(sub, cb)
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])

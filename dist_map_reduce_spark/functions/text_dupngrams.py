@@ -55,6 +55,58 @@ def doc_ngrams(docs: DataFrame, n: int = N) -> DataFrame:
     return docs.select("doc_id", F.explode(grams).alias("gram"))
 
 
+def dup_ngram_stats(
+    docs: DataFrame,
+    n: int = N,
+    hashed: bool = False,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_grams, n_dup, dup_frac) duplication statistics —
+    the library entry point behind the registered query.
+
+    ``hashed=True`` is the 100 TB path: grams shuffle as
+    ``xxhash64(gram)`` BIGINTs instead of ~40-byte strings (≈5×
+    narrower shuffle rows for 8-grams of ~5-char words). A 64-bit
+    collision needs ~2³² distinct grams (birthday bound) to become
+    likely, and a collision can only MERGE two gram groups —
+    overcounting dup positions by at most the collided group's size —
+    so the statistic degrades gracefully; the string path is kept for
+    the cross-engine oracle."""
+    gram_key = (
+        F.xxhash64("gram").alias("gram") if hashed else F.col("gram")
+    )
+    gd = (
+        doc_ngrams(docs, n)
+        .select("doc_id", gram_key)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    if cache_key is not None:
+        # both consumers (per-gram doc counts and the join-back) read
+        # the persisted table, so the corpus explodes once
+        gd = persist_tracked(gd, "dupngram_gd", cache_key)
+    gs = gd.groupBy("gram").agg(F.count("*").alias("n_docs_with"))
+    per_doc = (
+        gd.join(gs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs_with") > 1, F.col("c")).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.round(F.col("n_dup") * F.lit(1.0) / F.col("n_grams"), 6),
+        ).alias("dup_frac"),
+    )
+
+
 @query(
     "text_dup_ngram_fraction",
     oracle=f"""
@@ -91,34 +143,7 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the published filters; cross-doc only — a gram repeated within
     a single document is NOT corpus duplication."""
     docs = load_table(spark, sf_dir, "documents")
-    # both the per-gram doc counts AND the join-back consume gd:
-    # persist it (slot-bounded) so the corpus explode+aggregate runs
-    # once and the documents scan isn't repeated per branch
-    gd = persist_tracked(
-        doc_ngrams(docs).groupBy("doc_id", "gram").agg(F.count("*").alias("c")),
-        "dupngram_gd",
-        sf_dir,
-    )
-    # distinct-doc count per gram: gd is already one row per
-    # (doc, gram), so a plain count(*) over gram IS the distinct-doc
-    # count — no count(DISTINCT) Expand needed
-    gs = gd.groupBy("gram").agg(F.count("*").alias("n_docs_with"))
-    per_doc = (
-        gd.join(gs, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.sum(F.when(F.col("n_docs_with") > 1, F.col("c")).otherwise(0)).alias(
-                "n_dup"
-            ),
-        )
-    )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
-        F.when(
-            F.coalesce("n_grams", F.lit(0)) > 0,
-            F.round(F.col("n_dup") * F.lit(1.0) / F.col("n_grams"), 6),
-        ).alias("dup_frac"),
-    )
+    # distinct-doc count per gram inside dup_ngram_stats: the
+    # per-(doc, gram) table is one row per pair, so a plain count(*)
+    # over gram IS the distinct-doc count — no count(DISTINCT) Expand
+    return dup_ngram_stats(docs, cache_key=sf_dir)

@@ -111,3 +111,17 @@ class TestMadOutliers:
         assert rows["a"].med == 2.0 and rows["a"].mad == 1.0
         assert rows["b"].med == 200.0 and rows["b"].mad == 100.0
         assert rows["a"].n_outliers == 0 and rows["b"].n_outliers == 0
+
+
+def test_hashed_gram_path_matches_string_path(spark):
+    """The at-scale xxhash64 gram key must produce identical
+    duplication statistics on the fixture corpus (no collisions at
+    this size; a collision could only overcount n_dup)."""
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.functions.text_dupngrams import dup_ngram_stats
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(map(tuple, dup_ngram_stats(docs).collect()))
+    b = sorted(map(tuple, dup_ngram_stats(docs, hashed=True).collect()))
+    assert a == b
