@@ -65,6 +65,11 @@ HEADLINE = [
     "stats_mad_outliers_events",
     "similarity_ann_pq_adc_topk",
     "similarity_ann_ivfpq_topk",
+    "text_bpe_merge_pairs",
+    "profile_orders_columns",
+    "zorder_events_keys",
+    "quality_logreg_scores",
+    "text_boilerplate_ngrams",
 ]
 
 

@@ -49,15 +49,17 @@ def load_all() -> None:
     queries first (etl's two, chunking, the text family — last driver
     check four rounds and three refactor waves ago), then the
     r3-stamped families minus ``approx`` (curation, graph,
-    multimodal_ext, packing, python_udfs, json_ops, scd, tpch_full —
-    29 queries), then the queries NEW this round (never stamped):
+    multimodal_ext, packing, python_udfs, json_ops, scd — 22
+    queries; tpch_full straddles the window tail, see below), then
+    the queries NEW this round (never stamped):
     contribution's ABC, timeseries_fill's interp variant (its LOCF
     sibling r5-stamped rides along), the k-means IVF search, the BPE
-    pre-tokenizer, and the r6 additions (dup-ngram fraction, unigram
-    LM scores, MAD outliers, PQ-ADC and IVF-PQ search). ``approx``
-    (4 queries, r3-stamped) rotated fully OUT to make room — first
-    in line for the r7 window, together with whatever r6 leaves
-    stale.
+    pre-tokenizer + merge pairs, dup-ngram fraction, unigram-LM
+    scores, MAD outliers, PQ-ADC and IVF-PQ search, column
+    profiling, Z-order keys, the quality classifier, and boilerplate
+    n-grams. ``approx`` (4 queries, r3-stamped) and tpch_full's last
+    5 rotated OUT to make room — first in line for the r7 window,
+    together with whatever r6 leaves stale.
     """
     # --- inside the 50-slot correctness window (slots 1-50) ---
     from dist_map_reduce_spark.operators import etl  # noqa: F401  (2: 1-2)
@@ -70,17 +72,25 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import python_udfs  # noqa: F401  (2: 23-24)
     from dist_map_reduce_spark.operators import json_ops  # noqa: F401  (4: 25-28)
     from dist_map_reduce_spark.operators import scd  # noqa: F401  (5: 29-33)
-    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 34-40)
     # new in r5/r6 (freshly stamped or never stamped — stay inside)
-    from dist_map_reduce_spark.operators import contribution  # noqa: F401  (1: 41)
-    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (2: 42-43)
-    from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401  (1: 44)
-    from dist_map_reduce_spark.functions import text_bpe  # noqa: F401  (1: 45)
-    from dist_map_reduce_spark.functions import text_dupngrams  # noqa: F401  (1: 46)
-    from dist_map_reduce_spark.functions import lm_score  # noqa: F401  (1: 47)
-    from dist_map_reduce_spark.operators import stats_robust  # noqa: F401  (1: 48)
-    from dist_map_reduce_spark.functions import similarity_pq  # noqa: F401  (1: 49)
-    from dist_map_reduce_spark.functions import similarity_ivfpq  # noqa: F401  (1: 50)
+    from dist_map_reduce_spark.operators import contribution  # noqa: F401  (1: 34)
+    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (2: 35-36)
+    from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401  (1: 37)
+    from dist_map_reduce_spark.functions import text_bpe  # noqa: F401  (2: 38-39)
+    from dist_map_reduce_spark.functions import text_dupngrams  # noqa: F401  (1: 40)
+    from dist_map_reduce_spark.functions import lm_score  # noqa: F401  (1: 41)
+    from dist_map_reduce_spark.operators import stats_robust  # noqa: F401  (1: 42)
+    from dist_map_reduce_spark.functions import similarity_pq  # noqa: F401  (1: 43)
+    from dist_map_reduce_spark.functions import similarity_ivfpq  # noqa: F401  (1: 44)
+    from dist_map_reduce_spark.operators import profiling  # noqa: F401  (1: 45)
+    from dist_map_reduce_spark.operators import zorder  # noqa: F401  (1: 46)
+    from dist_map_reduce_spark.functions import quality_model  # noqa: F401  (1: 47)
+    from dist_map_reduce_spark.functions import text_boilerplate  # noqa: F401  (1: 48)
+    # tpch_full straddles the boundary: its first 2 queries take
+    # slots 49-50 (r3-stamped, refreshed now); the other 5 stay
+    # r3-stamped and MUST rotate into the r7 window (floor reaches
+    # r4 at r8) together with approx
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 49-50 + 5 out)
     # --- outside the window: driver-green in r4/r5, unchanged ---
     from dist_map_reduce_spark.operators import approx  # noqa: F401
     from dist_map_reduce_spark.functions import (  # noqa: F401
