@@ -38,11 +38,24 @@ def boilerplate_ngrams(
     docs: DataFrame, n: int = N, df_frac: float = DF_FRAC
 ) -> DataFrame:
     """(gram, n_docs_with, df_frac) for every n-gram whose document
-    frequency exceeds ``df_frac`` of the corpus."""
-    gd = doc_ngrams(docs, n).groupBy("doc_id", "gram").agg(
-        F.count("*").alias("c")
+    frequency exceeds ``df_frac`` of the corpus.
+
+    ``count_distinct(doc_id)`` keyed by gram plans as partial
+    (gram, doc_id) dedup map-side, one exchange of the deduped pairs,
+    then a second exchange carrying only per-partition partial COUNTS
+    (one row per gram per partition) — versus the naive two-step
+    (group by (doc, gram), then re-shuffle that whole table by gram),
+    whose second exchange carries every (doc, gram) pair again.
+    Within-document repetition collapses map-side either way; the win
+    is the second shuffle's width. Wall-time on the FIXTURES is bound
+    by the gram explode running on the single 0.6 MB parquet split
+    (one core) — at 100 TB the corpus scan has thousands of splits
+    and the explode parallelizes with them."""
+    df_counts = (
+        doc_ngrams(docs, n)
+        .groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs_with"))
     )
-    df_counts = gd.groupBy("gram").agg(F.count("*").alias("n_docs_with"))
     total = docs.agg(F.count("*").alias("n_docs"))
     return (
         df_counts.crossJoin(F.broadcast(total))
