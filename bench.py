@@ -70,6 +70,8 @@ HEADLINE = [
     "zorder_events_keys",
     "quality_logreg_scores",
     "text_boilerplate_ngrams",
+    "interval_overlap_session_incidents",
+    "histogram_order_totals",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Fixed-bin histogram (the engine-side analytics primitive).
+
+Histograms at scale are one map-side bucket projection + one
+aggregation over at most N_BUCKETS keys — the partial aggregate does
+essentially all the work and the exchange carries ≤ N_BUCKETS rows
+per task. No sort, no window, no sampling. Bucket arithmetic is
+integer/IEEE-exact (floor of a double division with fixed bounds), so
+engine and oracle agree bit-for-bit — unlike quantile-based binning,
+which would depend on a percentile sketch.
+
+Fixed bounds are a deliberate contract: profile_table supplies
+min/max when bounds are unknown, and fixing them keeps bucket edges
+stable across corpus growth (comparable across runs and partitions —
+what monitoring dashboards need).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.registry import query
+
+N_BUCKETS = 24
+LO, HI = 0.0, 600_000.0  # o_totalprice bounds contract
+WIDTH = (HI - LO) / N_BUCKETS
+
+
+def bucketize(v: Column, lo: float, width: float, n: int) -> Column:
+    """Clamped fixed-width bucket id in [0, n-1]; values below lo go
+    to bucket 0, at/above lo + n*width to bucket n-1."""
+    raw = F.floor((v - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("int")
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, n: int
+) -> DataFrame:
+    width = (hi - lo) / n
+    b = bucketize(F.col(col), lo, width, n)
+    return (
+        df.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+        )
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo_edge"),
+            "n_rows",
+            "min_val",
+            "max_val",
+        )
+    )
+
+
+@query(
+    "histogram_order_totals",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(greatest(
+               floor((o_totalprice - {LO}) / {WIDTH}), 0), {N_BUCKETS - 1})
+             AS INTEGER) AS bucket,
+             o_totalprice
+      FROM orders
+    )
+    SELECT bucket,
+           {LO} + bucket * {WIDTH} AS lo_edge,
+           count(*)                AS n_rows,
+           min(o_totalprice)       AS min_val,
+           max(o_totalprice)       AS max_val
+    FROM b GROUP BY 1
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bin histogram of order totals over the fixed [0, 600k)
+    contract range, with per-bin observed min/max (bin edges are
+    derived, not data-dependent)."""
+    return histogram(load_table(spark, sf_dir, "orders"), "o_totalprice", LO, HI, N_BUCKETS)

@@ -86,12 +86,12 @@ def load_all() -> None:
     from dist_map_reduce_spark.operators import zorder  # noqa: F401  (1: 46)
     from dist_map_reduce_spark.functions import quality_model  # noqa: F401  (1: 47)
     from dist_map_reduce_spark.functions import text_boilerplate  # noqa: F401  (1: 48)
-    # tpch_full straddles the boundary: its first 2 queries take
-    # slots 49-50 (r3-stamped, refreshed now); the other 5 stay
-    # r3-stamped and MUST rotate into the r7 window (floor reaches
-    # r4 at r8) together with approx
-    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 49-50 + 5 out)
-    # --- outside the window: driver-green in r4/r5, unchanged ---
+    from dist_map_reduce_spark.operators import intervals  # noqa: F401  (1: 49)
+    from dist_map_reduce_spark.operators import histogram  # noqa: F401  (1: 50)
+    # --- outside the window: driver-green in r4/r5, unchanged,
+    # except tpch_full: its 7 queries are r3-stamped and MUST lead
+    # the r7 window (floor reaches r4 at r8) together with approx ---
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401
     from dist_map_reduce_spark.operators import approx  # noqa: F401
     from dist_map_reduce_spark.functions import (  # noqa: F401
         clustering,

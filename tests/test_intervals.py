@@ -1,0 +1,132 @@
+"""Unit tests for the grid-bucketed keyless interval-overlap join and
+the fixed-bin histogram — crafted intervals with hand-checked
+answers; oracle parity covers the fixtures in test_parity.py."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.operators.histogram import bucketize, histogram
+from dist_map_reduce_spark.operators.intervals import (
+    CELL_S,
+    incident_windows,
+    overlap_counts,
+    user_sessions,
+)
+
+
+def _sessions(spark, rows):
+    return spark.createDataFrame(
+        [(u, sid, datetime.datetime(2024, 1, 1), lo, hi) for u, sid, lo, hi in rows],
+        "user_id long, sid long, session_start timestamp, s_lo long, s_hi long",
+    )
+
+
+def _incidents(spark, rows):
+    return spark.createDataFrame(
+        rows, "incident_id long, i_lo long, i_hi long"
+    )
+
+
+class TestOverlap:
+    def test_closed_interval_semantics(self, spark):
+        base = 1_700_000_000
+        sess = _sessions(spark, [(1, 0, base + 1000, base + 2000)])
+        incidents = _incidents(
+            spark,
+            [
+                (10, base, base + 999),     # ends 1s before -> no
+                (11, base, base + 1000),    # touches start -> yes
+                (12, base + 1500, base + 1600),  # inside -> yes
+                (13, base + 2000, base + 3000),  # touches end -> yes
+                (14, base + 2001, base + 3000),  # starts 1s after -> no
+            ],
+        )
+        got = overlap_counts(sess, incidents).collect()
+        assert len(got) == 1 and got[0].n_incidents == 3
+
+    def test_multi_cell_pair_counted_once(self, spark):
+        # one long session spanning many cells; one long incident
+        # sharing several cells with it must still count once
+        base = 1_700_000_000
+        sess = _sessions(spark, [(1, 0, base, base + 10 * CELL_S)])
+        incidents = _incidents(spark, [(10, base, base + 10 * CELL_S)])
+        got = overlap_counts(sess, incidents).collect()
+        assert got[0].n_incidents == 1
+
+    def test_zero_overlap_sessions_kept(self, spark):
+        base = 1_700_000_000
+        sess = _sessions(spark, [(1, 0, base, base + 10), (2, 0, base + 10**6, base + 10**6 + 10)])
+        incidents = _incidents(spark, [(10, base, base + 5)])
+        got = {r.user_id: r.n_incidents for r in overlap_counts(sess, incidents).collect()}
+        assert got == {1: 1, 2: 0}
+
+    def test_sessionization_islands(self, spark):
+        t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, 100, t0),
+            (1, 101, t0 + datetime.timedelta(seconds=600)),  # gap == 600 merges
+            (1, 102, t0 + datetime.timedelta(seconds=1201)),  # gap 601 splits
+            (2, 103, t0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        )
+        got = sorted(
+            user_sessions(ev).collect(), key=lambda r: (r.user_id, r.s_lo)
+        )
+        assert [(r.user_id, r.s_hi - r.s_lo) for r in got] == [
+            (1, 600),
+            (1, 0),
+            (2, 0),
+        ]
+
+    def test_plan_is_equi_join(self, spark):
+        from tests.conftest import SF_SMOKE
+        from dist_map_reduce_spark import registry
+
+        plan = (
+            registry.QUERIES["interval_overlap_session_incidents"](
+                spark, SF_SMOKE
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_incident_windows_filter(self, spark):
+        t0 = datetime.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(1, 1, t0, "error"), (1, 2, t0, "click")],
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        got = incident_windows(ev).collect()
+        assert len(got) == 1 and got[0].i_hi - got[0].i_lo == 600
+
+
+class TestHistogram:
+    def test_bucketize_clamps_and_edges(self, spark):
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (9.99,), (10.0,), (99.9,), (100.0,), (250.0,)],
+            "v double",
+        )
+        got = [
+            r.b
+            for r in df.select(
+                bucketize(F.col("v"), 0.0, 10.0, 10).alias("b")
+            ).collect()
+        ]
+        # below-range clamps to 0; boundary value starts next bucket;
+        # at/above hi clamps to n-1
+        assert got == [0, 0, 0, 1, 9, 9, 9]
+
+    def test_histogram_counts(self, spark):
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        got = {r.bucket: r for r in histogram(df, "v", 0.0, 100.0, 4).collect()}
+        assert {b: r.n_rows for b, r in got.items()} == {0: 25, 1: 25, 2: 25, 3: 25}
+        assert got[1].lo_edge == 25.0
+        assert (got[1].min_val, got[1].max_val) == (25.0, 49.0)
