@@ -72,6 +72,7 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "interval_overlap_session_incidents",
     "histogram_order_totals",
+    "streaming_wordcount_docs",
 ]
 
 

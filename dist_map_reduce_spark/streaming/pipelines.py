@@ -64,8 +64,17 @@ class FileSource:
 
     def read(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")  # see catalog.py
-        schema_src = self.path or table_path(sf_dir, "events")
-        schema = spark.read.parquet(schema_src).schema
+        # pin the stream schema from a batch read of the SAME files
+        # the glob selects (not hard-coded to events: the stream may
+        # replay any fixture table, e.g. documents for wordcount)
+        if self.path is not None:
+            schema = spark.read.parquet(self.path).schema
+        else:
+            schema = (
+                spark.read.option("pathGlobFilter", self.glob)
+                .parquet(sf_dir)
+                .schema
+            )
         reader = spark.readStream.schema(schema).format("parquet")
         if self.path is None:
             reader = reader.option("pathGlobFilter", self.glob)
@@ -106,8 +115,9 @@ class KafkaSource:
 def _normalize_ts(df: DataFrame) -> DataFrame:
     """Naive timestamp[us] reads as TIMESTAMP_NTZ, which
     withWatermark rejects — cast to TIMESTAMP (ltz) under the
-    pinned-UTC session, exactly as the batch catalog does."""
-    if dict(df.dtypes).get("ts") != "timestamp":
+    pinned-UTC session, exactly as the batch catalog does. Streams
+    without a ts column (e.g. the documents corpus) pass through."""
+    if "ts" in df.columns and dict(df.dtypes).get("ts") != "timestamp":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

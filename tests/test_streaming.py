@@ -235,3 +235,24 @@ def test_merge_sink_rejects_mismatched_keys(spark):
     )
     with pytest.raises(ValueError, match="not_a_column"):
         merge.run(agg, "badkeys", "update")
+
+
+def test_streaming_wordcount_equals_batch(spark):
+    """The reference's flagship pipeline run as a stream must land on
+    the batch answer once the bounded replay drains (same tokenizer
+    expression on both sides)."""
+    from dist_map_reduce_spark.operators.wordcount import word_count
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark import registry
+
+    stream = {
+        (r.word, r.cnt)
+        for r in registry.QUERIES["streaming_wordcount_docs"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    batch = {
+        (r.word, r.cnt)
+        for r in word_count(load_table(spark, SF_SMOKE, "documents")).collect()
+    }
+    assert stream == batch and stream
