@@ -269,3 +269,45 @@ def test_ivfpq_probe_join_broadcasts(spark):
     plan = _plan(spark, "similarity_ann_ivfpq_topk")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_runtime_bloom_filter_injects_below_threshold(spark):
+    """Runtime bloom-filter semi-join reduction (on by default,
+    Spark 4): a selective dim-side filter injects bloom_filter_agg on
+    the build side and BloomFilterMightContain on the fact scan, so
+    fact rows that cannot join are dropped BEFORE the shuffle. The
+    fixtures sit under the 10 GiB application-side threshold, so this
+    test lowers it to prove the machinery and re-checks the result
+    against the un-filtered plan."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    def revenue():
+        o = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderstatus") == "F"
+        )
+        l = load_table(spark, SF_SMOKE, "lineitem")
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+
+    conf = spark.conf
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr, old_bcast = conf.get(thr), conf.get(bcast)
+    try:
+        conf.set(thr, "0")
+        conf.set(bcast, "-1")  # force SMJ: broadcast joins don't need blooms
+        plan = revenue()._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan, plan
+        filtered = {(r.o_orderstatus, r.n) for r in revenue().collect()}
+    finally:
+        conf.set(thr, old_thr)
+        conf.set(bcast, old_bcast)
+    plain = {(r.o_orderstatus, r.n) for r in revenue().collect()}
+    assert filtered == plain and filtered

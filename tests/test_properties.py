@@ -570,3 +570,60 @@ def test_abc_classification_pareto_top_entity_is_A(spark):
     )
     got = {r.k: r.abc_class for r in abc_classification(df, "m", "k").collect()}
     assert got == {"w": "A", "x": "C", "y": "C", "z": "C"}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_morton_interleave_is_bijective(spark, pairs):
+    """interleave_bits is a bijection on 16-bit pairs: distinct
+    (x, y) -> distinct keys, and de-interleaving the key's even/odd
+    bits recovers (x, y) exactly."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.operators.zorder import interleave_bits
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    rows = df.select(
+        "x", "y", interleave_bits(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    assert len({r.z for r in rows}) == len(pairs)
+    for r in rows:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x, y) == (r.x, r.y)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bucketize_is_monotone_and_total(spark, vals):
+    """Histogram bucket ids are monotone in the value and always land
+    in [0, n-1] — no value escapes the clamp."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.operators.histogram import bucketize
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = df.select(
+        "v", bucketize(F.col("v"), 0.0, 100.0, 10).alias("b")
+    ).collect()
+    assert all(0 <= r.b <= 9 for r in rows)
+    by_v = sorted(rows, key=lambda r: r.v)
+    assert all(a.b <= b.b for a, b in zip(by_v, by_v[1:]))
