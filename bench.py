@@ -73,6 +73,7 @@ HEADLINE = [
     "interval_overlap_session_incidents",
     "histogram_order_totals",
     "streaming_wordcount_docs",
+    "importance_resample_docs",
 ]
 
 

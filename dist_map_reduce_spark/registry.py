@@ -70,8 +70,7 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401  (3: 18-20)
     from dist_map_reduce_spark.functions import packing  # noqa: F401  (2: 21-22)
     from dist_map_reduce_spark.functions import python_udfs  # noqa: F401  (2: 23-24)
-    from dist_map_reduce_spark.operators import json_ops  # noqa: F401  (4: 25-28)
-    from dist_map_reduce_spark.operators import scd  # noqa: F401  (5: 29-33)
+    from dist_map_reduce_spark.operators import scd  # noqa: F401  (5: 25-29)
     # new in r5/r6 (freshly stamped or never stamped — stay inside)
     from dist_map_reduce_spark.operators import contribution  # noqa: F401  (1: 34)
     from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401  (2: 35-36)
@@ -86,12 +85,16 @@ def load_all() -> None:
     from dist_map_reduce_spark.operators import zorder  # noqa: F401  (1: 46)
     from dist_map_reduce_spark.functions import quality_model  # noqa: F401  (1: 47)
     from dist_map_reduce_spark.functions import text_boilerplate  # noqa: F401  (1: 48)
-    from dist_map_reduce_spark.operators import intervals  # noqa: F401  (1: 49)
-    from dist_map_reduce_spark.operators import histogram  # noqa: F401  (1: 50)
+    from dist_map_reduce_spark.operators import intervals  # noqa: F401  (1: 45)
+    from dist_map_reduce_spark.operators import histogram  # noqa: F401  (1: 46)
+    from dist_map_reduce_spark.functions import resample_weighted  # noqa: F401  (1: 47)
+    # tpch_full straddles the window tail: first 3 queries refresh
+    # their r3 stamps in slots 48-50, the other 4 stay out
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 48-50 + 4 out)
     # --- outside the window: driver-green in r4/r5, unchanged,
-    # except tpch_full and graph: r3-stamped, they MUST lead the r7
-    # window (floor reaches r4 at r8) together with approx ---
-    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401
+    # except tpch_full's tail, json_ops, and graph: r3-stamped, they
+    # MUST lead the r7 window (floor reaches r4 at r8) with approx ---
+    from dist_map_reduce_spark.operators import json_ops  # noqa: F401
     from dist_map_reduce_spark.functions import graph  # noqa: F401
     from dist_map_reduce_spark.operators import approx  # noqa: F401
     from dist_map_reduce_spark.functions import (  # noqa: F401

@@ -125,3 +125,43 @@ def test_hashed_gram_path_matches_string_path(spark):
     a = sorted(map(tuple, dup_ngram_stats(docs).collect()))
     b = sorted(map(tuple, dup_ngram_stats(docs, hashed=True).collect()))
     assert a == b
+
+
+class TestSystematicResample:
+    def test_copy_counts_match_interval_coverage(self, spark):
+        from dist_map_reduce_spark.functions.resample_weighted import (
+            systematic_resample,
+        )
+
+        # one shard (n_shards=1): doc weights 5, 12, 3, 25 with
+        # step 10 -> cum 5,17,20,45; points 10,20,30,40 covered by
+        # docs 2 (10), 3 (20), 4 (30, 40)
+        df = spark.createDataFrame(
+            [(0, 5), (1, 12), (2, 3), (3, 25)], "doc_id long, w long"
+        )
+        got = {
+            r.doc_id: r.n_copies
+            for r in systematic_resample(
+                df, "w", "doc_id", step=10, n_shards=1
+            ).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+    def test_total_copies_equals_floor_of_shard_totals(self, spark):
+        from pyspark.sql import functions as F
+
+        from dist_map_reduce_spark import registry
+        from tests.conftest import SF_SMOKE
+
+        out = registry.QUERIES["importance_resample_docs"](spark, SF_SMOKE)
+        per_shard = (
+            out.groupBy("shard")
+            .agg(
+                F.sum("n_copies").alias("copies"),
+                F.max("cum_w").alias("total_w"),
+            )
+            .collect()
+        )
+        # telescoping: sum of per-doc coverage = floor(total/step)
+        for r in per_shard:
+            assert r.copies == r.total_w // 997
