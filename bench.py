@@ -74,6 +74,7 @@ HEADLINE = [
     "histogram_order_totals",
     "streaming_wordcount_docs",
     "importance_resample_docs",
+    "skyline_orders_price_recency",
 ]
 
 

@@ -88,9 +88,10 @@ def load_all() -> None:
     from dist_map_reduce_spark.operators import intervals  # noqa: F401  (1: 45)
     from dist_map_reduce_spark.operators import histogram  # noqa: F401  (1: 46)
     from dist_map_reduce_spark.functions import resample_weighted  # noqa: F401  (1: 47)
-    # tpch_full straddles the window tail: first 3 queries refresh
-    # their r3 stamps in slots 48-50, the other 4 stay out
-    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 48-50 + 4 out)
+    from dist_map_reduce_spark.operators import skyline  # noqa: F401  (1: 48)
+    # tpch_full straddles the window tail: first 2 queries refresh
+    # their r3 stamps in slots 49-50, the other 5 stay out
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 49-50 + 5 out)
     # --- outside the window: driver-green in r4/r5, unchanged,
     # except tpch_full's tail, json_ops, and graph: r3-stamped, they
     # MUST lead the r7 window (floor reaches r4 at r8) with approx ---

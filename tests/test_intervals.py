@@ -130,3 +130,47 @@ class TestHistogram:
         assert {b: r.n_rows for b, r in got.items()} == {0: 25, 1: 25, 2: 25, 3: 25}
         assert got[1].lo_edge == 25.0
         assert (got[1].min_val, got[1].max_val) == (25.0, 49.0)
+
+
+class TestSkyline:
+    def _sky(self, spark, pts):
+        from dist_map_reduce_spark.operators.skyline import skyline_2d
+
+        df = spark.createDataFrame(pts, "x double, y long")
+        return {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+
+    def test_hand_checked_frontier(self, spark):
+        pts = [
+            (5.0, 1), (4.0, 4), (3.0, 2), (2.0, 5), (1.0, 3),
+            (3.0, 1),  # dominated by (3.0, 2) via same-x collapse
+            (2.0, 5),  # exact duplicate point
+        ]
+        assert self._sky(spark, pts) == {(5.0, 1), (4.0, 4), (2.0, 5)}
+
+    def test_equal_y_keeps_only_larger_x(self, spark):
+        # (5,3) dominates (4,3): >= in y, > in x
+        assert self._sky(spark, [(5.0, 3), (4.0, 3)]) == {(5.0, 3)}
+
+    def test_invariant_under_partitioning(self, spark):
+        import random
+
+        from dist_map_reduce_spark.operators.skyline import skyline_2d
+
+        rnd = random.Random(7)
+        pts = [(float(rnd.randrange(100)), rnd.randrange(100)) for _ in range(300)]
+        df = spark.createDataFrame(pts, "x double, y long")
+        a = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+        b = {
+            (r.x, r.y)
+            for r in skyline_2d(df.repartition(13), "x", "y").collect()
+        }
+        naive = {
+            p
+            for p in set(pts)
+            if not any(
+                q[0] >= p[0] and q[1] >= p[1] and q != p and
+                (q[0] > p[0] or q[1] > p[1])
+                for q in set(pts)
+            )
+        }
+        assert a == b == naive
