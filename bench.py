@@ -75,6 +75,7 @@ HEADLINE = [
     "streaming_wordcount_docs",
     "importance_resample_docs",
     "skyline_orders_price_recency",
+    "scd2_point_in_time_revenue",
 ]
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.money import sum_money
 from dist_map_reduce_spark.registry import query
 
 
@@ -264,5 +265,76 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_converted") * F.lit(1.0) / F.col("n_clickers"), 6
             ).alias("conversion_rate"),
+        )
+    )
+
+
+@query(
+    "scd2_point_in_time_revenue",
+    oracle=f"""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1996-01-01' AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MOVED', TIMESTAMP '2000-01-01'
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    versions AS (
+      SELECT *, lead(valid_from) OVER (
+        PARTITION BY c_custkey ORDER BY valid_from) AS valid_to
+      FROM hist
+    )
+    SELECT v.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           {sum_money("o.o_totalprice", "revenue")}
+    FROM orders o
+    LEFT JOIN versions v
+      ON o.o_custkey = v.c_custkey
+     AND v.valid_from <= o.o_orderdate
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    GROUP BY 1
+    """,
+)
+def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF event time) join of facts against SCD2
+    history: each order is attributed to the segment version VALID AT
+    ITS ORDER DATE — the temporal-correctness pattern that a naive
+    current-dimension join silently gets wrong. The synthesized
+    history starts 1996 (orders from 1995 fall before any version:
+    the NULL-segment bucket proves the left-join semantics) and
+    changes every 10th customer in 2000 (orders straddle the change,
+    so both versions receive rows).
+
+    Scale shape: equi-join on the dimension key with the validity
+    range as a join-time filter — history is O(versions/key) rows, so
+    per-key fan-out is bounded; the [valid_from, valid_to) intervals
+    partition time per key, so at most ONE version survives per fact
+    row (no post-join dedup needed). AQE handles the dim/fact size
+    asymmetry (broadcasts when the history fits)."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1996-01-01").cast("timestamp").alias("valid_from"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit("2000-01-01").cast("timestamp").alias("valid_from"),
+    )
+    versions = scd2_history(base, changes, "c_custkey", "valid_from")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (o.o_custkey == versions.c_custkey)
+        & (versions.valid_from <= o.o_orderdate)
+        & (versions.valid_to.isNull() | (o.o_orderdate < versions.valid_to))
+    )
+    return (
+        o.join(versions, cond, "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(sum_money("o_totalprice", "revenue")),
         )
     )
