@@ -76,6 +76,8 @@ HEADLINE = [
     "importance_resample_docs",
     "skyline_orders_price_recency",
     "scd2_point_in_time_revenue",
+    "event_transition_matrix",
+    "supplier_triangles",
 ]
 
 

@@ -68,8 +68,7 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import curation  # noqa: F401  (5: 12-16)
     from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401  (1: 17)
     from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401  (3: 18-20)
-    from dist_map_reduce_spark.functions import packing  # noqa: F401  (2: 21-22)
-    from dist_map_reduce_spark.functions import python_udfs  # noqa: F401  (2: 23-24)
+    from dist_map_reduce_spark.functions import python_udfs  # noqa: F401  (2: 21-22)
     from dist_map_reduce_spark.operators import scd  # noqa: F401  (5: 25-29)
     # new in r5/r6 (freshly stamped or never stamped — stay inside)
     from dist_map_reduce_spark.operators import contribution  # noqa: F401  (1: 34)
@@ -88,14 +87,17 @@ def load_all() -> None:
     from dist_map_reduce_spark.operators import intervals  # noqa: F401  (1: 45)
     from dist_map_reduce_spark.operators import histogram  # noqa: F401  (1: 46)
     from dist_map_reduce_spark.functions import resample_weighted  # noqa: F401  (1: 47)
-    from dist_map_reduce_spark.operators import skyline  # noqa: F401  (1: 48)
-    # tpch_full straddles the window tail: first 2 queries refresh
-    # their r3 stamps in slots 49-50, the other 5 stay out
-    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 49-50 + 5 out)
+    from dist_map_reduce_spark.operators import skyline  # noqa: F401  (1: 47)
+    from dist_map_reduce_spark.operators import sequences  # noqa: F401  (2: 48-49)
+    # tpch_full straddles the window tail: its first query refreshes
+    # its r3 stamp in slot 50, the other 6 stay out
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401  (7: 50 + 6 out)
     # --- outside the window: driver-green in r4/r5, unchanged,
-    # except tpch_full's tail, json_ops, and graph: r3-stamped, they
-    # MUST lead the r7 window (floor reaches r4 at r8) with approx ---
+    # except tpch_full's tail, json_ops, packing, and graph:
+    # r3-stamped, they MUST lead the r7 window (floor reaches r4 at
+    # r8) together with approx ---
     from dist_map_reduce_spark.operators import json_ops  # noqa: F401
+    from dist_map_reduce_spark.functions import packing  # noqa: F401
     from dist_map_reduce_spark.functions import graph  # noqa: F401
     from dist_map_reduce_spark.operators import approx  # noqa: F401
     from dist_map_reduce_spark.functions import (  # noqa: F401

@@ -174,3 +174,70 @@ class TestSkyline:
             )
         }
         assert a == b == naive
+
+
+class TestSequences:
+    def test_transition_counts(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, i, t0 + datetime.timedelta(seconds=i), t)
+            for i, t in enumerate(["view", "click", "view", "buy"])
+        ] + [(2, 10, t0, "view"), (2, 11, t0, "click")]  # same-ts tie -> event_id order
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        # same window/agg construction as event_transition_matrix,
+        # applied to the crafted frame instead of the fixture table
+        from pyspark.sql import Window, functions as F
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        steps = ev.select(
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        got = {
+            (r.from_type, r.to_type): r.n
+            for r in steps.where(F.col("from_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == {
+            ("view", "click"): 2,
+            ("click", "view"): 1,
+            ("view", "buy"): 1,
+        }
+
+    def test_triangle_count_known_graph(self, spark):
+        from dist_map_reduce_spark.operators.sequences import (
+            triangle_count,
+            undirected_edges,
+        )
+
+        # K4 on {1,2,3,4} has 4 triangles; plus pendant edge 4-5
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+             (2, 1)],  # reversed duplicate must not double-count
+            "s1 long, s2 long",
+        )
+        edges = undirected_edges(pairs, "s1", "s2")
+        assert edges.count() == 7
+        assert triangle_count(edges).collect()[0].n_triangles == 4
+
+    def test_triangle_free_graph(self, spark):
+        from dist_map_reduce_spark.operators.sequences import (
+            triangle_count,
+            undirected_edges,
+        )
+
+        star = spark.createDataFrame(
+            [(1, i) for i in range(2, 8)], "s1 long, s2 long"
+        )
+        assert (
+            triangle_count(undirected_edges(star, "s1", "s2"))
+            .collect()[0]
+            .n_triangles
+            == 0
+        )
