@@ -78,6 +78,16 @@ HEADLINE = [
     "scd2_point_in_time_revenue",
     "event_transition_matrix",
     "supplier_triangles",
+    # r7 additions: the partsupp-derived TPC-H tail, the ANN recall
+    # harness (runs all five variant searches + exact), and the real
+    # WAV encode->decode pipeline
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
+    "similarity_ann_recall",
+    "multimodal_audio_features",
 ]
 
 

@@ -2,13 +2,15 @@
 metadata, with Arrow-batched (mapInPandas) feature extraction.
 
 Convention (BASELINE.json north star): a modality column is
-``binary`` plus a metadata struct (mime, n_bytes, ...). Real codecs
-(image/audio/video) aren't available in this environment, so decode
-is stubbed: ``decode_image``/``decode_audio`` raise
-NotImplementedError with a clear message, and the tested pipeline
-uses a deterministic byte-level feature extractor — the Spark-side
-plumbing (schema, batching, UDF signature, partitioning) is real and
-oracle-checked; only the codec call is fake.
+``binary`` plus a metadata struct (mime, n_bytes, ...). Audio decode
+is REAL for WAV (stdlib ``wave`` — see ``decode_audio`` here and the
+end-to-end encode→decode→features pipeline in
+``multimodal_audio.py``). Image/video codecs aren't available in
+this environment, so ``decode_image`` raises NotImplementedError
+with a clear message, and the image-shaped pipeline uses a
+deterministic byte-level feature extractor — the Spark-side plumbing
+(schema, batching, UDF signature, partitioning) is real and
+oracle-checked; only that codec call is fake.
 
 The documents table stands in as the payload source
 (text bytes = the "blob").
@@ -40,12 +42,29 @@ def decode_image(blob: bytes) -> "object":
     )
 
 
-def decode_audio(blob: bytes) -> "object":
-    """Decode an audio payload to PCM samples. STUB — see decode_image."""
-    raise NotImplementedError(
-        "audio codec not available in this environment; "
-        "use extract_byte_features for the deterministic fake path"
-    )
+def decode_audio(blob: bytes) -> "tuple[int, int, object]":
+    """Decode a WAV audio payload to PCM samples — REAL (stdlib
+    ``wave``, no external codec needed). Returns (n_channels,
+    framerate, int16 sample array). Non-WAV formats still need a
+    codec this container lacks. The Spark-side pipeline using this
+    decode end-to-end is ``multimodal_audio.multimodal_audio_features``
+    (which inlines the same logic as a local closure for the
+    cloudpickle-by-value executor contract)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV supported, got sampwidth="
+                f"{w.getsampwidth()}"
+            )
+        samples = np.frombuffer(
+            w.readframes(w.getnframes()), dtype="<i2"
+        )
+        return w.getnchannels(), w.getframerate(), samples
 
 
 FEATURE_SCHEMA = "doc_id long, n_bytes int, first_byte int, mean_byte double"

@@ -92,10 +92,10 @@ def systematic_resample(
 )
 def importance_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-proportional systematic resample of the documents
-    corpus: every ~{997} tokens of the concatenated per-shard stream
-    emits the covering document once. Full output (n_copies may be
-    0); a pipeline keeps rows where n_copies > 0, repeated n_copies
-    times."""
+    corpus: every ~STEP (997) tokens of the concatenated per-shard
+    stream emits the covering document once. Full output (n_copies
+    may be 0); a pipeline keeps rows where n_copies > 0, repeated
+    n_copies times."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
     )

@@ -113,8 +113,10 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     ~3 s of analysis+codegen per build and an N× data blow-up
     through the shuffle. Instead the cardinality pass stacks the
     table to narrow (col_name, value-as-string) rows FIRST — the
-    string cast is injective per column type, so per-column distinct
-    counts are unchanged — and runs ONE single-distinct aggregate
+    string cast is injective per column type (floats are `+ 0.0`
+    normalized first so -0.0 and 0.0 — equal as doubles — don't
+    split into two strings), so per-column distinct counts are
+    unchanged — and runs ONE single-distinct aggregate
     over it (a plain two-phase partial-distinct plan, no Expand).
     Typed min/max bounds come from a second plain aggregation pass,
     and the two per-column stats tables broadcast-join on col_name.
@@ -149,8 +151,16 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
             "col_name", "n_rows", "n_nulls", "n_distinct",
             "min_num", "max_num", "min_str", "max_str",
         )
+    # floating columns are normalized with `+ 0.0` before the string
+    # cast: -0.0 + 0.0 = +0.0 (IEEE), so -0.0/0.0 — distinct as
+    # strings but equal as doubles — collapse to one value, keeping
+    # the cast injective w.r.t. numeric equality (NaN renders as the
+    # single 'NaN' string either way)
     val_parts = ", ".join(
-        f"'{c}', CAST(`{c}` AS STRING)" for c in df.columns
+        f"'{f.name}', CAST((`{f.name}` + 0.0) AS STRING)"
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+        else f"'{f.name}', CAST(`{f.name}` AS STRING)"
+        for f in df.schema.fields
     )
     long = df.selectExpr(
         f"stack({len(df.columns)}, {val_parts}) AS (col_name, val)"

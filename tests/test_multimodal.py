@@ -12,11 +12,36 @@ from tests.conftest import SF_SMOKE
 registry.load_all()
 
 
-def test_decode_stubs_raise():
+def test_decode_image_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_decode_audio_real_wav_roundtrip():
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = np.array([100, -200, 300, 0], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    nch, rate, decoded = multimodal.decode_audio(buf.getvalue())
+    assert (nch, rate) == (1, 16000)
+    assert decoded.tolist() == samples.tolist()
     with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"RIFF")
+        # 8-bit PCM is outside the supported profile
+        buf8 = io.BytesIO()
+        with wave.open(buf8, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(b"\x01\x02")
+        multimodal.decode_audio(buf8.getvalue())
 
 
 def test_multimodal_schema(spark):
