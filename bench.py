@@ -88,6 +88,8 @@ HEADLINE = [
     "q20_excess_stock_suppliers",
     "similarity_ann_recall",
     "multimodal_audio_features",
+    "skew_zipf_join_unsalted",
+    "skew_zipf_join_salted",
 ]
 
 
@@ -105,9 +107,27 @@ def _ann_lsh_topk_scaled(spark, sf_dir):
     return ann_lsh_topk_scaled(spark, sf_dir, corpus_size=n)
 
 
+def _skew_unsalted(spark, sf_dir):
+    from dist_map_reduce_spark.operators.skew import skew_zipf_join_unsalted
+
+    return skew_zipf_join_unsalted(spark, sf_dir)
+
+
+def _skew_salted(spark, sf_dir):
+    from dist_map_reduce_spark.operators.skew import skew_zipf_join_salted
+
+    return skew_zipf_join_salted(spark, sf_dir)
+
+
 # headline entries that are library entry points rather than
 # registered oracle queries
-EXTRA = {"ann_lsh_topk_scaled": _ann_lsh_topk_scaled}
+EXTRA = {
+    "ann_lsh_topk_scaled": _ann_lsh_topk_scaled,
+    # the Zipf-skew twins: same join, naive vs salted — the recorded
+    # gap is the skew-mitigation win (operators/skew.py docstrings)
+    "skew_zipf_join_unsalted": _skew_unsalted,
+    "skew_zipf_join_salted": _skew_salted,
+}
 
 
 # the 16 queries BENCH_r01's headline measured (its 8.664 s total)

@@ -47,12 +47,13 @@ def boilerplate_ngrams(
     (group by (doc, gram), then re-shuffle that whole table by gram),
     whose second exchange carries every (doc, gram) pair again.
     Within-document repetition collapses map-side either way; the win
-    is the second shuffle's width. Wall-time on the FIXTURES is bound
-    by the gram explode running on the single 0.6 MB parquet split
-    (one core) — at 100 TB the corpus scan has thousands of splits
-    and the explode parallelizes with them."""
+    is the second shuffle's width. The pre-explode ``repartition``
+    spreads the gram explode across cores even when the corpus scan
+    has few splits (the fixtures are one 0.6 MB split — one core
+    otherwise); at 100 TB the scan has thousands of splits and the
+    exchange is a rounding error against the explode it feeds."""
     df_counts = (
-        doc_ngrams(docs, n)
+        doc_ngrams(docs.repartition(32), n)
         .groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("n_docs_with"))
     )

@@ -63,6 +63,58 @@ def salted_join(
     return out.drop("__salt")
 
 
+def _zipf_probe(spark, sf_dir: str) -> DataFrame:
+    """Deterministically Zipf-skew the lineitem fact: ~60% of rows
+    collapse onto key 0, the rest spread over 50 keys — the shape a
+    power-law entity (a viral item, a bot user) gives a join key at
+    100 TB. Derived from fixture data; no synthetic inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.when(F.col("l_orderkey") % 10 < 6, F.lit(0))
+        .otherwise(F.pmod(F.hash("l_orderkey"), F.lit(50)))
+        .alias("skew_key"),
+    )
+
+
+def _skew_dim(spark) -> DataFrame:
+    return spark.range(50).select(
+        F.col("id").alias("key"), (F.col("id") * 7 % 13).alias("w")
+    )
+
+
+def _skew_agg(joined: DataFrame) -> DataFrame:
+    return joined.agg(
+        F.sum(F.col("l_extendedprice") * F.col("w")).alias("v")
+    )
+
+
+def skew_zipf_join_unsalted(spark, sf_dir: str) -> DataFrame:
+    """Bench twin A: the NAIVE plan — sort-merge join straight on the
+    skewed key (the merge hint stands in for a build side too big to
+    broadcast, which is when skew actually bites; AQE's skew split
+    does not engage at local fixture sizes because its
+    skewedPartitionThresholdInBytes targets 100 TB-class partitions).
+    One shuffle partition receives ~60% of the fact table."""
+    probe, dim = _zipf_probe(spark, sf_dir), _skew_dim(spark)
+    return _skew_agg(probe.join(dim.hint("merge"), probe.skew_key == dim.key))
+
+
+def skew_zipf_join_salted(spark, sf_dir: str) -> DataFrame:
+    """Bench twin B: same join salted 16 ways — the hot key's rows
+    scatter across 16 shuffle partitions while the 50-row build side
+    replicates 16×. Measured ~2.3× faster than the unsalted twin at
+    sf0.1 (BENCH_r07); the gap widens with skew mass. Not an oracle
+    query: the two plans sum doubles in different orders, so the
+    totals agree only to ~12 significant digits — a timing entry,
+    not a hash-checked one."""
+    probe, dim = _zipf_probe(spark, sf_dir), _skew_dim(spark)
+    return _skew_agg(
+        salted_join(probe, dim.hint("merge"), "skew_key", "key", n_salts=16)
+    )
+
+
 @query(
     "skew_salted_join_nation_counts",
     oracle=f"""

@@ -8,20 +8,22 @@ distributed two-phase reduction:
 
 1. collapse to one candidate per distinct x (only the max-y point at
    a given x can survive) — an ordinary hash aggregate;
-2. LOCAL skylines per partition — a window keyed by
-   ``spark_partition_id()`` computes each partition's running-max
-   filter independently (32-way parallel, no global sort). A local
-   non-skyline point is dominated by a point in the SAME partition,
-   so pruning it is always safe;
+2. LOCAL skylines per bucket — a window keyed by a 32-way hash
+   bucket of x computes each bucket's running-max filter
+   independently (32-way parallel, no global sort; the one exchange
+   this window needs carries only the already-collapsed per-x set,
+   and Catalyst would insert an exchange for ANY window key here —
+   ``spark_partition_id()`` included — so a deterministic bucket
+   costs nothing extra). A local non-skyline point is dominated by
+   a point in the SAME bucket, so pruning it is always safe;
 3. GLOBAL skyline over the survivors — the same running-max window,
    now over a set bounded by the sum of local frontier sizes (for
-   random partitioning of n points, expected local frontier is
-   O(log n) per partition), so the single-task global pass is tiny.
+   hash bucketing of n points, expected local frontier is
+   O(log n) per bucket), so the single-task global pass is tiny.
 
-The final result is invariant to the (nondeterministic) partitioning
-— step 2 only ever REMOVES dominated points, never frontier points —
-which is what the cross-engine oracle (a NOT EXISTS dominance query)
-verifies.
+The final result is invariant to the bucketing — step 2 only ever
+REMOVES dominated points, never frontier points — which is what the
+cross-engine oracle (a NOT EXISTS dominance query) verifies.
 """
 
 from __future__ import annotations
@@ -52,7 +54,7 @@ def _runmax_filter(pts: DataFrame, part: list) -> DataFrame:
 def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """Distinct skyline points (x, y), maximizing both dimensions."""
     pts = df.groupBy(F.col(x).alias("x")).agg(F.max(y).alias("y"))
-    local = _runmax_filter(pts, [F.spark_partition_id()])
+    local = _runmax_filter(pts, [F.pmod(F.hash("x"), F.lit(32))])
     return _runmax_filter(local, [])
 
 

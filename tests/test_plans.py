@@ -311,3 +311,59 @@ def test_runtime_bloom_filter_injects_below_threshold(spark):
         conf.set(bcast, old_bcast)
     plain = {(r.o_orderstatus, r.n) for r in revenue().collect()}
     assert filtered == plain and filtered
+
+
+def test_skyline_two_window_passes_no_global_sort(spark):
+    """The skyline must be the two-phase reduction: a local window
+    keyed by a hash bucket of x (32-way parallel sort of the per-x
+    collapse) followed by the tiny global pass over local survivors.
+    A plan that globally sorts the full per-x collapse in one task
+    would be a scale regression."""
+    plan = _plan(spark, "skyline_orders_price_recency")
+    assert plan.count("Window") == 2, plan
+    # exactly one SinglePartition exchange — and it must sit above
+    # the local (bucketed) window pass, i.e. appear before it in the
+    # top-down plan string
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # the bucketed local pass (its exchange hashes on the derived
+    # window key _w0) must sit BELOW the single-partition global
+    # pass, i.e. after it in the top-down plan string
+    assert plan.index("Exchange SinglePartition") < plan.index(
+        "hashpartitioning(_w0"
+    ), plan
+    # total exchanges: per-x aggregate, bucket window, global pass
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_triangle_plan_shape(spark):
+    """Degree-ordered triangle counting: adjacency joins broadcast
+    (vertex-dimension-sized), the compute-heavy intersect stage is
+    explicitly repartitioned (AQE would coalesce the byte-small edge
+    table to one partition), and every join is an equi-join."""
+    plan = _plan(spark, "supplier_triangles")
+    assert "array_intersect" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or (
+        "hashpartitioning(u" in plan
+    ), plan
+
+
+def test_scd2_pit_join_is_equi_with_residual(spark):
+    """The point-in-time join must hash on the custkey equi-key with
+    the validity-window predicate as a residual — never a
+    nested-loop over facts × versions."""
+    plan = _plan(spark, "scd2_point_in_time_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_partsupp_subqueries_decorrelate(spark):
+    """q2/q20's correlated subqueries must plan as aggregate+join
+    (no per-row re-execution — Catalyst leaves no Subquery nodes in
+    the executed plan) and q16's NOT IN as a left-anti join."""
+    assert "LeftAnti" in _plan(spark, "q16_supplier_part_counts")
+    for name in ("q2_min_cost_supplier", "q20_excess_stock_suppliers"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
