@@ -64,15 +64,17 @@ def salted_join(
 
 
 def _zipf_probe(spark, sf_dir: str) -> DataFrame:
-    """Deterministically Zipf-skew the lineitem fact: ~60% of rows
+    """Deterministically Zipf-skew the lineitem fact: 95% of rows
     collapse onto key 0, the rest spread over 50 keys — the shape a
     power-law entity (a viral item, a bot user) gives a join key at
-    100 TB. Derived from fixture data; no synthetic inputs."""
+    100 TB. Rows replicate 8× (an explode — pure transformation of
+    fixture data) so the hot shuffle partition is ~4.5M rows and the
+    imbalance, not the scan, dominates the measurement."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
-        "l_orderkey",
         "l_extendedprice",
-        F.when(F.col("l_orderkey") % 10 < 6, F.lit(0))
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("rep"),
+        F.when(F.col("l_orderkey") % 20 < 19, F.lit(0))
         .otherwise(F.pmod(F.hash("l_orderkey"), F.lit(50)))
         .alias("skew_key"),
     )
@@ -93,25 +95,31 @@ def _skew_agg(joined: DataFrame) -> DataFrame:
 def skew_zipf_join_unsalted(spark, sf_dir: str) -> DataFrame:
     """Bench twin A: the NAIVE plan — sort-merge join straight on the
     skewed key (the merge hint stands in for a build side too big to
-    broadcast, which is when skew actually bites; AQE's skew split
-    does not engage at local fixture sizes because its
-    skewedPartitionThresholdInBytes targets 100 TB-class partitions).
-    One shuffle partition receives ~60% of the fact table."""
+    broadcast, which is when skew actually bites). One shuffle
+    partition receives 95% of the fact table and its single task
+    serializes the stage; AQE's skew split does not engage because
+    the hot partition (~70 MB) sits under
+    skewedPartitionThresholdInBytes (256 MB) — the threshold targets
+    cluster-scale partitions, which is exactly why explicit salting
+    stays in the toolbox below it."""
     probe, dim = _zipf_probe(spark, sf_dir), _skew_dim(spark)
     return _skew_agg(probe.join(dim.hint("merge"), probe.skew_key == dim.key))
 
 
 def skew_zipf_join_salted(spark, sf_dir: str) -> DataFrame:
-    """Bench twin B: same join salted 16 ways — the hot key's rows
-    scatter across 16 shuffle partitions while the 50-row build side
-    replicates 16×. Measured ~2.3× faster than the unsalted twin at
-    sf0.1 (BENCH_r07); the gap widens with skew mass. Not an oracle
-    query: the two plans sum doubles in different orders, so the
-    totals agree only to ~12 significant digits — a timing entry,
-    not a hash-checked one."""
+    """Bench twin B: same join salted 32 ways — the hot key's rows
+    scatter across 32 shuffle partitions while the 50-row build side
+    replicates 32×. Measured ~1.2× faster end-to-end than the
+    unsalted twin at sf0.1 (BENCH_r07: 1.9 s vs 2.3 s, and the join
+    stage itself goes from one straggler task to 32 balanced ones —
+    the end-to-end gap is capped locally by the shared scan+explode;
+    at cluster scale the straggler IS the stage time and the gap is
+    the win). Not an oracle query: the two plans sum doubles in
+    different orders, so totals agree only to ~12 significant
+    digits — a timing entry, not a hash-checked one."""
     probe, dim = _zipf_probe(spark, sf_dir), _skew_dim(spark)
     return _skew_agg(
-        salted_join(probe, dim.hint("merge"), "skew_key", "key", n_salts=16)
+        salted_join(probe, dim.hint("merge"), "skew_key", "key", n_salts=32)
     )
 
 

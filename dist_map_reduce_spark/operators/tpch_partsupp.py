@@ -11,16 +11,20 @@ per observed (partkey, suppkey) pair with
   - ``ps_supplycost`` = min extendedprice ever charged (min is
     exact and order-independent, unlike a float sum)
 
-— and runs the five canonical plans on top. The CTE text is shared
-verbatim between the Spark query and the DuckDB oracle (single
-source of truth, no dialect drift), but the two engines parse, plan
-and execute it independently, so the check is still engine-vs-engine.
+— and runs the five canonical plans on top. The Spark side builds
+partsupp ONCE per (session, fixture dir) as a DataFrame persisted
+through the bounded ``caching.persist_tracked`` slot (the same
+build-once/reuse contract as the ANN indexes) and exposes it as a
+temp view; the DuckDB oracle re-derives it from scratch with an
+equivalent CTE, so the check stays engine-vs-engine with zero
+shared text evaluation.
 
 Scale shape (all five): partsupp is one groupBy over lineitem (hash
 partial-agg, one shuffle, output bounded by |part|×|supplier|
-observed pairs — dimension-scale, far below fact-scale). Catalyst
-rewrites every subquery below into joins/semi-joins against that
-aggregate; nothing re-executes per row:
+observed pairs — dimension-scale, far below fact-scale), computed
+once and reused. Catalyst rewrites every subquery below into
+joins/semi-joins against that aggregate; nothing re-executes per
+row:
   - q2:  correlated min subquery → de-correlated per-part min +
          equi-join on (partkey, cost); unique ORDER BY chain makes
          the LIMIT deterministic across engines.
@@ -44,11 +48,13 @@ exposes for arbitrary mapFunc/reduceFunc pairs
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from dist_map_reduce_spark.catalog import register_views
+from dist_map_reduce_spark.caching import persist_tracked
+from dist_map_reduce_spark.catalog import load_table, register_views
 from dist_map_reduce_spark.registry import query
 
-# Synthetic partsupp CTE — identical text on both engines.
+# Synthetic partsupp as a DuckDB CTE — the oracle-side derivation.
 _PS = """
   partsupp AS (
     SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -60,8 +66,35 @@ _PS = """
   )
 """
 
-_Q2 = f"""
-WITH {_PS}
+
+def _with_ps(body: str) -> str:
+    """Oracle text: prepend the partsupp CTE to a query body."""
+    if body.lstrip().startswith("WITH"):
+        return body.replace("WITH", f"WITH {_PS},", 1)
+    return f"WITH {_PS}\n{body}"
+
+
+def _prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Register fixture views plus the partsupp temp view (built
+    once per (session, sf_dir) via the bounded persist slot —
+    subsequent queries reuse the cached aggregate)."""
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("ps_availqty"),
+        F.min("l_extendedprice").alias("ps_supplycost"),
+    )
+    persist_tracked(ps, "tpch_partsupp", sf_dir).createOrReplaceTempView(
+        "partsupp"
+    )
+
+
+_Q2 = """
 SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
        ps.ps_supplycost
 FROM part p
@@ -83,19 +116,18 @@ LIMIT 100
 """
 
 
-@query("q2_min_cost_supplier", oracle=_Q2)
+@query("q2_min_cost_supplier", oracle=_with_ps(_Q2))
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: min-cost supplier per part within a region —
     correlated min subquery de-correlated by Catalyst into a
     per-part aggregate + equi-join. The ORDER BY chain
     (acctbal DESC, nation, supplier, part) is a unique total order,
     so LIMIT 100 selects the same set in both engines."""
-    register_views(spark, sf_dir)
+    _prepare(spark, sf_dir)
     return spark.sql(_Q2)
 
 
-_Q9 = f"""
-WITH {_PS}
+_Q9 = """
 SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
        CAST(round(sum(
          CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -115,19 +147,18 @@ GROUP BY n.n_name, year(o.o_orderdate)
 """
 
 
-@query("q9_product_type_profit", oracle=_Q9)
+@query("q9_product_type_profit", oracle=_with_ps(_Q9))
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by nation and year — 6-way star join
     with a LIKE filter on the part dimension; profit (revenue minus
     supply cost × quantity) accumulated in DECIMAL so the sum is
     exact and engine-independent, rounded to cents once."""
-    register_views(spark, sf_dir)
+    _prepare(spark, sf_dir)
     return spark.sql(_Q9)
 
 
-_Q11 = f"""
-WITH {_PS},
-nation_ps AS (
+_Q11 = """
+WITH nation_ps AS (
   SELECT ps.ps_partkey,
          CAST(ps.ps_supplycost AS DECIMAL(18,2))
            * CAST(ps.ps_availqty AS DECIMAL(18,2)) AS stock_value
@@ -147,18 +178,17 @@ ORDER BY part_value DESC
 """
 
 
-@query("q11_important_stock", oracle=_Q11)
+@query("q11_important_stock", oracle=_with_ps(_Q11))
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part stock value within a nation group,
     kept when above a fraction of the total — the threshold is an
     uncorrelated scalar subquery (1-row broadcast), both branches
     reading the same grouped aggregate; sums exact in DECIMAL."""
-    register_views(spark, sf_dir)
+    _prepare(spark, sf_dir)
     return spark.sql(_Q11)
 
 
-_Q16 = f"""
-WITH {_PS}
+_Q16 = """
 SELECT p.p_brand, p.p_type, p.p_size,
        count(DISTINCT ps.ps_suppkey) AS supplier_cnt
 FROM partsupp ps
@@ -173,19 +203,18 @@ GROUP BY p.p_brand, p.p_type, p.p_size
 """
 
 
-@query("q16_supplier_part_counts", oracle=_Q16)
+@query("q16_supplier_part_counts", oracle=_with_ps(_Q16))
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct suppliers per (brand, type, size)
     excluding a supplier blacklist — NOT IN over a NULL-free key
     plans as a left-anti join (the blacklist predicate adapts the
     original's comment-LIKE to s_acctbal < 0, the fixture's only
     supplier-quality column)."""
-    register_views(spark, sf_dir)
+    _prepare(spark, sf_dir)
     return spark.sql(_Q16)
 
 
-_Q20 = f"""
-WITH {_PS}
+_Q20 = """
 SELECT s.s_name, n.n_name
 FROM supplier s
 JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -210,7 +239,7 @@ ORDER BY s.s_name
 """
 
 
-@query("q20_excess_stock_suppliers", oracle=_Q20)
+@query("q20_excess_stock_suppliers", oracle=_with_ps(_Q20))
 def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers holding stock above 2× the window
     demand for promoted parts — a nested IN chain whose inner filter
@@ -219,5 +248,5 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     as semi joins. (part, supplier) pairs with no shipments in the
     window yield a NULL sum and are excluded — standard TPC-H
     comparison semantics, identical in both engines."""
-    register_views(spark, sf_dir)
+    _prepare(spark, sf_dir)
     return spark.sql(_Q20)
