@@ -90,6 +90,9 @@ HEADLINE = [
     "multimodal_audio_features",
     "skew_zipf_join_unsalted",
     "skew_zipf_join_salted",
+    "lexical_cosine_pairs",
+    "text_dup_span_longest",
+    "per_source_doc_cap",
 ]
 
 
