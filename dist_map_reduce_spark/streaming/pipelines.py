@@ -31,6 +31,17 @@ scalable sinks and asserts they agree with the memory-sink answer,
 so the production code path is exercised, not just documented.
 Watermarked variants (append mode) drop nothing on replay only
 because availableNow processes all input in order.
+
+API note: arbitrary per-key state is covered via
+``applyInPandasWithState`` (``streaming_stateful_user_totals``).
+Its Spark 4 successor ``transformWithStateInPandas``
+(StatefulProcessor + typed state handles) cannot run in this
+container: its state-server protocol requires ``google.protobuf``,
+which is not importable here (verified: the streaming Python runner
+crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). On an
+environment with protobuf, the legacy query's state function ports
+to a StatefulProcessor with one ValueState holding the same
+(n, total_micro) tuple — same semantics, same oracle.
 """
 
 from __future__ import annotations
