@@ -93,6 +93,7 @@ HEADLINE = [
     "lexical_cosine_pairs",
     "text_dup_span_longest",
     "per_source_doc_cap",
+    "source_kl_divergence",
 ]
 
 

@@ -268,3 +268,75 @@ def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= CAP)
     )
+
+
+@query(
+    "source_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    st AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    s_tot AS (SELECT source, sum(c) AS n FROM st GROUP BY 1),
+    g AS (SELECT token, sum(c) AS gc FROM st GROUP BY 1),
+    g_tot AS (SELECT sum(c) AS big_n FROM st)
+    SELECT st.source,
+           CAST(s_tot.n AS BIGINT) AS n_tokens,
+           round(sum((st.c * 1.0 / s_tot.n)
+                     * ln((st.c * 1.0 / s_tot.n)
+                          / (g.gc * 1.0 / g_tot.big_n))), 6)
+             AS kl_vs_corpus,
+           round(-sum((st.c * 1.0 / s_tot.n)
+                      * ln(st.c * 1.0 / s_tot.n)), 6) AS entropy
+    FROM st
+    JOIN s_tot USING (source)
+    JOIN g USING (token)
+    CROSS JOIN g_tot
+    GROUP BY st.source, s_tot.n
+    """,
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution divergence from the corpus:
+    KL(P_source ‖ P_corpus) plus the source's own entropy — the
+    domain-shift diagnostic a corpus-mix recipe reads before
+    weighting sources (a source with high KL is lexically unlike
+    the rest; near-zero KL means it adds volume, not diversity).
+
+    Determinism follows lm_score's discipline: probabilities are
+    single IEEE divisions of exact counts, ln of identical doubles
+    is identical in JVM and DuckDB, and each source's sum spans at
+    most vocabulary-distinct terms, so the 6-dp round absorbs
+    association-order ULPs. Plan: one (source, token) aggregate,
+    dimension-sized joins (per-source totals broadcast, global
+    token counts vocab-bounded), one final per-source aggregate —
+    token counting is the only corpus-scale pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("n"))
+    g = st.groupBy("token").agg(F.sum("c").alias("gc"))
+    g_tot = st.agg(F.sum("c").alias("big_n"))
+    ps = F.col("c") * F.lit(1.0) / F.col("n")
+    pg = F.col("gc") * F.lit(1.0) / F.col("big_n")
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(g, "token")
+        .crossJoin(F.broadcast(g_tot))
+        .groupBy("source", "n")
+        .agg(
+            F.round(F.sum(ps * F.log(ps / pg)), 6).alias("kl_vs_corpus"),
+            F.round(-F.sum(ps * F.log(ps)), 6).alias("entropy"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "kl_vs_corpus",
+            "entropy",
+        )
+    )
