@@ -165,3 +165,135 @@ class TestSystematicResample:
         # telescoping: sum of per-doc coverage = floor(total/step)
         for r in per_shard:
             assert r.copies == r.total_w // 997
+
+
+class TestCurationExt:
+    def test_lexical_cosine_identical_docs_score_one(self, spark):
+        """Two identical docs sharing mid-frequency shingles must
+        score exactly 1.0; a doc with no shared mid-df shingle must
+        not pair."""
+        import pandas as pd
+
+        from dist_map_reduce_spark.functions.curation_ext import (
+            lexical_cosine_pairs,
+        )
+        from dist_map_reduce_spark.functions import curation_ext as ce
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "alpha beta gamma delta epsilon",
+                        "alpha beta gamma delta epsilon",
+                        "zeta eta theta iota kappa",
+                    ],
+                }
+            )
+        )
+        orig = ce.load_table
+        ce.load_table = lambda s, d, n: docs
+        try:
+            rows = lexical_cosine_pairs(spark, "unused").collect()
+        finally:
+            ce.load_table = orig
+        assert [(r.doc_a, r.doc_b, r.cos) for r in rows] == [(1, 2, 1.0)]
+
+    def test_dup_span_islands(self, spark):
+        """A doc sharing one contiguous 9-word block with another doc
+        yields a 2-gram run (= block_len - 8 + 1) and span of 9
+        words; an unrelated doc reports 0."""
+        import pandas as pd
+
+        from dist_map_reduce_spark.functions.curation_ext import (
+            text_dup_span_longest,
+        )
+        from dist_map_reduce_spark.functions import curation_ext as ce
+
+        block = " ".join(f"w{i}" for i in range(9))
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        block + " tail1 tail2 tail3 tail4 tail5 tail6 tail7",
+                        "head1 head2 head3 head4 head5 head6 head7 " + block,
+                        "solo1 solo2 solo3 solo4 solo5 solo6 solo7 solo8 solo9",
+                    ],
+                }
+            )
+        )
+        orig = ce.load_table
+        ce.load_table = lambda s, d, n: docs
+        try:
+            out = {
+                r.doc_id: (r.max_dup_gram_run, r.max_dup_span_words)
+                for r in text_dup_span_longest(spark, "unused").collect()
+            }
+        finally:
+            ce.load_table = orig
+        assert out[1] == (2, 9)
+        assert out[2] == (2, 9)
+        assert out[3] == (0, 0)
+
+    def test_per_source_cap_deterministic_cut(self, spark):
+        """Ties on n_chars break by doc_id, so the kept set is
+        stable."""
+        import pandas as pd
+
+        from dist_map_reduce_spark.functions.curation_ext import (
+            CAP,
+            per_source_doc_cap,
+        )
+        from dist_map_reduce_spark.functions import curation_ext as ce
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(15)),
+                    "source": ["s"] * 15,
+                    "n_chars": [100] * 15,  # all tied
+                }
+            )
+        )
+        orig = ce.load_table
+        ce.load_table = lambda s, d, n: docs
+        try:
+            kept = sorted(
+                r.doc_id
+                for r in per_source_doc_cap(spark, "unused").collect()
+            )
+        finally:
+            ce.load_table = orig
+        assert kept == list(range(CAP))
+
+    def test_kl_divergence_identical_distribution_is_zero(self, spark):
+        """A source whose token distribution equals the corpus
+        distribution has KL exactly 0 after rounding."""
+        import pandas as pd
+
+        from dist_map_reduce_spark.functions.curation_ext import (
+            source_kl_divergence,
+        )
+        from dist_map_reduce_spark.functions import curation_ext as ce
+
+        # both sources have identical distributions {a: 2/3, b: 1/3}
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "source": ["s1", "s2"],
+                    "text": ["a a b", "a a b"],
+                }
+            )
+        )
+        orig = ce.load_table
+        ce.load_table = lambda s, d, n: docs
+        try:
+            out = {
+                r.source: (r.kl_vs_corpus, r.n_tokens)
+                for r in source_kl_divergence(spark, "unused").collect()
+            }
+        finally:
+            ce.load_table = orig
+        assert out == {"s1": (0.0, 3), "s2": (0.0, 3)}
