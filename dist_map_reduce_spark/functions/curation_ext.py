@@ -117,30 +117,49 @@ def lexical_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(ws, i, COS_N), " "),
         ),
     ).otherwise(F.array())
+    # pre-explode repartition: spreads the shingle explode across
+    # cores on a single-split fixture scan (see text_boilerplate)
     tf = (
-        docs.select("doc_id", F.explode(shingles).alias("term"))
+        docs.repartition(32)
+        .select("doc_id", F.explode(shingles).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    keep = (
+    # weighted postings, the same single-shuffle pattern as
+    # ngram_jaccard_pairs: one aggregate per term (size(ps) IS the
+    # document frequency, so the df band needs no second pass), then
+    # i<j pairs emitted directly from the sorted array — exactly
+    # k(k-1)/2 structs per term, never k² filtered down
+    postings = (
         tf.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= MAX_DF))
-        .select("term")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "tf"))
+            ).alias("ps")
+        )
+        .where((F.size("ps") >= 2) & (F.size("ps") <= MAX_DF))
     )
-    ftf = tf.join(keep, "term")
-    norms = ftf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm"))
-    a = ftf.select(
-        "term", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
-    )
-    b = ftf.select(
-        "term", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    norms = (
+        postings.select(F.explode("ps").alias("p"))
+        .groupBy(F.col("p.doc_id").alias("doc_id"))
+        .agg(F.sum(F.col("p.tf") * F.col("p.tf")).alias("nrm"))
     )
     dots = (
-        a.join(b, "term")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ps) - 2), "
+                    "i -> transform(sequence(i + 1, size(ps) - 1), "
+                    "j -> struct(ps[i].doc_id AS doc_a, "
+                    "ps[j].doc_id AS doc_b, "
+                    "ps[i].tf * ps[j].tf AS w))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .agg(F.sum("p.w").alias("dot"))
     )
     cos = F.round(
         F.col("dot").cast("double")
