@@ -94,6 +94,7 @@ HEADLINE = [
     "text_dup_span_longest",
     "per_source_doc_cap",
     "source_kl_divergence",
+    "multimodal_image_features",
 ]
 
 

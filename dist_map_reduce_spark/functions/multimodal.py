@@ -2,15 +2,16 @@
 metadata, with Arrow-batched (mapInPandas) feature extraction.
 
 Convention (BASELINE.json north star): a modality column is
-``binary`` plus a metadata struct (mime, n_bytes, ...). Audio decode
-is REAL for WAV (stdlib ``wave`` — see ``decode_audio`` here and the
-end-to-end encode→decode→features pipeline in
-``multimodal_audio.py``). Image/video codecs aren't available in
-this environment, so ``decode_image`` raises NotImplementedError
-with a clear message, and the image-shaped pipeline uses a
-deterministic byte-level feature extractor — the Spark-side plumbing
-(schema, batching, UDF signature, partitioning) is real and
-oracle-checked; only that codec call is fake.
+``binary`` plus a metadata struct (mime, n_bytes, ...). Decode is
+REAL for the codec-free formats: WAV via stdlib ``wave``
+(``decode_audio`` + the end-to-end pipeline in
+``multimodal_audio.py``) and binary PPM via header parse + numpy
+(``decode_image`` + ``multimodal_image.py``). Compressed formats
+(PNG/JPEG/video) need codecs this environment lacks, so those
+paths raise NotImplementedError with a clear message and the
+generic pipeline uses a deterministic byte-level feature
+extractor — the Spark-side plumbing (schema, batching, UDF
+signature, partitioning) is identical either way.
 
 The documents table stands in as the payload source
 (text bytes = the "blob").
@@ -29,17 +30,47 @@ from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import query
 
 
-def decode_image(blob: bytes) -> "object":
-    """Decode an image payload to (height, width, channels) pixels.
+def decode_image(blob: bytes) -> "tuple[int, int, object]":
+    """Decode an image payload to (height, width, HxWx3 uint8
+    pixels) — REAL for binary PPM (P6), the codec-free raster
+    format (pure header parse + numpy reshape; no PIL/opencv, which
+    this container lacks). Compressed formats (PNG/JPEG) still need
+    a codec and raise. The Spark-side pipeline using this decode
+    end-to-end is ``multimodal_image.multimodal_image_features``
+    (which inlines the same logic as a local closure for the
+    cloudpickle-by-value executor contract)."""
+    import numpy as np
 
-    STUB: real decoding needs an image codec (PIL/opencv), which is
-    not in this container. The surrounding plumbing (binary column in,
-    feature rows out via mapInPandas) is the real, tested path.
-    """
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use extract_byte_features for the deterministic fake path"
-    )
+    if not blob.startswith(b"P6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) decodes codec-free; PNG/JPEG need an "
+            "image codec this environment lacks — use "
+            "extract_byte_features for the deterministic fake path"
+        )
+    # header: P6 <width> <height> <maxval> followed by ONE whitespace
+    # byte, then raw RGB. Comments (#...) are legal between tokens.
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        tokens.append(blob[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM (maxval 255) supported")
+    pixels = np.frombuffer(
+        blob, dtype=np.uint8, count=height * width * 3, offset=i
+    ).reshape(height, width, 3)
+    return height, width, pixels
 
 
 def decode_audio(blob: bytes) -> "tuple[int, int, object]":

@@ -57,12 +57,13 @@ def load_all() -> None:
     Round 7: every r3-stamped query leads (approx, json_ops, graph's
     pagerank, packing, tpch_full's tail — 17 of them), then the
     queries NEW this round (tpch_partsupp's five, ANN recall, WAV
-    audio features, curation_ext's four), then the similarity
+    audio + PPM image features, curation_ext's four), then the
+    similarity
     family (six r4 stamps; the three r6-stamped index variants ride
     along because ann_recall imports them), then more r4 families
-    (timeseries, sources_sinks). Still r4-stamped after this round —
-    MUST lead the r8 window: windows (6), stats (5),
-    scalar_fns (4), setops (4), dedup (4), wordcount (3),
+    (timeseries, scalar_fns). Still r4-stamped after this round —
+    MUST lead the r8 window: windows (6), sources_sinks (5),
+    stats (5), setops (4), dedup (4), wordcount (3),
     clustering (2); the authoritative r8 list is derivable from the
     evidence files, which is what tests/test_registry.py checks.
     """
@@ -80,9 +81,10 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import similarity_ivfpq  # noqa: F401
     from dist_map_reduce_spark.functions import ann_recall  # noqa: F401
     from dist_map_reduce_spark.functions import multimodal_audio  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
     from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
     from dist_map_reduce_spark.operators import timeseries  # noqa: F401
-    from dist_map_reduce_spark.operators import sources_sinks  # noqa: F401
+    from dist_map_reduce_spark.operators import scalar_fns  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -123,12 +125,12 @@ def load_all() -> None:
         intervals,
         profiling,
         relational,
-        scalar_fns,
         scd,
         sequences,
         setops,
         skew,
         skyline,
+        sources_sinks,
         sources_sinks_orc,
         stats,
         stats_robust,

@@ -12,7 +12,14 @@ from tests.conftest import SF_SMOKE
 registry.load_all()
 
 
-def test_decode_image_stub_raises():
+def test_decode_image_ppm_roundtrip_and_png_raises():
+    import numpy as np
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = b"P6\n# comment\n3 2\n255\n" + img.tobytes()
+    h, w, px = multimodal.decode_image(blob)
+    assert (h, w) == (2, 3)
+    assert (px == img).all()
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
 

@@ -367,3 +367,15 @@ def test_tpch_partsupp_subqueries_decorrelate(spark):
     for name in ("q2_min_cost_supplier", "q20_excess_stock_suppliers"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_lexical_cosine_pairs_from_postings_not_self_join(spark):
+    """Pair generation must come from the sorted postings arrays
+    (Generate/explode of i<j index pairs) — not a term-keyed
+    self-join that materializes k^2 rows per shingle."""
+    plan = _plan(spark, "lexical_cosine_pairs")
+    # the only joins are the two dimension-sized norm lookups
+    n_joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins <= 2, plan
+    assert "Generate explode" in plan, plan
