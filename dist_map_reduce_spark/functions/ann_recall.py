@@ -91,19 +91,25 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (re-ranking the registered top-10 by the same rounded-score /
     vec_id order), runs all five variant searches, and counts the
     overlap; the denominator is the exact-pair count computed as a
-    1-row broadcast scalar (no driver-side action)."""
+    1-row broadcast scalar (no driver-side action). The exact-pair
+    set feeds BOTH the overlap join and the denominator, so it is
+    persisted through the bounded cache slot — otherwise the full
+    exact scan runs twice per invocation."""
     from pyspark.sql import Window as W
 
+    from dist_map_reduce_spark.caching import persist_tracked
     from dist_map_reduce_spark.registry import QUERIES
 
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
-    exact5 = (
+    exact5 = persist_tracked(
         QUERIES[_EXACT](spark, sf_dir)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+        .select("query_id", "vec_id", F.lit(1).alias("hit")),
+        "ann_recall_exact5",
+        sf_dir,
     )
     variants = None
     for label, name in _VARIANTS.items():
