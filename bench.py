@@ -95,6 +95,7 @@ HEADLINE = [
     "per_source_doc_cap",
     "source_kl_divergence",
     "multimodal_image_features",
+    "histogram_equidepth_prices",
 ]
 
 

@@ -79,3 +79,65 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract range, with per-bin observed min/max (bin edges are
     derived, not data-dependent)."""
     return histogram(load_table(spark, sf_dir, "orders"), "o_totalprice", LO, HI, N_BUCKETS)
+
+
+N_QUANTILES = 8  # equi-depth bucket count
+
+
+@query(
+    "histogram_equidepth_prices",
+    oracle=f"""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+               [x * 1.0 / {N_QUANTILES} FOR x IN
+                 generate_series(1, {N_QUANTILES - 1})]) AS bnds
+      FROM orders
+    ),
+    assigned AS (
+      SELECT len(list_filter(b.bnds, x -> o.o_totalprice > x)) AS bucket,
+             o.o_totalprice AS v
+      FROM orders o CROSS JOIN b
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           count(*) AS n_rows,
+           min(v) AS min_val,
+           max(v) AS max_val
+    FROM assigned GROUP BY bucket
+    """,
+)
+def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram of order totals — the
+    complement of the fixed-width contract above: bucket EDGES are
+    data-dependent (exact percentiles), bucket COUNTS are ~equal.
+    Exactness: Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    both implement the standard linear-interpolation quantile (R-7),
+    so the 7 boundary doubles are identical in both engines (the
+    same equivalence percentile_exact_event_values pins), and bucket
+    assignment is a pure comparison against identical doubles.
+
+    Scale shape: exact percentile is a full-sort-per-group aggregate
+    — expensive but single-pass (at 100 TB swap in approx_percentile
+    and accept sketched edges; the assignment plan is unchanged).
+    The 1-row boundary array broadcasts; assignment is a map-side
+    projection into an at-most-N_QUANTILES-key aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    bnds = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array("
+            + ", ".join(
+                f"{i}D / {N_QUANTILES}" for i in range(1, N_QUANTILES)
+            )
+            + "))"
+        ).alias("bnds")
+    )
+    assigned = orders.crossJoin(F.broadcast(bnds)).select(
+        F.expr("size(filter(bnds, x -> o_totalprice > x))")
+        .cast("int")
+        .alias("bucket"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )

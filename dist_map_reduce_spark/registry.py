@@ -60,10 +60,11 @@ def load_all() -> None:
     audio + PPM image features, curation_ext's four), then the
     similarity
     family (six r4 stamps; the three r6-stamped index variants ride
-    along because ann_recall imports them), then more r4 families
-    (timeseries, scalar_fns). Still r4-stamped after this round —
-    MUST lead the r8 window: windows (6), sources_sinks (5),
-    stats (5), setops (4), dedup (4), wordcount (3),
+    along because ann_recall imports them), then timeseries (r4) and
+    the histogram/timeseries_fill modules that carry this round's
+    new equi-depth entry. Still r4-stamped after this round — MUST
+    lead the r8 window: windows (6), sources_sinks (5), stats (5),
+    scalar_fns (4), setops (4), dedup (4), wordcount (3),
     clustering (2); the authoritative r8 list is derivable from the
     evidence files, which is what tests/test_registry.py checks.
     """
@@ -84,7 +85,8 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
     from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
     from dist_map_reduce_spark.operators import timeseries  # noqa: F401
-    from dist_map_reduce_spark.operators import scalar_fns  # noqa: F401
+    from dist_map_reduce_spark.operators import histogram  # noqa: F401
+    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -121,10 +123,10 @@ def load_all() -> None:
         cohorts,
         contribution,
         etl,
-        histogram,
         intervals,
         profiling,
         relational,
+        scalar_fns,
         scd,
         sequences,
         setops,
@@ -135,7 +137,6 @@ def load_all() -> None:
         stats,
         stats_robust,
         subqueries,
-        timeseries_fill,
         tpch_more,
         windows,
         wordcount,
