@@ -627,3 +627,42 @@ def test_bucketize_is_monotone_and_total(spark, vals):
     assert all(0 <= r.b <= 9 for r in rows)
     by_v = sorted(rows, key=lambda r: r.v)
     assert all(a.b <= b.b for a, b in zip(by_v, by_v[1:]))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    """Degree-ordered adjacency-intersect triangle count equals the
+    O(n^3) brute force on arbitrary small graphs (including dense,
+    star, and disconnected shapes that stress the orientation and
+    empty-intersection paths)."""
+    from itertools import combinations
+
+    from dist_map_reduce_spark.operators.sequences import (
+        triangle_count,
+        undirected_edges,
+    )
+
+    undirected = {tuple(sorted(e)) for e in edges}
+    verts = sorted({v for e in undirected for v in e})
+    expected = sum(
+        1
+        for a, b, c in combinations(verts, 3)
+        if (a, b) in undirected and (b, c) in undirected and (a, c) in undirected
+    )
+    df = spark.createDataFrame(list(undirected), "s1 long, s2 long")
+    got = (
+        triangle_count(undirected_edges(df, "s1", "s2"))
+        .collect()[0]
+        .n_triangles
+    )
+    assert got == expected
