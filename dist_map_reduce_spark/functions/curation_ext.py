@@ -118,9 +118,10 @@ def lexical_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array())
     # pre-explode repartition: spreads the shingle explode across
-    # cores on a single-split fixture scan (see text_boilerplate)
+    # cores on a single-split fixture scan (see text_boilerplate);
+    # width follows the session's core count, never a literal cap
     tf = (
-        docs.repartition(32)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(shingles).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))

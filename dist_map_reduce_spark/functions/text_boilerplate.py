@@ -52,8 +52,9 @@ def boilerplate_ngrams(
     has few splits (the fixtures are one 0.6 MB split — one core
     otherwise); at 100 TB the scan has thousands of splits and the
     exchange is a rounding error against the explode it feeds."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     df_counts = (
-        doc_ngrams(docs.repartition(32), n)
+        doc_ngrams(docs.repartition(n_parts), n)
         .groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("n_docs_with"))
     )

@@ -139,8 +139,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
     adj = directed.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    # width scales with the session's core count (2x for stragglers),
+    # not a literal that would cap parallelism on a real cluster
+    width = 2 * directed.sparkSession.sparkContext.defaultParallelism
     return (
-        directed.repartition(64, "u", "v")
+        directed.repartition(width, "u", "v")
         .join(F.broadcast(adj.select("u", F.col("nbrs").alias("nu"))), "u")
         .join(
             F.broadcast(
