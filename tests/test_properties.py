@@ -666,3 +666,34 @@ def test_triangle_count_matches_brute_force(spark, edges):
         .n_triangles
     )
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_matches_brute_force(spark, pts):
+    """Two-phase skyline equals the O(n^2) dominance scan on
+    arbitrary point sets (duplicates, ties on either axis, single
+    points) — partitioning the local pass must never drop a
+    frontier point."""
+    from dist_map_reduce_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+    uniq = set(pts)
+    expected = {
+        (x, y)
+        for x, y in uniq
+        if not any(
+            (a >= x and b >= y and (a > x or b > y)) for a, b in uniq
+        )
+    }
+    assert got == expected
