@@ -172,7 +172,8 @@ SELECT ps_partkey,
 FROM nation_ps
 GROUP BY ps_partkey
 HAVING sum(stock_value) > (
-  SELECT sum(stock_value) * 0.001 FROM nation_ps
+  SELECT sum(stock_value) * 2.0 / count(DISTINCT ps_partkey)
+  FROM nation_ps
 )
 ORDER BY part_value DESC
 """
@@ -181,11 +182,40 @@ ORDER BY part_value DESC
 @query("q11_important_stock", oracle=_with_ps(_Q11))
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part stock value within a nation group,
-    kept when above a fraction of the total — the threshold is an
-    uncorrelated scalar subquery (1-row broadcast), both branches
-    reading the same grouped aggregate; sums exact in DECIMAL."""
+    kept when above 2× the average per-part share — TPC-H's own
+    fraction scales as 0.0001/SF precisely because a FIXED fraction
+    empties (or floods) as the part count grows; the average-share
+    threshold is the scale-invariant equivalent. The Spark side
+    computes
+    the grouped aggregate ONCE and derives the threshold from it (the
+    exact-decimal total of per-part sums equals the oracle's
+    ungrouped total by associativity) as a 1-row broadcast scalar —
+    the literal SQL form would evaluate the nation_ps CTE twice, one
+    full pass per branch."""
     _prepare(spark, sf_dir)
-    return spark.sql(_Q11)
+    vals = spark.sql(
+        """
+        SELECT ps.ps_partkey,
+               sum(CAST(ps.ps_supplycost AS DECIMAL(18,2))
+                   * CAST(ps.ps_availqty AS DECIMAL(18,2))) AS sv
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        GROUP BY ps.ps_partkey
+        """
+    )
+    total = vals.agg(
+        F.sum("sv").alias("tot"), F.count("*").alias("cnt")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("sv") > F.col("tot") * F.lit(2.0) / F.col("cnt"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("sv"), 2).cast("double").alias("part_value"),
+        )
+    )
 
 
 _Q16 = """
