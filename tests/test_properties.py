@@ -697,3 +697,64 @@ def test_skyline_matches_brute_force(spark, pts):
         )
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fast", "slow", "cat", "dog"]),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_lexical_cosine_matches_brute_force(spark, texts):
+    """Postings-based lexical cosine equals a direct Python
+    computation of cosine over the df-banded 3-gram-shingle vectors
+    (exercises duplicate docs, saturated shingles above the df cut,
+    and docs with no qualifying shingle)."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    import pandas as pd
+
+    from dist_map_reduce_spark.functions import curation_ext as ce
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    orig = ce.load_table
+    ce.load_table = lambda s, d, n: docs
+    try:
+        got = {
+            (r.doc_a, r.doc_b): r.cos
+            for r in ce.lexical_cosine_pairs(spark, "unused").collect()
+        }
+    finally:
+        ce.load_table = orig
+
+    def shingles(t):
+        w = t.split(" ")
+        return [
+            " ".join(w[i : i + ce.COS_N])
+            for i in range(len(w) - ce.COS_N + 1)
+        ]
+
+    tf = {i: Counter(shingles(t)) for i, t in enumerate(texts)}
+    df = Counter(term for c in tf.values() for term in c)
+    band = {t for t, d in df.items() if 2 <= d <= ce.MAX_DF}
+    ftf = {i: {t: c for t, c in cnt.items() if t in band} for i, cnt in tf.items()}
+    expected = {}
+    for a, b in combinations(sorted(ftf), 2):
+        dot = sum(ftf[a][t] * ftf[b][t] for t in ftf[a].keys() & ftf[b].keys())
+        if dot == 0:
+            continue
+        na, nb = (sum(v * v for v in ftf[x].values()) for x in (a, b))
+        cos = round(dot / math.sqrt(float(na) * float(nb)), 6)
+        if cos >= ce.MIN_COS:
+            expected[(a, b)] = cos
+    assert got == expected
