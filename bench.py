@@ -96,6 +96,9 @@ HEADLINE = [
     "source_kl_divergence",
     "multimodal_image_features",
     "histogram_equidepth_prices",
+    "fuzzy_match_pairs",
+    "weighted_sample_aes",
+    "snapshot_diff_customers",
 ]
 
 

@@ -60,13 +60,15 @@ def load_all() -> None:
     audio + PPM image features, curation_ext's four), then the
     similarity
     family (six r4 stamps; the three r6-stamped index variants ride
-    along because ann_recall imports them), then timeseries (r4) and
-    the histogram/timeseries_fill modules that carry this round's
-    new equi-depth entry. Still r4-stamped after this round — MUST
-    lead the r8 window: windows (6), sources_sinks (5), stats (5),
-    scalar_fns (4), setops (4), dedup (4), wordcount (3),
-    clustering (2); the authoritative r8 list is derivable from the
-    evidence files, which is what tests/test_registry.py checks.
+    along because ann_recall imports them), then this round's late
+    additions (fuzzy linkage, A-ES sampling, snapshot diff,
+    equi-depth histogram riding with histogram/timeseries_fill) and
+    wordcount (r4). Still r4-stamped after this round — MUST lead
+    the r8 window: windows (6), timeseries (6), sources_sinks (5),
+    stats (5), scalar_fns (4), setops (4), dedup (4),
+    clustering (2) — 36 slots, leaving ~14 for r8 novelties; the
+    authoritative list is derivable from the evidence files, which
+    is what tests/test_registry.py checks.
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
@@ -84,9 +86,12 @@ def load_all() -> None:
     from dist_map_reduce_spark.functions import multimodal_audio  # noqa: F401
     from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
     from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
-    from dist_map_reduce_spark.operators import timeseries  # noqa: F401
+    from dist_map_reduce_spark.operators import linkage  # noqa: F401
+    from dist_map_reduce_spark.functions import sampling_aes  # noqa: F401
+    from dist_map_reduce_spark.operators import snapshot_diff  # noqa: F401
     from dist_map_reduce_spark.operators import histogram  # noqa: F401
     from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401
+    from dist_map_reduce_spark.operators import wordcount  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -137,9 +142,9 @@ def load_all() -> None:
         stats,
         stats_robust,
         subqueries,
+        timeseries,
         tpch_more,
         windows,
-        wordcount,
         zorder,
     )
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
