@@ -379,3 +379,10 @@ def test_lexical_cosine_pairs_from_postings_not_self_join(spark):
         "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert n_joins <= 2, plan
     assert "Generate explode" in plan, plan
+
+
+def test_weighted_sample_aes_plans_top_k(spark):
+    """The A-ES sample must plan TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the corpus."""
+    plan = _plan(spark, "weighted_sample_aes")
+    assert "TakeOrderedAndProject" in plan, plan
