@@ -297,3 +297,95 @@ class TestCurationExt:
         finally:
             ce.load_table = orig
         assert out == {"s1": (0.0, 3), "s2": (0.0, 3)}
+
+
+class TestLinkageAndDiff:
+    def test_fuzzy_match_identical_and_far_docs(self, spark):
+        """Identical docs in one block match at distance 0; docs
+        beyond MAX_DIST (or in singleton blocks) never pair."""
+        import pandas as pd
+
+        from dist_map_reduce_spark.operators import linkage
+
+        same = "prefix " + "word " * 30
+        far = "prefix " + "zzz " * 60
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [same, same, far, "loner unique text here"],
+                }
+            )
+        )
+        orig = linkage.load_table
+        linkage.load_table = lambda s, d, n: docs
+        try:
+            rows = {
+                (r.doc_a, r.doc_b): r.edit_dist
+                for r in linkage.fuzzy_match_pairs(spark, "unused").collect()
+            }
+        finally:
+            linkage.load_table = orig
+        assert rows == {(1, 2): 0}
+
+    def test_snapshot_diff_classification(self, spark):
+        """Insert/update/delete classification against hand-built
+        snapshots (keys chosen to hit every modular branch)."""
+        import pandas as pd
+
+        from dist_map_reduce_spark.operators import snapshot_diff
+
+        cust = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    # 17 -> deleted; 20 -> updated (MOVED); 13 -> also
+                    # re-inserted under +1e6; 7 -> unchanged
+                    "c_custkey": [17, 20, 13, 7],
+                    "c_mktsegment": ["A", "B", "C", "D"],
+                }
+            )
+        )
+        orig = snapshot_diff.load_table
+        snapshot_diff.load_table = lambda s, d, n: cust
+        try:
+            out = {
+                r.c_custkey: r.change_type
+                for r in snapshot_diff.snapshot_diff_customers(
+                    spark, "unused"
+                ).collect()
+            }
+        finally:
+            snapshot_diff.load_table = orig
+        assert out == {
+            17: "delete",
+            20: "update",
+            1000013: "insert",
+        }
+
+    def test_weighted_sample_prefers_heavy_docs(self, spark):
+        """With K smaller than the corpus, the heavy-token docs are
+        overwhelmingly more likely to be sampled: make one doc's
+        weight huge and every other tiny — the heavy doc must be in
+        the sample (its clock is ~1/w of the light docs')."""
+        import pandas as pd
+
+        from dist_map_reduce_spark.functions import sampling_aes
+
+        texts = ["one two"] * 300
+        texts[42] = " ".join(["w"] * 100000)
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(300), "text": texts})
+        )
+        orig = sampling_aes.load_table
+        sampling_aes.load_table = lambda s, d, n: docs
+        try:
+            sampled = {
+                r.doc_id
+                for r in sampling_aes.weighted_sample_aes(
+                    spark, "unused"
+                ).collect()
+            }
+        finally:
+            sampling_aes.load_table = orig
+        assert 42 in sampled
+        assert len(sampled) == sampling_aes.K
