@@ -176,9 +176,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the co-supply graph (suppliers adjacent when they
     serve the same order): per-order self-join (bounded fan-out) →
-    distinct edges → degree-ordered wedge join → closing-edge join.
-    The oracle counts the same triangles via the independent
-    id-ordered formulation (the count is orientation-invariant)."""
+    distinct edges → degree-ordered rank DAG → per-edge
+    array_intersect of broadcast out-neighbor arrays. The oracle
+    counts the same triangles via the independent id-ordered wedge
+    formulation (the count is orientation-invariant)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
