@@ -1,7 +1,7 @@
 """Corpus-curation extensions: lexical near-dup, duplicated spans,
-per-source caps.
+per-source caps, source divergence.
 
-Three signals a large-scale training-data pipeline computes besides
+Four signals a large-scale training-data pipeline computes besides
 the MinHash/SimHash/embedding families already in this repo:
 
 ``lexical_cosine_pairs`` — sparse LEXICAL cosine similarity between
@@ -37,6 +37,11 @@ window per doc.
 web-corpus recipe applies so no single domain dominates the mix.
 One window over source partitions — embarrassingly parallel across
 sources at any scale.
+
+``source_kl_divergence`` — per-source KL divergence from the corpus
+token distribution (+ entropy), the domain-shift diagnostic read
+before corpus-mix weighting; see its docstring for the
+ln-determinism discipline.
 
 Reference parity note: the reference engine ships word count only
 (reference: src/worker/worker.go:270-288); these exercise the same
