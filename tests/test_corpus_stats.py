@@ -389,3 +389,48 @@ class TestLinkageAndDiff:
             sampling_aes.load_table = orig
         assert 42 in sampled
         assert len(sampled) == sampling_aes.K
+
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+class TestR7Invariants:
+    def test_partsupp_cache_reused_across_queries(self, spark):
+        """The synthetic partsupp builds once per (session, sf_dir):
+        after any partsupp query runs, the next one's plan reads the
+        InMemory cache instead of re-aggregating lineitem."""
+        from dist_map_reduce_spark import registry
+
+        registry.QUERIES["q16_supplier_part_counts"](spark, SF_SMOKE).count()
+        plan = (
+            registry.QUERIES["q9_product_type_profit"](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan, plan
+
+    def test_source_kl_nonnegative(self, spark):
+        """KL divergence is non-negative by Gibbs' inequality; a
+        negative value would mean a sign/denominator bug."""
+        from dist_map_reduce_spark import registry
+
+        rows = registry.QUERIES["source_kl_divergence"](
+            spark, SF_SMOKE
+        ).collect()
+        assert rows
+        assert all(r.kl_vs_corpus >= 0.0 for r in rows), rows
+        assert all(r.entropy >= 0.0 for r in rows), rows
+
+    def test_equidepth_buckets_balanced(self, spark):
+        """Equi-depth buckets hold ~n/8 rows each (exact up to
+        boundary ties) and cover all rows exactly once."""
+        from dist_map_reduce_spark import registry
+
+        rows = registry.QUERIES["histogram_equidepth_prices"](
+            spark, SF_SMOKE
+        ).collect()
+        total = sum(r.n_rows for r in rows)
+        assert len(rows) == 8
+        lo, hi = total // 8 - total // 16, total // 8 + total // 16
+        assert all(lo <= r.n_rows <= hi for r in rows), rows
