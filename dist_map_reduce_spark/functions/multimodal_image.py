@@ -99,20 +99,30 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         def feats(blob: bytes):
-            assert blob.startswith(b"P6")
+            # every header loop is bounds-guarded (same discipline as
+            # multimodal.decode_image) so a truncated/malformed blob
+            # raises instead of spinning executor-side; ValueError,
+            # not assert, survives python -O
+            if not blob.startswith(b"P6"):
+                raise ValueError("not a P6 PPM payload")
+            n_blob = len(blob)
             tokens, i = [], 2
             while len(tokens) < 3:
-                while blob[i : i + 1].isspace():
+                while i < n_blob and blob[i : i + 1].isspace():
                     i += 1
+                if i >= n_blob:
+                    raise ValueError("truncated PPM header")
                 if blob[i : i + 1] == b"#":
-                    while blob[i : i + 1] != b"\n":
+                    while i < n_blob and blob[i : i + 1] != b"\n":
                         i += 1
                     continue
                 j = i
-                while not blob[j : j + 1].isspace():
+                while j < n_blob and not blob[j : j + 1].isspace():
                     j += 1
                 tokens.append(blob[i:j])
                 i = j
+            if i >= n_blob:
+                raise ValueError("truncated PPM header")
             i += 1
             w, h, _maxval = (int(t) for t in tokens)
             px = np.frombuffer(

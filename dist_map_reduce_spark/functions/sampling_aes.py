@@ -45,20 +45,27 @@ _POW32 = float(2**32)
              ('0x' || substring(md5('aes:' || CAST(doc_id AS VARCHAR)),
                                 1, 8))::BIGINT AS m
       FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             -ln((m + 1) / {_POW32}) / n_tokens + 0.0 AS raw_clock
+      FROM w
     )
-    SELECT doc_id, n_tokens,
-           round(-ln((m + 1) / {_POW32}) / n_tokens, 10) AS clock
-    FROM w
-    ORDER BY clock ASC, doc_id ASC
+    SELECT doc_id, n_tokens, round(raw_clock, 10) AS clock
+    FROM c
+    ORDER BY raw_clock ASC, doc_id ASC
     LIMIT {K}
     """,
 )
 def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-document weighted sample without replacement (A-ES):
     exponential race clocks -ln(u)/w with salted-md5 uniforms,
-    keep the K smallest. Clock values are rounded to 10 dp only for
-    display-stability; selection uses the raw doubles, identical in
-    both engines."""
+    keep the K smallest. Selection (ORDER BY ... LIMIT) runs on the
+    RAW clock doubles in BOTH engines — the oracle's CTE orders by
+    raw_clock and rounds only in the projection, mirroring the Spark
+    plan, so a boundary pair that rounds equal at 10 dp but differs
+    raw cannot diverge the sample. The ``+ 0.0`` normalizes the
+    -0.0 that -ln(1)/w yields when m = 0xFFFFFFFF (both engines)."""
     docs = load_table(spark, sf_dir, "documents")
     m = F.conv(
         F.substring(
@@ -70,7 +77,8 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     w = F.size(F.split("text", " "))
-    clock = -F.log((m + F.lit(1)) / F.lit(_POW32)) / w
+    # + 0.0 turns the -0.0 from -ln(1)/w (m = 0xFFFFFFFF) into +0.0
+    clock = -F.log((m + F.lit(1)) / F.lit(_POW32)) / w + F.lit(0.0)
     return (
         docs.select(
             "doc_id",

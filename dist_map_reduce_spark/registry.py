@@ -96,11 +96,13 @@ def load_all() -> None:
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
     # modules the registration order is already perturbed and the
-    # count says nothing
-    assert not pristine or len(QUERIES) == WINDOW, (
-        f"correctness-window bookkeeping is off: the window imports "
-        f"register {len(QUERIES)} queries, expected {WINDOW}"
-    )
+    # count says nothing. RuntimeError, not assert — the guard must
+    # survive ``python -O``.
+    if pristine and len(QUERIES) != WINDOW:
+        raise RuntimeError(
+            f"correctness-window bookkeeping is off: the window imports "
+            f"register {len(QUERIES)} queries, expected {WINDOW}"
+        )
 
     # --- outside the window: driver-green in r5/r6, unchanged, plus
     # the r4-stamped families listed in the docstring that must lead
