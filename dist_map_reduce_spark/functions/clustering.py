@@ -8,15 +8,28 @@ components is inherently iterative — the canonical example of an op
 the reference's two-phase MapReduce cannot express in one job but
 Spark runs as a loop of joins with AQE replanning each pass.
 
-Algorithm: label propagation to the minimum doc_id. Each iteration
-joins every node's current label against its neighbors' and takes
-the min; converges in O(graph diameter) passes. Each pass is one
-shuffle on doc_id; state stays distributed (only the convergence
-flag — one boolean — reaches the driver).
+Two algorithms, same answer:
 
-Oracle: DuckDB computes the same closure with a recursive CTE
-(node reaches itself ∪ whatever its neighbors reach; component =
-min reachable id) — exact, so the whole iterative pipeline is
+- ``connected_components`` — label propagation to the minimum
+  doc_id. Each iteration joins every node's current label against
+  its neighbors' and takes the min; converges in O(graph diameter)
+  passes. Each pass is one shuffle on doc_id; state stays
+  distributed (only the convergence flag — one boolean — reaches
+  the driver). Right when the candidate graph is shallow (near-dup
+  clusters usually are).
+- ``connected_components_logn`` — the alternating
+  large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14): each round
+  rewires edges toward neighborhood minima, halving the effective
+  diameter, so convergence is O(log n) rounds regardless of graph
+  shape. The scale-safe default: a pathological chain (diameter >
+  any fixed iteration cap) converges where label propagation's cap
+  would split components. Exercised on exactly such a chain in
+  tests/test_clustering.py.
+
+Oracle (both): DuckDB computes the same closure with a recursive
+CTE (node reaches itself ∪ whatever its neighbors reach; component
+= min reachable id) — exact, so the whole iterative pipeline is
 hash-checked end to end, not just rows-only.
 """
 
@@ -118,9 +131,105 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+def connected_components_logn(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """pairs(doc_a, doc_b) → (doc_id, component) via alternating
+    large-star/small-star (Kiveris et al., SoCC'14). Deterministic;
+    converges in O(log n) rounds on ANY graph shape — the 100 TB
+    replacement for label propagation's O(diameter).
+
+    Per round (4 bounded shuffles, edge count monotonically shrinks
+    toward one edge per non-root node):
+
+    - large-star: every node u attaches each LARGER neighbor v to
+      m(u) = min(N(u) ∪ {u}) — a groupBy-min on the symmetrized
+      edges plus one equi-join;
+    - small-star: on the resulting hi→lo edges, every node u
+      attaches its smaller neighbors (and itself) to their min —
+      another groupBy-min + equi-join.
+
+    Each round's edge set is eagerly checkpointed (lineage would
+    otherwise double per round), and the convergence probe sends two
+    scalars to the driver (count + first-difference), never rows.
+    At the fixpoint the graph is a union of stars rooted at each
+    component's minimum, so labels read directly off the edges.
+    Nodes isolated in ``pairs`` (self-loops only) get no row, same
+    contract as ``connected_components``.
+
+    Warns (and returns the partial labels) if ``max_iter`` rounds
+    did not reach the fixpoint; unlike label propagation the bound
+    is logarithmic, so 30 rounds covers any feasible corpus
+    (2³⁰ components-worth of chaining).
+    """
+    edges = iter_checkpoint(
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+    converged = False
+    for _ in range(max_iter):
+        sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("hi").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("hi"),
+                F.least("a", "b").alias("lo"),
+            )
+            .distinct()
+        )
+        new_edges = iter_checkpoint(small)
+        unchanged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if unchanged:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"connected_components_logn: no fixpoint after {max_iter} "
+            "rounds; components may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    labels = (
+        edges.groupBy("hi")
+        .agg(F.min("lo").alias("component"))
+        .select(F.col("hi").alias("doc_id"), "component")
+    )
+    roots = (
+        edges.select(F.col("lo").alias("doc_id"))
+        .distinct()
+        .join(labels, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component"))
+    )
+    return labels.union(roots)
+
+
+# shared by dedup_clusters and dedup_clusters_logn: the two Spark
+# algorithms must agree with the same exact transitive closure
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_CANDIDATE_PAIRS_SQL}),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -139,8 +248,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
     FROM comp
     GROUP BY component
-    """,
-)
+    """
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters from MinHash candidates: connected
     components + per-cluster keeper (min doc_id), size, and the
@@ -270,3 +381,40 @@ def dedup_keep_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+@query("dedup_clusters_logn", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_logn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-duplicate cluster table as ``dedup_clusters``
+    (identical oracle — the two algorithms must agree exactly), built
+    with the O(log n) alternating large-star/small-star algorithm
+    instead of O(diameter) label propagation. This is the variant to
+    run at 100 TB, where the candidate graph's shape is not under
+    your control: a long chain of pairwise near-dups converges here
+    in ~log₂(chain) rounds where a fixed label-propagation cap would
+    split the component (property test on a 200-link chain:
+    tests/test_clustering.py).
+
+    Cached per fixture dir like its sibling (the star-contraction
+    loop runs Spark jobs at plan-construction time)."""
+    from dist_map_reduce_spark import caching
+    from dist_map_reduce_spark.functions.dedup import minhash_band_candidates
+
+    hit = caching.peek("dedup_clusters_logn_out", sf_dir)
+    if hit is not None:
+        return hit
+
+    pairs = minhash_band_candidates(spark, sf_dir)
+    comps = connected_components_logn(pairs)
+    out = comps.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("keep_id"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("members"),
+    )
+    return caching.persist_tracked(out, "dedup_clusters_logn_out", sf_dir)

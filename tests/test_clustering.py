@@ -48,3 +48,57 @@ def test_dedup_clusters_match_union_find(spark):
     for r in got:
         assert r.keep_id == min(got_clusters[r.component])
         assert r.cluster_size == len(got_clusters[r.component])
+
+
+def test_dedup_clusters_logn_match_union_find(spark):
+    pairs = registry.QUERIES["minhash_band_candidates"](spark, SF_SMOKE).collect()
+    edges = [(r.doc_a, r.doc_b) for r in pairs]
+    expected = _union_find(edges)
+    exp_clusters = {}
+    for node, root in expected.items():
+        exp_clusters.setdefault(root, set()).add(node)
+
+    got = registry.QUERIES["dedup_clusters_logn"](spark, SF_SMOKE).collect()
+    got_clusters = {
+        r.component: set(int(m) for m in r.members.split(",")) for r in got
+    }
+    assert got_clusters == exp_clusters
+
+
+def test_logn_converges_on_long_chain(spark):
+    """A 200-link chain has diameter 200 — beyond label propagation's
+    default cap (20). The alternating algorithm must reach the exact
+    fixpoint in its logarithmic budget with NO convergence warning."""
+    import warnings as w
+
+    from dist_map_reduce_spark.functions.clustering import (
+        connected_components_logn,
+    )
+
+    n = 201  # nodes 0..200 chained: diameter 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)
+        labels = {
+            r.doc_id: r.component
+            for r in connected_components_logn(chain, max_iter=15).collect()
+        }
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_logn_multiple_components_and_isolated(spark):
+    """Two disjoint chains + a self-loop pair: components resolve to
+    their minima; the self-loop node is isolated (no row)."""
+    from dist_map_reduce_spark.functions.clustering import (
+        connected_components_logn,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (50, 50)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels = {
+        r.doc_id: r.component
+        for r in connected_components_logn(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
