@@ -99,6 +99,14 @@ HEADLINE = [
     "fuzzy_match_pairs",
     "weighted_sample_aes",
     "snapshot_diff_customers",
+    # r8 additions: O(log n) star-contraction components, SemDeDup,
+    # BPE learn+encode, approx equi-depth, char entropy
+    "dedup_clusters_logn",
+    "semdedup_prune_list",
+    "text_bpe_merge_table",
+    "text_bpe_encode_docs",
+    "histogram_equidepth_approx",
+    "text_char_entropy",
 ]
 
 

@@ -230,20 +230,28 @@ def kmeans_ctes() -> tuple[list[str], str]:
 
 
 def ivf_ranked_cells(
-    emb: DataFrame, cent: DataFrame, slot: str, sf_dir: str
+    emb: DataFrame,
+    cent: DataFrame,
+    slot: str,
+    sf_dir: str,
+    nprobe: int = NPROBE,
 ) -> DataFrame:
     """The persisted IVF cell ranking shared by exact-IVF and IVF-PQ
-    search: (vec_id, cand_cell, rn) for every vector's NPROBE nearest
-    cells of the broadcast centroid table ``cent`` (columns
+    search: (vec_id, cand_cell, rn) for every vector's ``nprobe``
+    nearest cells of the broadcast centroid table ``cent`` (columns
     cand_cell, centroid), ranked by 6-dp-rounded cosine with a
-    min-cell tie-break. rn=1 is the vector's home cell; rn ≤ NPROBE
+    min-cell tie-break. rn=1 is the vector's home cell; rn ≤ nprobe
     is a query's probe list. Deliberately embedding-free — consumers
     re-join the vector columns they need (the round-5 cache-footprint
-    lesson)."""
+    lesson). Non-default ``nprobe`` (the recall/latency sweep in
+    tools/ann_recall_report.py) gets its own cache slot so the
+    fixture-pinned queries never read a sweep-sized ranking."""
     from pyspark.sql import Window as W
 
     from dist_map_reduce_spark.caching import persist_tracked
 
+    if nprobe != NPROBE:
+        slot = f"{slot}_np{nprobe}"
     return persist_tracked(
         emb.join(F.broadcast(cent))
         .select(
@@ -259,20 +267,27 @@ def ivf_ranked_cells(
                 )
             ),
         )
-        .filter(F.col("rn") <= NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("vec_id", "cand_cell", "rn"),
         slot,
         sf_dir,
     )
 
 
-def ivf_search(emb: DataFrame, cent: DataFrame, slot: str, sf_dir: str) -> DataFrame:
+def ivf_search(
+    emb: DataFrame,
+    cent: DataFrame,
+    slot: str,
+    sf_dir: str,
+    nprobe: int = NPROBE,
+) -> DataFrame:
     """IVF cell-restricted ANN search shared by the label-centroid and
     k-means variants: rank every vector's cells by 6-dp-rounded
     cosine against the (bounded, broadcast) centroid table ``cent``
     (columns cand_cell, centroid), assign each vector to its rn=1
-    home cell, and score queries only against their NPROBE nearest
-    cells; top-5 per query with deterministic tie-breaks.
+    home cell, and score queries only against their ``nprobe``
+    nearest cells (default NPROBE — the registered fixture queries);
+    top-5 per query with deterministic tie-breaks.
 
     The persisted ranking keeps only (vec_id, cand_cell, rn) rows at
     rn ≤ NPROBE — both consumers (assignment and probe list) re-join
@@ -285,7 +300,7 @@ def ivf_search(emb: DataFrame, cent: DataFrame, slot: str, sf_dir: str) -> DataF
     """
     from pyspark.sql import Window as W
 
-    ranked = ivf_ranked_cells(emb, cent, slot, sf_dir)
+    ranked = ivf_ranked_cells(emb, cent, slot, sf_dir, nprobe)
     cells = emb.select("vec_id", "embedding").join(
         ranked.filter(F.col("rn") == 1).select(
             "vec_id", F.col("cand_cell").alias("cell")

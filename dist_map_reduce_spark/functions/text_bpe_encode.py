@@ -1,0 +1,286 @@
+"""BPE merge learning + corpus encoding — the tokenizer arm applied.
+
+``text_bpe.py`` stops at the statistics of BPE training (pre-token
+counts, iteration-1 pair frequencies). This module runs the actual
+loop every training pipeline runs (Sennrich et al. 2016, alg. 1):
+
+1. LEARN — N_MERGES rounds of (count adjacent symbol pairs over the
+   pre-token vocabulary, take the argmax, merge it everywhere);
+2. ENCODE — apply the learned merge table to the corpus and re-derive
+   token counts from REAL BPE tokens instead of whitespace tokens.
+
+Scale shape (the production BPE-trainer trick): both phases run over
+the (pre-token, count) VOCABULARY, never the corpus. The corpus is
+touched exactly twice — once to build the weighted vocabulary (one
+shuffle whose row count is the number of DISTINCT pre-tokens,
+corpus-size-independent by Zipf), once to join each document's
+pre-tokens back against the encoded vocabulary (an equi-join on the
+pre-token string). Every learning round is two bounded Spark jobs
+(pair aggregation + 1-row argmax) over the checkpointed vocab table;
+the merge application is a single JVM ``replace`` expression — no
+Python anywhere.
+
+Symbol sequences are represented as strings with every symbol wrapped
+in \\x1f separators ("␟h␟␟i␟"), so applying merge (a, b) is the
+literal string replace ␟a␟␟b␟ → ␟ab␟ — exact (a symbol can never
+false-match across a boundary) and left-to-right greedy with
+non-overlapping occurrences in BOTH engines, which is precisely BPE's
+merge semantics (this is Sennrich's own space-joined-string
+implementation, made collision-proof). Argmax ties break on
+(pair_count DESC, pa ASC, pb ASC); string order is binary UTF-8 in
+Spark (UTF8_BINARY collation) and DuckDB alike, so the learned table
+is bit-identical across engines — the oracle re-learns all
+N_MERGES rounds as unrolled MATERIALIZED CTEs and value-hash-matches.
+
+Reference parity anchor: the tokenize flat-map
+(/root/reference/src/worker/worker.go:270-283), generalized from a
+non-letter split to a trained sub-word vocabulary.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.functions.text_bpe import (
+    _SQL_PATTERN,
+    PRETOKEN_PATTERN,
+)
+from dist_map_reduce_spark.registry import query
+from dist_map_reduce_spark.session import iter_checkpoint
+
+N_MERGES = 16
+_SEP = "\x1f"  # unit separator: never appears in document text
+_DSEP = _SEP + _SEP
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """(pa, pb, cnt): adjacent-symbol pair frequencies over the
+    wrapped-sequence vocabulary, weighted by pre-token count."""
+    inner = F.expr("substring(seq, 2, length(seq) - 2)")
+    syms = F.split(inner, _DSEP)
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("pa"),
+                F.element_at(syms, i + 1).alias("pb"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pa:string,pb:string>>"))
+    return (
+        state.select(F.explode(pairs).alias("p"), "c")
+        .select("p.pa", "p.pb", "c")
+        .groupBy("pa", "pb")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def _learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Run the N_MERGES-round learning loop once per fixture dir.
+
+    Returns ``(merges, vocab_enc)``: the (merge_rank, pa, pb,
+    pair_count) table and the encoded vocabulary (tok, c, n_syms).
+    Both are persist_tracked — the loop runs Spark jobs at
+    plan-construction time (each round is checkpointed so plans stay
+    shallow and nothing is recomputed), so output-level persist alone
+    could not skip the rebuild on a second query."""
+    from dist_map_reduce_spark import caching
+
+    hit_m = caching.peek("bpe_merges", sf_dir)
+    hit_v = caching.peek("bpe_vocab_enc", sf_dir)
+    if hit_m is not None and hit_v is not None:
+        return hit_m, hit_v
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.regexp_extract_all("text", F.lit(PRETOKEN_PATTERN), F.lit(0))
+    ).alias("tok")
+    state = iter_checkpoint(
+        docs.select(toks)
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "tok",
+            "c",
+            F.regexp_replace(
+                "tok", F.lit("(?s)(.)"), F.lit(f"{_SEP}$1{_SEP}")
+            ).alias("seq"),
+        )
+    )
+    bests: list[DataFrame] = []
+    for r in range(1, N_MERGES + 1):
+        best = iter_checkpoint(
+            _pair_counts(state)
+            .orderBy(F.desc("cnt"), F.asc("pa"), F.asc("pb"))
+            .limit(1)
+        )
+        if best.count() == 0:
+            break  # vocabulary fully merged (never at corpus scale)
+        bests.append(best.select(F.lit(r).alias("merge_rank"), "pa", "pb", "cnt"))
+        state = iter_checkpoint(
+            state.crossJoin(F.broadcast(best)).select(
+                "tok",
+                "c",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit(_SEP), F.col("pa"), F.lit(_DSEP), F.col("pb"), F.lit(_SEP)
+                    ),
+                    F.concat(F.lit(_SEP), F.col("pa"), F.col("pb"), F.lit(_SEP)),
+                ).alias("seq"),
+            )
+        )
+    merges = reduce(DataFrame.unionAll, bests).select(
+        "merge_rank", "pa", "pb", F.col("cnt").alias("pair_count")
+    )
+    vocab_enc = state.select(
+        "tok",
+        "c",
+        F.size(F.split(F.expr("substring(seq, 2, length(seq) - 2)"), _DSEP)).alias(
+            "n_syms"
+        ),
+    )
+    return (
+        caching.persist_tracked(merges, "bpe_merges", sf_dir),
+        caching.persist_tracked(vocab_enc, "bpe_vocab_enc", sf_dir),
+    )
+
+
+def _oracle_ctes() -> str:
+    """The learning loop unrolled as DuckDB CTEs. Multi-referenced
+    CTEs are MATERIALIZED — the v{r-1} chain is referenced twice per
+    round, so default inlining would expand the plan 2^N_MERGES-fold
+    (and reopen the parquet per expansion)."""
+    sep = "chr(31)"
+    dsep = f"({sep} || {sep})"
+    ctes = [
+        f"toks AS (SELECT unnest(regexp_extract_all(text, '{_SQL_PATTERN}')) AS tok FROM documents)",
+        f"""v0 AS MATERIALIZED (
+          SELECT tok, count(*) AS c,
+                 regexp_replace(tok, '(?s)(.)', {sep} || '\\1' || {sep}, 'g') AS seq
+          FROM toks GROUP BY tok)""",
+    ]
+    for r in range(1, N_MERGES + 1):
+        ctes.append(f"""p{r} AS (
+          SELECT syms[i] AS pa, syms[i+1] AS pb, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (SELECT c, string_split(seq[2:len(seq)-1], {dsep}) AS syms
+                FROM v{r - 1}),
+               LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) AS i) t
+          GROUP BY pa, pb)""")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT pa, pb, cnt FROM p{r} "
+            f"ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1)"
+        )
+        ctes.append(f"""v{r} AS MATERIALIZED (
+          SELECT tok, c,
+                 replace(seq, {sep}||b.pa||{sep}||{sep}||b.pb||{sep},
+                         {sep}||b.pa||b.pb||{sep}) AS seq
+          FROM v{r - 1}, b{r} b)""")
+    return "WITH " + ",\n".join(ctes)
+
+
+_ENC_CTES = f""",
+    enc AS (SELECT tok, c,
+                   len(string_split(seq[2:len(seq)-1], chr(31)||chr(31))) AS n_syms
+            FROM v{N_MERGES}),
+    docpre AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(text, '{_SQL_PATTERN}')) AS tok
+      FROM documents
+    )"""
+
+
+@query(
+    "text_bpe_merge_table",
+    oracle=_oracle_ctes()
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, pa, pb, cnt AS pair_count FROM b{r}"
+        for r in range(1, N_MERGES + 1)
+    ),
+)
+def text_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table: N_MERGES ranked merges, each the
+    corpus-wide argmax pair of its round (count desc, pair asc
+    tie-break). Later merges build on earlier ones — e.g. round 6
+    merging 'm'+'er' only exists because round 2 merged 'e'+'r' —
+    which is what distinguishes real BPE from the iteration-1 pair
+    histogram in ``text_bpe_merge_pairs``."""
+    merges, _ = _learn(spark, sf_dir)
+    return merges
+
+
+@query(
+    "text_bpe_encode_docs",
+    oracle=_oracle_ctes()
+    + _ENC_CTES
+    + """
+    SELECT d.doc_id,
+           count(*) AS n_pretokens,
+           CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM docpre d JOIN enc e USING (tok)
+    GROUP BY d.doc_id
+    """,
+)
+def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the learned merge table: per-doc
+    pre-token count and REAL BPE token count (the sum of each
+    pre-token's post-merge symbol count). The merge loop ran over the
+    vocabulary; encoding the corpus is one explode + equi-join against
+    the encoded vocabulary + per-doc aggregation — the join key is the
+    pre-token string, Zipf-skewed, which AQE's skew-join handles (hot
+    pre-tokens like ' the' are exactly the skewed-key case)."""
+    _, vocab_enc = _learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.regexp_extract_all("text", F.lit(PRETOKEN_PATTERN), F.lit(0))
+    ).alias("tok")
+    return (
+        docs.select("doc_id", toks)
+        .join(vocab_enc.select("tok", "n_syms"), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pretokens"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@query(
+    "text_bpe_token_stats",
+    oracle=_oracle_ctes()
+    + _ENC_CTES
+    + """
+    SELECT d.source,
+           count(DISTINCT d.doc_id) AS n_docs,
+           count(*) AS total_pretokens,
+           CAST(sum(e.n_syms) AS BIGINT) AS total_bpe_tokens
+    FROM docpre d JOIN enc e USING (tok)
+    GROUP BY d.source
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus token budget measured in REAL BPE tokens —
+    the number a training-data pipeline actually meters cost and
+    mixing weights with (supersedes the whitespace-token counts of
+    ``text_token_counts`` for that purpose)."""
+    _, vocab_enc = _learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.regexp_extract_all("text", F.lit(PRETOKEN_PATTERN), F.lit(0))
+    ).alias("tok")
+    return (
+        docs.select("doc_id", "source", toks)
+        .join(vocab_enc.select("tok", "n_syms"), "tok")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_pretokens"),
+            F.sum("n_syms").alias("total_bpe_tokens"),
+        )
+    )

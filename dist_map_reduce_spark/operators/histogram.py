@@ -130,6 +130,14 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             + "))"
         ).alias("bnds")
     )
+    return _equidepth_assign(orders, bnds)
+
+
+def _equidepth_assign(orders: DataFrame, bnds: DataFrame) -> DataFrame:
+    """Shared assignment stage: broadcast the 1-row boundary array,
+    project each order to its bucket, aggregate. Identical for exact
+    and sketched boundaries — swapping the boundary aggregate is the
+    ONLY difference between the two paths."""
     assigned = orders.crossJoin(F.broadcast(bnds)).select(
         F.expr("size(filter(bnds, x -> o_totalprice > x))")
         .cast("int")
@@ -141,3 +149,32 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_val"),
         F.max("v").alias("max_val"),
     )
+
+
+# no oracle: approx_percentile is a Greenwald-Khanna sketch whose
+# boundary doubles are engine- (and merge-order-) specific, so a
+# value-hash against DuckDB's t-digest cannot match by construction.
+# The driver records a rows-only check; the REAL check is
+# tests/test_corpus_stats.py::test_equidepth_approx_close_to_exact,
+# which pins every approx bucket count within tolerance of the exact
+# path's on the same data.
+@query("histogram_equidepth_approx")
+def histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB equi-depth path: identical plan to
+    ``histogram_equidepth_prices`` with the exact full-sort-per-group
+    ``percentile`` swapped for the mergeable ``approx_percentile``
+    sketch (accuracy 10⁴ ⇒ rank error ≤ n/10⁴ per boundary) — the
+    swap the exact variant's docstring promises, as code. The sketch
+    aggregates map-side and merges in O(accuracy) state per
+    partition; no global sort anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    bnds = orders.agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array("
+            + ", ".join(
+                f"{i}D / {N_QUANTILES}" for i in range(1, N_QUANTILES)
+            )
+            + "), 10000)"
+        ).alias("bnds")
+    )
+    return _equidepth_assign(orders, bnds)

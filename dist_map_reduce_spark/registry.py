@@ -54,44 +54,38 @@ def load_all() -> None:
     window imports is the rotation bookkeeping — if adding a query
     to a window module silently changed the cut line, it fires.
 
-    Round 7: every r3-stamped query leads (approx, json_ops, graph's
-    pagerank, packing, tpch_full's tail — 17 of them), then the
-    queries NEW this round (tpch_partsupp's five, ANN recall, WAV
-    audio + PPM image features, curation_ext's four), then the
-    similarity
-    family (six r4 stamps; the three r6-stamped index variants ride
-    along because ann_recall imports them), then this round's late
-    additions (fuzzy linkage, A-ES sampling, snapshot diff,
-    equi-depth histogram riding with histogram/timeseries_fill) and
-    wordcount (r4). Still r4-stamped after this round — MUST lead
-    the r8 window: windows (6), timeseries (6), sources_sinks (5),
-    stats (5), scalar_fns (4), setops (4), dedup (4),
-    clustering (2) — 36 slots, leaving ~14 for r8 novelties; the
-    authoritative list is derivable from the evidence files, which
-    is what tests/test_registry.py checks.
+    Round 8: the 36 r4-stamped queries lead, exactly as round 7's
+    rotation plan prescribed — windows (6), timeseries (6),
+    sources_sinks (5), stats (5), scalar_fns (4), setops (4),
+    dedup (4, incl. simhash16), clustering's two (plus this round's
+    new dedup_clusters_logn) — with dedup_simhash's r5 query riding
+    along (1). Then the queries NEW this round: semdedup (2), the
+    BPE encode arm (text_bpe_encode 3, whose import pulls text_bpe's
+    two r6 stamps into the window as riders), the approx equi-depth
+    histogram (riding with histogram's two r7 stamps), and
+    text_char_entropy (1); sources_sinks_orc (r5, 1) fills the last
+    slot. 36 stale + 7 new + 7 riders = 50. The authoritative
+    staleness list is derivable from the evidence files, which is
+    what tests/test_registry.py checks; after this round the oldest
+    stamps anywhere are r5.
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
-    from dist_map_reduce_spark.operators import approx  # noqa: F401
-    from dist_map_reduce_spark.operators import json_ops  # noqa: F401
-    from dist_map_reduce_spark.functions import graph  # noqa: F401
-    from dist_map_reduce_spark.functions import packing  # noqa: F401
-    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401
-    from dist_map_reduce_spark.operators import tpch_partsupp  # noqa: F401
-    from dist_map_reduce_spark.functions import similarity  # noqa: F401
-    from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401
-    from dist_map_reduce_spark.functions import similarity_pq  # noqa: F401
-    from dist_map_reduce_spark.functions import similarity_ivfpq  # noqa: F401
-    from dist_map_reduce_spark.functions import ann_recall  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal_audio  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
-    from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
-    from dist_map_reduce_spark.operators import linkage  # noqa: F401
-    from dist_map_reduce_spark.functions import sampling_aes  # noqa: F401
-    from dist_map_reduce_spark.operators import snapshot_diff  # noqa: F401
+    from dist_map_reduce_spark.operators import windows  # noqa: F401
+    from dist_map_reduce_spark.operators import timeseries  # noqa: F401
+    from dist_map_reduce_spark.operators import sources_sinks  # noqa: F401
+    from dist_map_reduce_spark.operators import stats  # noqa: F401
+    from dist_map_reduce_spark.operators import scalar_fns  # noqa: F401
+    from dist_map_reduce_spark.operators import setops  # noqa: F401
+    from dist_map_reduce_spark.functions import dedup  # noqa: F401
+    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401
+    from dist_map_reduce_spark.functions import clustering  # noqa: F401
+    from dist_map_reduce_spark.functions import semdedup  # noqa: F401
+    from dist_map_reduce_spark.functions import text_bpe  # noqa: F401
+    from dist_map_reduce_spark.functions import text_bpe_encode  # noqa: F401
     from dist_map_reduce_spark.operators import histogram  # noqa: F401
-    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401
-    from dist_map_reduce_spark.operators import wordcount  # noqa: F401
+    from dist_map_reduce_spark.functions import text_entropy  # noqa: F401
+    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -104,49 +98,55 @@ def load_all() -> None:
             f"register {len(QUERIES)} queries, expected {WINDOW}"
         )
 
-    # --- outside the window: driver-green in r5/r6, unchanged, plus
-    # the r4-stamped families listed in the docstring that must lead
-    # the r8 window ---
+    # --- outside the window: driver-green in r5-r7, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
+        ann_recall,
         chunking,
-        clustering,
         curation,
-        dedup,
-        dedup_simhash,
+        curation_ext,
+        graph,
         lm_score,
         multimodal,
+        multimodal_audio,
         multimodal_ext,
+        multimodal_image,
+        packing,
         python_udfs,
         quality_model,
         resample_weighted,
+        sampling_aes,
+        similarity,
+        similarity_ivf_kmeans,
+        similarity_ivfpq,
+        similarity_pq,
         text,
         text_boilerplate,
-        text_bpe,
         text_dupngrams,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
+        approx,
         arrays_maps,
         bucketing,
         cohorts,
         contribution,
         etl,
         intervals,
+        json_ops,
+        linkage,
         profiling,
         relational,
-        scalar_fns,
         scd,
         sequences,
-        setops,
         skew,
         skyline,
-        sources_sinks,
-        sources_sinks_orc,
-        stats,
+        snapshot_diff,
         stats_robust,
         subqueries,
-        timeseries,
+        timeseries_fill,
+        tpch_full,
         tpch_more,
-        windows,
+        tpch_partsupp,
+        wordcount,
         zorder,
     )
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401

@@ -1,0 +1,85 @@
+"""BPE learn/encode invariants beyond the oracle hash-match."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def _reference_bpe_merge(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    """Textbook greedy left-to-right BPE merge on a symbol list."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_wrapped_replace_equals_textbook_merge(spark):
+    """The ␟-wrapped string replace must implement exactly the greedy
+    non-overlapping BPE merge — including the overlap case (aaaa with
+    merge (a,a) → aa,aa) and the boundary case (symbol 'xa' followed
+    by 'b' must NOT match merge (a,b))."""
+    sep = "\x1f"
+    cases = [
+        (["a", "a", "a", "a"], ("a", "a")),
+        (["a", "b", "a", "b", "a"], ("a", "b")),
+        (["xa", "b", "a", "b"], ("a", "b")),
+        (["h", "e", "l", "l", "o"], ("l", "l")),
+        (["ab", "ab", "ab"], ("ab", "ab")),
+    ]
+    rows = [
+        ("".join(f"{sep}{s}{sep}" for s in syms), pa, pb, syms)
+        for syms, (pa, pb) in cases
+    ]
+    df = spark.createDataFrame(
+        [(seq, pa, pb) for seq, pa, pb, _ in rows],
+        "seq string, pa string, pb string",
+    ).select(
+        F.replace(
+            F.col("seq"),
+            F.concat(F.lit(sep), "pa", F.lit(sep + sep), "pb", F.lit(sep)),
+            F.concat(F.lit(sep), "pa", "pb", F.lit(sep)),
+        ).alias("merged")
+    )
+    got = [r.merged for r in df.collect()]
+    for (_, _, _, syms), (pair_syms, pair), merged in zip(rows, cases, got):
+        expected = _reference_bpe_merge(pair_syms, pair)
+        assert merged == "".join(f"{sep}{s}{sep}" for s in expected), (
+            pair_syms,
+            pair,
+        )
+
+
+def test_merge_table_is_iterative_not_round1_histogram(spark):
+    """Real BPE: at least one learned merge must have a multi-char
+    side (it builds on an earlier round's output), which the
+    iteration-1 pair histogram can never produce."""
+    merges = registry.QUERIES["text_bpe_merge_table"](spark, SF_SMOKE).collect()
+    assert len(merges) == 16
+    assert {m.merge_rank for m in merges} == set(range(1, 17))
+    assert any(len(m.pa) > 1 or len(m.pb) > 1 for m in merges)
+    # counts are the round argmax, so non-increasing is NOT required;
+    # but every count must be >= 1 and pairs must be distinct
+    assert all(m.pair_count >= 1 for m in merges)
+    assert len({(m.pa, m.pb) for m in merges}) == 16
+
+
+def test_encode_counts_are_consistent(spark):
+    """BPE can only shrink the symbol count: per doc,
+    n_bpe_tokens <= total chars and >= n_pretokens."""
+    enc = registry.QUERIES["text_bpe_encode_docs"](spark, SF_SMOKE)
+    bad = enc.filter(
+        (F.col("n_bpe_tokens") < F.col("n_pretokens"))
+        | (F.col("n_bpe_tokens") <= 0)
+    ).count()
+    assert bad == 0

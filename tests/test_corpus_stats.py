@@ -434,3 +434,30 @@ class TestR7Invariants:
         assert len(rows) == 8
         lo, hi = total // 8 - total // 16, total // 8 + total // 16
         assert all(lo <= r.n_rows <= hi for r in rows), rows
+
+    def test_equidepth_approx_close_to_exact(self, spark):
+        """The approx_percentile path (histogram_equidepth_approx) has
+        no cross-engine oracle by construction; its check is against
+        the exact path on the same data: every bucket count within 2%
+        of the corpus, same bucket ids, same row coverage."""
+        from dist_map_reduce_spark import registry
+
+        exact = {
+            r.bucket: r.n_rows
+            for r in registry.QUERIES["histogram_equidepth_prices"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        approx = {
+            r.bucket: r.n_rows
+            for r in registry.QUERIES["histogram_equidepth_approx"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        total = sum(exact.values())
+        assert sum(approx.values()) == total  # every row lands once
+        assert set(approx) == set(exact)
+        assert all(
+            abs(approx[k] - v) <= max(2, total * 0.02)
+            for k, v in exact.items()
+        ), (exact, approx)

@@ -386,3 +386,17 @@ def test_weighted_sample_aes_plans_top_k(spark):
     heaps), never a global sort of the corpus."""
     plan = _plan(spark, "weighted_sample_aes")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semdedup_is_cell_bounded_join(spark):
+    """SemDeDup's candidate stage must be an equi-join on the k-means
+    cell id (never all-pairs): no cartesian/nested-loop product except
+    the broadcast centroid assignment, and the degenerate-cell cap
+    window must be present below the pair join."""
+    from dist_map_reduce_spark import caching
+
+    caching.clear()
+    plan = _plan(spark, "semdedup_prune_list")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, "per-cell cap window missing"
+    assert "BroadcastExchange" in plan  # K x DIM centroid table
