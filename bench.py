@@ -107,6 +107,8 @@ HEADLINE = [
     "text_bpe_encode_docs",
     "histogram_equidepth_approx",
     "text_char_entropy",
+    "text_bpe_token_ids_fingerprint",
+    "text_winnow_fingerprints",
 ]
 
 

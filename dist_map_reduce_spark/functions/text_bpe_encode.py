@@ -84,7 +84,8 @@ def _learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Run the N_MERGES-round learning loop once per fixture dir.
 
     Returns ``(merges, vocab_enc)``: the (merge_rank, pa, pb,
-    pair_count) table and the encoded vocabulary (tok, c, n_syms).
+    pair_count) table and the encoded vocabulary (tok, c, syms,
+    n_syms).
     Both are persist_tracked — the loop runs Spark jobs at
     plan-construction time (each round is checkpointed so plans stay
     shallow and nothing is recomputed), so output-level persist alone
@@ -138,12 +139,12 @@ def _learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     merges = reduce(DataFrame.unionAll, bests).select(
         "merge_rank", "pa", "pb", F.col("cnt").alias("pair_count")
     )
+    syms = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), _DSEP)
     vocab_enc = state.select(
         "tok",
         "c",
-        F.size(F.split(F.expr("substring(seq, 2, length(seq) - 2)"), _DSEP)).alias(
-            "n_syms"
-        ),
+        syms.alias("syms"),
+        F.size(syms).alias("n_syms"),
     )
     return (
         caching.persist_tracked(merges, "bpe_merges", sf_dir),
@@ -282,5 +283,93 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
             F.count("*").alias("total_pretokens"),
             F.sum("n_syms").alias("total_bpe_tokens"),
+        )
+    )
+
+
+@query(
+    "text_bpe_token_ids_fingerprint",
+    oracle=_oracle_ctes()
+    + f""",
+    vsyms AS (SELECT tok, string_split(seq[2:len(seq)-1],
+                                       chr(31)||chr(31)) AS syms
+              FROM v{N_MERGES}),
+    alpha AS (SELECT DISTINCT unnest(syms) AS sym FROM vsyms),
+    ids AS (SELECT sym, row_number() OVER (ORDER BY sym) AS sym_id
+            FROM alpha),
+    docpre2 AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM (SELECT doc_id,
+                   regexp_extract_all(text, '{_SQL_PATTERN}') AS toks
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+    ),
+    symrows AS (
+      SELECT d.doc_id, d.pos, j AS spos, v.syms[j] AS sym
+      FROM docpre2 d JOIN vsyms v USING (tok),
+           LATERAL (SELECT unnest(generate_series(1, len(v.syms))) AS j) tt
+    )
+    SELECT s.doc_id,
+           count(*) AS n_bpe_tokens,
+           md5(string_agg(CAST(i.sym_id AS VARCHAR), ','
+                          ORDER BY s.pos, s.spos)) AS token_ids_md5
+    FROM symrows s JOIN ids i USING (sym)
+    GROUP BY s.doc_id
+    """,
+)
+def text_bpe_token_ids_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full encoded corpus, checked token-by-token: every
+    document's complete BPE token-ID sequence (vocabulary ids =
+    dense numbering of the post-merge symbol alphabet in binary-UTF8
+    order, identical in both engines) collapsed to an md5
+    fingerprint — so a single transposed, dropped, or misidentified
+    token ANYWHERE in the corpus hash-mismatches, not just the
+    counts. This is the artifact a training pipeline actually ships
+    (token-id sequences), fingerprinted because the harness compares
+    scalar columns.
+
+    Scale shape: pre-token explode (position-keeping) → equi-join on
+    the encoded vocabulary → symbol explode → broadcast join against
+    the alphabet-bounded id table → one per-doc ordered aggregation.
+    All joins are equi-joins; the id table is alphabet-sized (initial
+    characters + N_MERGES merged symbols) and broadcasts at any
+    corpus size."""
+    from pyspark.sql import Window as W
+
+    _, vocab_enc = _learn(spark, sf_dir)
+    # dense vocabulary ids over the bounded post-merge alphabet; the
+    # single-partition window is fine BECAUSE the alphabet is bounded
+    # (chars + N_MERGES), never corpus-sized
+    sym_ids = (
+        vocab_enc.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .select("sym", F.row_number().over(W.orderBy("sym")).alias("sym_id"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    docpre = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(PRETOKEN_PATTERN), F.lit(0))
+        ).alias("pos", "tok"),
+    )
+    sym_rows = docpre.join(vocab_enc.select("tok", "syms"), "tok").select(
+        "doc_id", "pos", F.posexplode("syms").alias("spos", "sym")
+    )
+    return (
+        sym_rows.join(F.broadcast(sym_ids), "sym")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bpe_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "spos", "sym_id"))
+                        ),
+                        lambda s: s.sym_id.cast("string"),
+                    ),
+                )
+            ).alias("token_ids_md5"),
         )
     )

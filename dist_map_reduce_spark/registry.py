@@ -58,16 +58,18 @@ def load_all() -> None:
     rotation plan prescribed — windows (6), timeseries (6),
     sources_sinks (5), stats (5), scalar_fns (4), setops (4),
     dedup (4, incl. simhash16), clustering's two (plus this round's
-    new dedup_clusters_logn) — with dedup_simhash's r5 query riding
-    along (1). Then the queries NEW this round: semdedup (2), the
-    BPE encode arm (text_bpe_encode 3, whose import pulls text_bpe's
-    two r6 stamps into the window as riders), the approx equi-depth
-    histogram (riding with histogram's two r7 stamps), and
-    text_char_entropy (1); sources_sinks_orc (r5, 1) fills the last
-    slot. 36 stale + 7 new + 7 riders = 50. The authoritative
-    staleness list is derivable from the evidence files, which is
-    what tests/test_registry.py checks; after this round the oldest
-    stamps anywhere are r5.
+    new dedup_clusters_logn). Then the queries NEW this round:
+    semdedup (2), the BPE encode arm (text_bpe_encode 4, whose
+    import pulls text_bpe's two r6 stamps into the window as
+    riders), the approx equi-depth histogram (riding with
+    histogram's two r7 stamps), text_char_entropy (1), and
+    text_winnow_fingerprints (1). 36 stale + 9 new + 5 riders = 50.
+    The two r5-stamped singles (dedup_simhash,
+    sources_sinks_orc) sit just OUTSIDE — safe through r9 (floor
+    r5), and the r9 window must lead with the 49 r5 stamps anyway.
+    The authoritative staleness list is derivable from the evidence
+    files, which is what tests/test_registry.py checks; after this
+    round the oldest stamps anywhere are r5.
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
@@ -78,14 +80,13 @@ def load_all() -> None:
     from dist_map_reduce_spark.operators import scalar_fns  # noqa: F401
     from dist_map_reduce_spark.operators import setops  # noqa: F401
     from dist_map_reduce_spark.functions import dedup  # noqa: F401
-    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401
     from dist_map_reduce_spark.functions import clustering  # noqa: F401
     from dist_map_reduce_spark.functions import semdedup  # noqa: F401
     from dist_map_reduce_spark.functions import text_bpe  # noqa: F401
     from dist_map_reduce_spark.functions import text_bpe_encode  # noqa: F401
     from dist_map_reduce_spark.operators import histogram  # noqa: F401
     from dist_map_reduce_spark.functions import text_entropy  # noqa: F401
-    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401
+    from dist_map_reduce_spark.functions import text_winnow  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -104,6 +105,7 @@ def load_all() -> None:
         chunking,
         curation,
         curation_ext,
+        dedup_simhash,
         graph,
         lm_score,
         multimodal,
@@ -140,6 +142,7 @@ def load_all() -> None:
         skew,
         skyline,
         snapshot_diff,
+        sources_sinks_orc,
         stats_robust,
         subqueries,
         timeseries_fill,

@@ -83,3 +83,61 @@ def test_encode_counts_are_consistent(spark):
         | (F.col("n_bpe_tokens") <= 0)
     ).count()
     assert bad == 0
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Reference winnowing: md5-derived gram hashes, per-window min,
+    rightmost on ties; returns the distinct (pos, fp) set."""
+    import hashlib
+
+    n = len(text) - k + 1
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(n)
+    ]
+    sel = set()
+    for s in range(n - w + 1):
+        win = hs[s : s + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        j = max(i for i, v in enumerate(win) if v == m)
+        sel.add((s + j + 1, m))  # 1-based gram position
+    return sel
+
+
+def test_winnow_matches_python_reference_and_guarantee(spark):
+    """The Spark array-expression winnowing must equal the textbook
+    algorithm exactly, and two documents sharing a substring of
+    length >= K+W-1 must share at least one fingerprint VALUE (the
+    winnowing guarantee)."""
+    from dist_map_reduce_spark.functions.text_winnow import (
+        K_GRAM,
+        W_WIN,
+        _P32,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 >= 23
+    texts = [
+        "AAAA " + shared + " tail one padding text",
+        "completely different prefix " + shared,
+        "xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy",  # periodic: exercises ties
+        "short text here padded to be long enough for windows",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: {(v // _P32, v % _P32) for v in r.fps}
+        for r in winnow_fingerprints(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t, K_GRAM, W_WIN), f"doc {i}"
+    # guarantee: docs 0 and 1 share `shared` (len >= K+W-1) => at
+    # least one common fingerprint VALUE
+    fps0 = {fp for _, fp in got[0]}
+    fps1 = {fp for _, fp in got[1]}
+    assert fps0 & fps1
+    # doc 2 shares nothing that long with doc 3
+    fps3 = {fp for _, fp in got[3]}
+    assert not ({fp for _, fp in got[2]} & fps3)

@@ -87,3 +87,29 @@ def test_every_query_has_unique_name_and_callable():
         assert callable(fn), name
     # every oracle belongs to a registered query
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_window_count_pins_in_fresh_subprocess():
+    """The load_all cut-line guard (RuntimeError) only fires in a
+    pristine process; run one to prove the window imports register
+    exactly WINDOW queries under the driver's import path — and that
+    the guard also holds under python -O (assert-stripped)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from dist_map_reduce_spark import registry\n"
+        "registry.load_all()\n"
+        "print(len(registry.QUERIES))\n" % REPO_ROOT
+    )
+    for flags in ([], ["-O"]):
+        out = subprocess.run(
+            [sys.executable, *flags, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        n_total = int(out.stdout.strip().splitlines()[-1])
+        assert n_total == len(registry.QUERIES)
