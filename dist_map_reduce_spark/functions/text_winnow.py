@@ -139,3 +139,51 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fingerprints_md5"),
     )
+
+
+MAX_FP_DOCS = 100  # hot-fingerprint cap (Cap policy table, SCALE.md)
+
+
+def winnow_match_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Partial-overlap detection over the winnowing index:
+    (doc_a, doc_b, n_shared_fps) for document pairs sharing at least
+    ``min_shared`` fingerprint VALUES — the winnowing guarantee makes
+    every shared substring of length ≥ K+W−1 contribute at least one,
+    so copied passages surface even between globally dissimilar
+    documents (the case MinHash whole-doc similarity misses).
+
+    Scale shape: the same capped inverted-index postings pattern as
+    MinHash banding — distinct (fp, doc) rows group per fingerprint,
+    fingerprints held by more than MAX_FP_DOCS documents are dropped
+    count-first (boilerplate fingerprints are exactly the degenerate
+    keys), and i<j pairs come straight off each sorted posting list:
+    per-fp fan-out ≤ C(cap, 2), never corpus². One shuffle keyed by
+    fingerprint, one pair aggregation."""
+    from pyspark.sql import Window as W
+
+    fp_docs = (
+        winnow_fingerprints(docs)
+        .select("doc_id", F.explode("fps").alias("packed"))
+        .select("doc_id", (F.col("packed") % F.lit(_P32)).alias("fp"))
+        .distinct()
+    )
+    postings = (
+        fp_docs.withColumn("n_docs", F.count("*").over(W.partitionBy("fp")))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= MAX_FP_DOCS))
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    )
+    pairs = postings.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ds) - 2), "
+                "i -> transform(sequence(i + 1, size(ds) - 1), "
+                "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )

@@ -141,3 +141,32 @@ def test_winnow_matches_python_reference_and_guarantee(spark):
     # doc 2 shares nothing that long with doc 3
     fps3 = {fp for _, fp in got[3]}
     assert not ({fp for _, fp in got[2]} & fps3)
+
+
+def test_winnow_match_pairs_finds_copied_passage(spark):
+    """Two documents sharing a long passage must pair up via shared
+    fingerprints; unrelated documents must not. The plan must stay an
+    inverted-index join (no cartesian product)."""
+    from dist_map_reduce_spark.functions.text_winnow import (
+        winnow_match_pairs,
+    )
+
+    passage = (
+        "insert this exact long copied passage that is well beyond the "
+        "winnowing guarantee threshold so fingerprints must collide"
+    )
+    texts = [
+        "doc zero leading text " + passage + " trailing words here",
+        passage + " with a totally different continuation afterwards",
+        "unrelated content about something else entirely, long enough "
+        "to produce plenty of fingerprints of its own for the test",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = winnow_match_pairs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r.doc_a, r.doc_b): r.n_shared_fps for r in out.collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 2
+    assert not any(2 in pair for pair in got)
