@@ -139,12 +139,17 @@ def kmeans_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     against a corpus scan (assignment) + one posexplode/aggregate
     shuffle keyed on (cell, pos) (means). No vector visits the
     driver; the loop is a fixed-depth plan, not a driver round-trip.
-    Assignment is a hash aggregate (min_by over struct(-ccos, cell)
-    ≡ "ORDER BY ccos DESC, cell ASC LIMIT 1" per vector, including
-    ties — -0.0/0.0 tie identically under either phrasing), with
-    map-side partial min — no per-round sort of the K×-expanded
-    scored rows; the embedding is constant per vector so first()
-    carries it exactly.
+    Assignment is a genuine HashAggregate with map-side partial min:
+    the (ccos desc, cell asc) ordering packs into ONE long —
+    (10⁶ − round(ccos·10⁶)) · 2⁴ + cell, exact because ccos carries
+    at most 6 decimals and cell < 16 — so the aggregation buffer is
+    fixed-width (min over longs; a min_by over a struct key, or
+    carrying the array-typed embedding through first(), falls back
+    to SortAggregate — a per-round sort of the K×-expanded scored
+    rows, pinned against by tests/test_plans.py). The winning cell
+    decodes as key mod 2⁴; the embedding re-joins by vec_id — an
+    equi-join of two corpus-sized sides, co-partitionable at scale
+    and cheaper than sorting K× the corpus.
     """
     cent = emb.filter(F.col("vec_id") < K_CELLS).select(
         F.col("vec_id").alias("cell"),
@@ -156,20 +161,22 @@ def kmeans_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     for r in range(1, KMEANS_ROUNDS + 1):
         scored = emb.join(F.broadcast(cent)).select(
             "vec_id",
-            "embedding",
             "cell",
             F.round(cosine_expr("embedding", "cent"), 6).alias("ccos"),
         )
-        assigned = (
+        # min(key) ≡ "ORDER BY ccos DESC, cell ASC LIMIT 1" per
+        # vector (ties included): round-half-even to integer is exact
+        # on 6-dp-rounded ccos·10⁶
+        key = (
+            F.lit(1_000_000)
+            - F.round(F.col("ccos") * F.lit(1_000_000.0), 0).cast("long")
+        ) * F.lit(16) + F.col("cell")
+        assigned = emb.join(
             scored.groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    "cell", F.struct(F.col("ccos") * F.lit(-1.0), F.col("cell"))
-                ).alias("cell"),
-                F.first("embedding").alias("embedding"),
-            )
-            .select("vec_id", "embedding", "cell")
-        )
+            .agg(F.min(key).alias("mk"))
+            .select("vec_id", (F.col("mk") % F.lit(16)).alias("cell")),
+            "vec_id",
+        ).select("vec_id", "embedding", "cell")
         if r < KMEANS_ROUNDS:
             cent = (
                 assigned.select(

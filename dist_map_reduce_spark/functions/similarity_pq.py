@@ -98,27 +98,33 @@ def pq_fit(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     assigned = None
     for r in range(1, PQ_ROUNDS + 1):
-        # assignment as a hash aggregate, not a sort+window:
-        # min_by over struct(d2, code) IS "ORDER BY d2 ASC, code ASC
-        # LIMIT 1" per (vec_id, m) — with map-side partial min, no
-        # per-round sort of the K×-expanded scores; sub is constant
-        # within the group so first() carries it forward exactly
-        assigned = (
-            sub.join(F.broadcast(cb), "m")
-            .select(
-                "vec_id",
-                "m",
-                "sub",
-                "code",
-                F.round(_sq_l2("sub", "cent"), 6).alias("d2"),
-            )
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min_by("code", F.struct("d2", "code")).alias("code"),
-                F.first("sub").alias("sub"),
-            )
-            .select("vec_id", "m", "sub", "code")
+        # assignment as a GENUINE hash aggregate: the (d2 asc, code
+        # asc) ordering packs into one long — round(d2·10⁶)·2⁴ +
+        # code, exact because d2 carries at most 6 decimals and
+        # code < 16 — so the aggregation buffer is fixed-width
+        # (min over longs). A min_by over a struct key, or carrying
+        # the array-typed sub through first(), forces the
+        # SortAggregate fallback — a per-round sort of the
+        # K×-expanded scores (pinned against in tests/test_plans.py,
+        # same fix as kmeans_fit). The winning code decodes as
+        # key mod 2⁴; sub re-joins by (vec_id, m).
+        scored = sub.join(F.broadcast(cb), "m").select(
+            "vec_id",
+            "m",
+            "code",
+            F.round(_sq_l2("sub", "cent"), 6).alias("d2"),
         )
+        key = (
+            F.round(F.col("d2") * F.lit(1_000_000.0), 0).cast("long")
+            * F.lit(16)
+            + F.col("code")
+        )
+        assigned = sub.join(
+            scored.groupBy("vec_id", "m")
+            .agg(F.min(key).alias("mk"))
+            .select("vec_id", "m", (F.col("mk") % F.lit(16)).alias("code")),
+            ["vec_id", "m"],
+        ).select("vec_id", "m", "sub", "code")
         if r < PQ_ROUNDS:
             cb = (
                 assigned.select("m", "code", F.posexplode("sub").alias("pos", "v"))

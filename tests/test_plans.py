@@ -253,13 +253,30 @@ def test_mad_outliers_two_pass_broadcast_stats(spark):
 
 
 def test_pq_assignment_is_hash_aggregate(spark):
-    """PQ code assignment must stay a hash aggregate (min_by), not a
-    sort+window over the Kx-expanded scores; the final top-5 uses
-    the rank-pushdown WindowGroupLimit."""
+    """PQ code assignment must be a genuine fixed-width HashAggregate
+    (min over the packed d2/code long key) — a struct-keyed min_by or
+    an array-typed first() falls back to SortAggregate, a per-round
+    sort of the Kx-expanded scores; the final top-5 uses the
+    rank-pushdown WindowGroupLimit."""
+    from dist_map_reduce_spark import caching
+
+    caching.clear()
     plan = _plan(spark, "similarity_ann_pq_adc_topk")
-    assert "min_by" in plan
+    assert "SortAggregate" not in plan, "PQ fit fell out of HashAggregate"
+    assert "partial_min" in plan
     assert "WindowGroupLimit" in plan
-    assert "partial_min_by" in plan or "partial_min" in plan
+
+
+def test_kmeans_assignment_is_hash_aggregate(spark):
+    """Same contract for the k-means coarse quantizer: the packed
+    (ccos desc, cell asc) long key keeps every Lloyd round in
+    HashAggregate — no per-round sort of the Kx-expanded scores."""
+    from dist_map_reduce_spark import caching
+
+    caching.clear()
+    plan = _plan(spark, "kmeans_embedding_cells")
+    assert "SortAggregate" not in plan, plan
+    assert "partial_min" in plan
 
 
 def test_ivfpq_probe_join_broadcasts(spark):
