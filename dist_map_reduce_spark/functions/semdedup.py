@@ -53,6 +53,37 @@ TAU = 0.4  # within-cell cosine at/above which the higher id drops
 MAX_CELL_VECS = 4096  # degenerate-cell guard, far above fixture cells
 
 
+def prune_decisions(
+    assigned: DataFrame,
+    tau: float = TAU,
+    max_cell_vecs: int = MAX_CELL_VECS,
+) -> DataFrame:
+    """The SemDeDup decision core over an arbitrary (vec_id,
+    embedding, cell) assignment: (vec_id, cell, near_cos, action).
+    ``assigned`` should be persisted by the caller — it is consumed
+    by both self-join sides and the final decision join-back."""
+    return _decide(assigned, tau, max_cell_vecs)
+
+
+def prune_list_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    k_cells: int,
+    tau: float = TAU,
+    max_cell_vecs: int = MAX_CELL_VECS,
+) -> DataFrame:
+    """The at-scale SemDeDup entry point: same decision pipeline with
+    the cluster count chosen for the corpus — k ≈ corpus /
+    target_occupancy (10³-10⁴) keeps per-cell pairing bounded as the
+    corpus grows, the policy the fixture-pinned registered query
+    documents (``kmeans_fit``'s k knob; same scale pattern as
+    ``ann_lsh_topk_scaled``). Uncached — production materializes the
+    decision list to a table anyway."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = kmeans_fit(emb, k=k_cells)[0].persist()
+    return _decide(assigned, tau, max_cell_vecs)
+
+
 def _prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell, near_cos, action) for EVERY corpus vector.
 
@@ -60,8 +91,6 @@ def _prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (-1.0 when none, i.e. the vector is its cell's minimum id or its
     cell was over the cap); action = drop iff near_cos >= TAU.
     Cached per fixture dir — both registered queries consume it."""
-    from pyspark.sql import Window as W
-
     from dist_map_reduce_spark import caching
 
     hit = caching.peek("semdedup_prune", sf_dir)
@@ -76,6 +105,16 @@ def _prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = caching.persist_tracked(
         kmeans_fit(emb)[0], "semdedup_assigned", sf_dir
     )  # (vec_id, embedding, cell)
+    return caching.persist_tracked(
+        _decide(assigned, TAU, MAX_CELL_VECS), "semdedup_prune", sf_dir
+    )
+
+
+def _decide(
+    assigned: DataFrame, tau: float, max_cell_vecs: int
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
     # per-vector norms precomputed ONCE before pairing: the pair
     # stage then evaluates a single dot-product lambda per pair
     # instead of dot + two norms (3× fewer higher-order-function
@@ -92,7 +131,7 @@ def _prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.withColumn(
             "n_in_cell", F.count("*").over(W.partitionBy("cell"))
         )
-        .filter(F.col("n_in_cell") <= MAX_CELL_VECS)
+        .filter(F.col("n_in_cell") <= max_cell_vecs)
         .select("vec_id", "cell", "embedding", norm.alias("nrm"))
     )
     a = capped.alias("a")
@@ -121,12 +160,12 @@ def _prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cell",
             F.coalesce("near_cos", F.lit(-1.0)).alias("near_cos"),
-            F.when(F.coalesce("near_cos", F.lit(-1.0)) >= TAU, F.lit("drop"))
+            F.when(F.coalesce("near_cos", F.lit(-1.0)) >= tau, F.lit("drop"))
             .otherwise(F.lit("keep"))
             .alias("action"),
         )
     )
-    return caching.persist_tracked(out, "semdedup_prune", sf_dir)
+    return out
 
 
 def _prune_ctes() -> str:

@@ -123,12 +123,22 @@ def probe_masks(n_planes: int) -> list[int]:
 PROBE_MASKS: list[int] = probe_masks(N_PLANES)
 
 
-def kmeans_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Lloyd's k-means over (vec_id, embedding): KMEANS_ROUNDS
+def kmeans_fit(
+    emb: DataFrame, k: int = K_CELLS, rounds: int = KMEANS_ROUNDS
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over (vec_id, embedding): ``rounds``
     assignment rounds from the deterministic init (centroids =
-    vectors 0..K_CELLS-1, 6-dp rounded). Returns ``(assigned,
+    vectors 0..k-1, 6-dp rounded). Returns ``(assigned,
     centroids)`` — the final (vec_id, embedding, cell) assignment and
     the (cell, cent) table it was assigned against.
+
+    ``k`` defaults to the fixture pin K_CELLS (so the registered
+    queries' unrolled-SQL oracles stay static) and is THE scale knob:
+    at 100 TB choose k ≈ corpus / target_occupancy (10³-10⁴ vectors
+    per cell) so both IVF probe cost and SemDeDup's within-cell
+    pairing stay bounded — the same policy as ``n_planes_for`` on
+    the LSH arm. The packed assignment key reserves
+    ceil(log2(k))-bits for the cell id, so any k works.
 
     Fully deterministic: assignment ranks by 6-dp-rounded cosine with
     a min-cell tie-break and updated centroids are 6-dp-rounded
@@ -151,14 +161,15 @@ def kmeans_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     equi-join of two corpus-sized sides, co-partitionable at scale
     and cheaper than sorting K× the corpus.
     """
-    cent = emb.filter(F.col("vec_id") < K_CELLS).select(
+    cell_mod = 1 << max(4, (k - 1).bit_length())  # ≥ k, power of 2
+    cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"),
         F.transform(
             "embedding", lambda x: F.round(x.cast("double"), 6)
         ).alias("cent"),
     )
     assigned = None
-    for r in range(1, KMEANS_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         scored = emb.join(F.broadcast(cent)).select(
             "vec_id",
             "cell",
@@ -170,14 +181,14 @@ def kmeans_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         key = (
             F.lit(1_000_000)
             - F.round(F.col("ccos") * F.lit(1_000_000.0), 0).cast("long")
-        ) * F.lit(16) + F.col("cell")
+        ) * F.lit(cell_mod) + F.col("cell")
         assigned = emb.join(
             scored.groupBy("vec_id")
             .agg(F.min(key).alias("mk"))
-            .select("vec_id", (F.col("mk") % F.lit(16)).alias("cell")),
+            .select("vec_id", (F.col("mk") % F.lit(cell_mod)).alias("cell")),
             "vec_id",
         ).select("vec_id", "embedding", "cell")
-        if r < KMEANS_ROUNDS:
+        if r < rounds:
             cent = (
                 assigned.select(
                     "cell", F.posexplode("embedding").alias("pos", "v")

@@ -187,3 +187,30 @@ def test_ivfpq_respects_cell_restriction(spark):
         assert homes[v] in probes[q], (
             f"pair ({q},{v}) scored outside the probe cells"
         )
+
+
+def test_semdedup_scaled_k_shrinks_cells(spark):
+    """The k knob is the SemDeDup scale lever: raising k must yield
+    more, smaller cells (bounding per-cell pair work) with every
+    vector still decided exactly once and a sane decision mix. (Drop
+    counts are NOT monotone in k — a k=16 clustering is not a
+    refinement of the k=8 one — so only structure is asserted.)"""
+    from dist_map_reduce_spark import registry
+    from dist_map_reduce_spark.functions.semdedup import prune_list_scaled
+
+    base = registry.QUERIES["semdedup_prune_list"](spark, SF_SMOKE).collect()
+    scaled = prune_list_scaled(spark, SF_SMOKE, k_cells=16).collect()
+    assert len(scaled) == len(base)
+    assert {r.vec_id for r in scaled} == {r.vec_id for r in base}
+    cells_base = {r.cell for r in base}
+    cells_scaled = {r.cell for r in scaled}
+    assert len(cells_scaled) > len(cells_base)
+    assert max(cells_scaled) < 16 and min(cells_scaled) >= 0
+    assert {r.action for r in scaled} <= {"keep", "drop"}
+    # every cell minimum keeps itself (no lower-id cellmate exists)
+    per_cell_min = {}
+    for r in scaled:
+        per_cell_min.setdefault(r.cell, []).append(r)
+    for rows in per_cell_min.values():
+        m = min(rows, key=lambda r: r.vec_id)
+        assert m.action == "keep"
