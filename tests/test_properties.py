@@ -758,3 +758,81 @@ def test_lexical_cosine_matches_brute_force(spark, texts):
         if cos >= ce.MIN_COS:
             expected[(a, b)] = cos
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_logn_components_match_union_find_random(spark, edges):
+    """Alternating large-star/small-star must agree with a union-find
+    reference on arbitrary random graphs (multi-edges, self-loops,
+    many components, any shape)."""
+    from dist_map_reduce_spark.functions.clustering import (
+        connected_components_logn,
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components_logn(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+            nodes.update((a, b))
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expect = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            expect[n] = m
+    assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    syms=st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "bc", "aa"]),
+        min_size=1,
+        max_size=14,
+    ),
+    pa=st.sampled_from(["a", "b", "c", "ab", "bc", "aa"]),
+    pb=st.sampled_from(["a", "b", "c", "ab", "bc", "aa"]),
+)
+def test_wrapped_replace_is_textbook_bpe_merge_random(syms, pa, pb):
+    """The separator-wrapped string replace (the BPE merge both
+    engines execute — str.replace shares their left-to-right
+    non-overlapping semantics) must equal the textbook greedy merge
+    on arbitrary symbol sequences, including overlapping runs and
+    multi-char symbols that embed the pair's text."""
+    from tests.test_bpe_encode import _reference_bpe_merge
+
+    sep = "\x1f"
+    wrapped = "".join(f"{sep}{s}{sep}" for s in syms)
+    merged = wrapped.replace(
+        f"{sep}{pa}{sep}{sep}{pb}{sep}", f"{sep}{pa}{pb}{sep}"
+    )
+    expect = _reference_bpe_merge(syms, (pa, pb))
+    assert merged == "".join(f"{sep}{s}{sep}" for s in expect)
