@@ -134,3 +134,147 @@ def similarity_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Faiss IVFADC: L2-normalize (so squared-L2 order is cosine
+    order), then PQ over RESIDUALS (vector − home-cell centroid)
+    instead of raw vectors.
+
+    MEASURED NEGATIVE on this corpus (SCALE.md §ANN): recall@5 = 0.20
+    vs 0.32 for the raw-vector `similarity_ann_ivfpq_topk`, both
+    scales. The reason is instructive: the fixture embeddings are
+    label clusters + isotropic noise, so the coarse quantizer absorbs
+    essentially ALL the structure — the residual is near-pure noise,
+    which an M=8, K=8 codebook cannot resolve, while raw-vector PQ
+    still encodes the (dominant) between-cell signal. IVFADC earns
+    its keep when within-cell variation is structured and the
+    codebook is big (Faiss-scale M=32-64, K=256); the function exists
+    so that trade is a measured fact here rather than folklore — the
+    recall harness (tools/ann_recall_report.py) emits both variants.
+
+    Library entry point, not a registered query: the per-(query,
+    probe-cell) residual LUT makes an unrolled SQL oracle ~K× the
+    already-large composed IVF-PQ oracle for no new determinism
+    evidence — every stage below is one of the two already-oracle-
+    checked builds plus equi-joins, and the recall harness grades
+    the search end-to-end against exact top-5.
+
+    Scale shape: identical joins to the raw IVF-PQ plan plus one
+    broadcast of the K×DIM centroid table for the residual
+    subtraction; the LUT grows to (queries × nprobe × M × K_PQ) rows
+    — still broadcast-sized. Candidates reach the ADC sum through
+    their home cell only, so each (query, candidate) scores exactly
+    once against the matching probe-cell LUT."""
+    from dist_map_reduce_spark.functions.similarity_pq import (
+        _sq_l2,
+        pq_fit,
+    )
+
+    # L2-normalize first: on the unit sphere squared-L2 order IS
+    # cosine order (cos = 1 − ‖q̂−x̂‖²/2), so the ADC ranking targets
+    # the same metric the exact top-5 uses — without this the PQ
+    # codebook wastes codes modeling norm variation the cosine
+    # ground truth ignores
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nrm = F.sqrt(
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)"
+            " * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+        )
+    )
+    emb = raw.withColumn("nrm", nrm).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("nrm")
+        ).alias("embedding"),
+    )
+    _, cent = kmeans_fit(emb)  # (cell, cent) — 6-dp-rounded doubles
+    ranked = ivf_ranked_cells(
+        emb,
+        cent.select(
+            F.col("cell").alias("cand_cell"), F.col("cent").alias("centroid")
+        ),
+        "ivfadc_ranked_cells",  # normalized-space ranking: own slot
+        sf_dir,
+    )
+    homes = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cand_cell").alias("cell")
+    )
+    residual = F.expr(
+        "zip_with(embedding, cent, (x, c) -> CAST(x AS DOUBLE) - c)"
+    )
+    res = (
+        emb.join(homes, "vec_id")
+        .join(F.broadcast(cent), "cell")
+        .select("vec_id", "cell", residual.alias("embedding"))
+    )
+    # PQ trained on residual subvectors (own cache slots — the codes
+    # table is the residual-compressed corpus)
+    sub_res = persist_tracked(
+        subvector_rows(res.select("vec_id", "embedding")),
+        "ivfadc_subrows",
+        sf_dir,
+    )
+    codes, cb = pq_fit(sub_res)
+    codes = persist_tracked(codes, "ivfadc_codes", sf_dir)
+    # query-side: one residual PER PROBE CELL, so the LUT is keyed by
+    # (query_id, qcell) — a candidate scores against the LUT of the
+    # cell it was found in
+    qprobes = ranked.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cand_cell").alias("qcell")
+    )
+    q_res = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(qprobes), "query_id")
+        .join(
+            F.broadcast(cent.withColumnRenamed("cell", "qcell")), "qcell"
+        )
+        .select("query_id", "qcell", residual.alias("embedding"))
+    )
+    from dist_map_reduce_spark.functions.similarity_pq import M_SUB, SUBDIM
+
+    q_sub = q_res.select(
+        "query_id",
+        "qcell",
+        F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("m"),
+        "embedding",
+    ).select(
+        "query_id",
+        "qcell",
+        "m",
+        F.expr(
+            f"transform(slice(embedding, m * {SUBDIM} + 1, {SUBDIM}),"
+            f" x -> CAST(x AS DOUBLE))"
+        ).alias("sub"),
+    )
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "qcell",
+        "m",
+        "code",
+        F.round(_sq_l2("sub", "cent"), 6).alias("ld"),
+    )
+    candidates = (
+        codes.join(homes, "vec_id")
+        .join(
+            F.broadcast(qprobes),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qcell", "vec_id", "m", "code")
+    )
+    adc = (
+        candidates.join(F.broadcast(lut), ["query_id", "qcell", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("ld"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
