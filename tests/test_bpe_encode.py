@@ -170,3 +170,22 @@ def test_winnow_match_pairs_finds_copied_passage(spark):
     got = {(r.doc_a, r.doc_b): r.n_shared_fps for r in out.collect()}
     assert (0, 1) in got and got[(0, 1)] >= 2
     assert not any(2 in pair for pair in got)
+
+
+def test_winnow_short_docs_emit_no_rows(spark):
+    """Documents below the K+W-1 window threshold produce no
+    fingerprint row; at/above the threshold exactly one window."""
+    from dist_map_reduce_spark.functions.text_winnow import (
+        K_GRAM,
+        W_WIN,
+        winnow_fingerprints,
+    )
+
+    thr = K_GRAM + W_WIN - 1
+    docs = spark.createDataFrame(
+        [(0, "x" * (thr - 1)), (1, "y" * thr)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
+    assert 0 not in rows
+    assert rows[1].n_grams == thr - K_GRAM + 1 == W_WIN
+    assert len(rows[1].fps) == 1  # one window, one selection

@@ -102,3 +102,20 @@ def test_logn_multiple_components_and_isolated(spark):
         for r in connected_components_logn(pairs).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_logn_empty_and_selfloop_only_graphs(spark):
+    """Empty edge set and self-loop-only sets converge immediately to
+    empty labels, without warnings."""
+    import warnings as w
+
+    from dist_map_reduce_spark.functions.clustering import (
+        connected_components_logn,
+    )
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    loops = spark.createDataFrame([(7, 7), (9, 9)], "doc_a long, doc_b long")
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)
+        assert connected_components_logn(empty).count() == 0
+        assert connected_components_logn(loops).count() == 0
