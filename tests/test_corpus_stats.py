@@ -461,3 +461,44 @@ class TestR7Invariants:
             abs(approx[k] - v) <= max(2, total * 0.02)
             for k, v in exact.items()
         ), (exact, approx)
+
+    def test_quality_logreg_training_recovers_teacher_boundary(self, spark):
+        """Distributed batch-GD logistic regression must fit: against
+        a median-split teacher labeling (linear in the same features,
+        hence learnable), loss drops >=5x from ln(2), the recovered
+        decision boundary agrees with the teacher on >=93% of docs,
+        and every learned weight carries the teacher's sign."""
+        from pyspark.sql import functions as F
+
+        from dist_map_reduce_spark.catalog import load_table
+        from dist_map_reduce_spark.functions.quality_model import (
+            quality_logit,
+            score_with_weights,
+            train_quality_logreg,
+        )
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        tl = quality_logit(docs).select("doc_id", "logit")
+        med = tl.agg(F.expr("percentile(logit, 0.5)").alias("m")).collect()[
+            0
+        ].m
+        docs_t = docs.join(
+            tl.select(
+                "doc_id", (F.col("logit") > med).cast("double").alias("t")
+            ),
+            "doc_id",
+        )
+        w, hist = train_quality_logreg(docs_t, F.col("t"), iters=40, lr=1.0)
+        assert hist[0] > 0.69 and hist[-1] < hist[0] / 5
+        n = docs_t.count()
+        acc = (
+            score_with_weights(docs_t, w)
+            .join(docs_t.select("doc_id", "t"), "doc_id")
+            .filter(F.col("keep").cast("double") == F.col("t"))
+            .count()
+            / n
+        )
+        assert acc >= 0.93, (acc, w)
+        # teacher direction: +ttr, +awl, +stop_frac, -len_k
+        assert w["ttr"] > 0 and w["awl"] > 0 and w["stop_frac"] > 0
+        assert w["len_k"] < 0
