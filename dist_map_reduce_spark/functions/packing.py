@@ -134,3 +134,74 @@ def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_id", F.floor(F.col("start_tok") / float(_PACK_BUDGET)).cast("bigint")
         )
     )
+
+
+def pack_ffd(
+    docs: DataFrame,
+    budget: int = _PACK_BUDGET,
+    n_shards: int = _N_SHARDS,
+) -> DataFrame:
+    """No-straddle packing by first-fit-decreasing: every document
+    lands WHOLE in exactly one bin of ``budget`` tokens (documents
+    longer than the budget get a dedicated oversize bin). This is the
+    other standard layout — ``sequence_pack_docs`` concatenates and
+    splits (zero waste, documents may straddle bins; right for
+    pretraining), FFD never splits a document (right for SFT-style
+    training where truncating an example corrupts it) and minimizes
+    the padding waste that no-straddle forces — classically within
+    11/9·OPT + 6/9, in practice a few percent.
+
+    Scale shape: bin assignment is inherently sequential WITHIN a
+    packer, so documents shard deterministically (doc_id mod
+    n_shards) and each shard packs independently inside one
+    ``applyInPandas`` group — the sanctioned Arrow path for
+    per-group imperative logic the built-ins cannot express; state
+    is one Python list of open-bin capacities per shard, bounded by
+    bins-per-shard. Deterministic: FFD order is (n_tok DESC, doc_id
+    ASC), so the layout is reproducible run-to-run and
+    cluster-size-independent.
+
+    Returns (doc_id, shard, bin_id, offset_in_bin, n_tok); bins are
+    numbered per shard in creation order.
+    """
+    import pandas as pd
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        caps: list[int] = []  # remaining capacity per open bin
+        offs: list[int] = []  # next write offset per bin
+        bin_ids, offsets = [], []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            placed = False
+            if n <= budget:
+                for i, cap in enumerate(caps):
+                    if cap >= n:
+                        bin_ids.append(i)
+                        offsets.append(offs[i])
+                        caps[i] -= n
+                        offs[i] += n
+                        placed = True
+                        break
+            if not placed:
+                # new bin; oversize docs occupy one alone (cap 0)
+                bin_ids.append(len(caps))
+                offsets.append(0)
+                caps.append(max(budget - n, 0))
+                offs.append(n)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["offset_in_bin"] = pd.Series(offsets, dtype="int64")
+        return pdf[["doc_id", "shard", "n_tok", "bin_id", "offset_in_bin"]]
+
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("bigint").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    return base.groupBy("shard").applyInPandas(
+        pack_shard,
+        "doc_id bigint, shard bigint, n_tok bigint,"
+        " bin_id bigint, offset_in_bin bigint",
+    )

@@ -66,7 +66,10 @@ def load_all() -> None:
     text_winnow_fingerprints (1). 36 stale + 9 new + 5 riders = 50.
     The two r5-stamped singles (dedup_simhash,
     sources_sinks_orc) sit just OUTSIDE — safe through r9 (floor
-    r5), and the r9 window must lead with the 49 r5 stamps anyway.
+    r5). r9 planning note: after r8 evidence lands the oldest stamps
+    are the 49 r5s (binding only at r10, floor r6), so r9 should
+    re-stamp as many of them as fit after its novelties (~25+) and
+    r10 takes the rest — they do NOT all have to fit in one round.
     The authoritative staleness list is derivable from the evidence
     files, which is what tests/test_registry.py checks; after this
     round the oldest stamps anywhere are r5.

@@ -502,3 +502,44 @@ class TestR7Invariants:
         # teacher direction: +ttr, +awl, +stop_frac, -len_k
         assert w["ttr"] > 0 and w["awl"] > 0 and w["stop_frac"] > 0
         assert w["len_k"] < 0
+
+    def test_pack_ffd_no_straddle_and_beats_next_fit(self, spark):
+        """FFD packing: no bin over budget (oversize docs alone),
+        every doc packed exactly once, deterministic across runs, and
+        total bins <= a naive next-fit baseline."""
+        from dist_map_reduce_spark.catalog import load_table
+        from dist_map_reduce_spark.functions.packing import (
+            _PACK_BUDGET,
+            pack_ffd,
+        )
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        out = pack_ffd(docs).collect()
+        assert len(out) == docs.count()
+        for r in out:
+            assert r.offset_in_bin >= 0
+        singles = {}
+        for r in out:
+            singles.setdefault((r.shard, r.bin_id), []).append(r.n_tok)
+        for members in singles.values():
+            if sum(members) > _PACK_BUDGET:
+                assert len(members) == 1  # oversize doc alone
+        # determinism
+        out2 = pack_ffd(docs).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+        # FFD uses no more bins than next-fit in doc_id order
+        import collections
+
+        by_shard = collections.defaultdict(list)
+        for r in sorted(out, key=lambda r: r.doc_id):
+            by_shard[r.shard].append(r.n_tok)
+        nf_bins = 0
+        for toks in by_shard.values():
+            cap = 0
+            for n in toks:
+                if n > cap:
+                    nf_bins += 1
+                    cap = _PACK_BUDGET
+                cap -= min(n, _PACK_BUDGET)
+        ffd_bins = len(singles)
+        assert ffd_bins <= nf_bins
