@@ -1,0 +1,118 @@
+"""Scale probe: synthesize a corpus ABOVE the largest fixture and
+measure the headline curation operators on it.
+
+The fixtures top out at sf0.1 (5 000 documents / 2 000 vectors); the
+scale claims in SCALE.md are plan-shape arguments. This tool adds a
+measured point: it replicates the sf0.1 documents/embeddings tables
+REPLICAS× with deterministic perturbations (per-replica id offsets, a
+replica tag word appended to text, one embedding coordinate nudged
+per replica — so replicas are near- but not exact duplicates, the
+realistic hard case for dedup), writes them to the gitignored
+.scratch dir, and times the document/embedding-only operators at both
+corpus sizes. Near-linear wall-time growth (and the k-cells knob
+beating the fixture-pinned k on SemDeDup) is the evidence; results
+are recorded in SCALE.md §"Measured scaling".
+
+Usage: python tools/scale_probe.py [replicas]   # default 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dist_map_reduce_spark import caching, registry  # noqa: E402
+from dist_map_reduce_spark.catalog import load_table  # noqa: E402
+from dist_map_reduce_spark.scratch import SCRATCH  # noqa: E402
+from dist_map_reduce_spark.session import get_spark  # noqa: E402
+
+registry.load_all()
+
+BASE = "/root/testdata/sf0.1"
+ID_STRIDE = 10_000_000
+
+PROBES = [
+    "wordcount",
+    "minhash_band_candidates",
+    "dedup_clusters_logn",
+    "text_winnow_fingerprints",
+    "text_char_entropy",
+    "text_bpe_merge_table",
+    "text_bpe_encode_docs",
+    "similarity_lsh_buckets",
+    "semdedup_prune_list",
+]
+
+
+def synth(spark, replicas: int) -> str:
+    out = os.path.join(SCRATCH, f"sfx{replicas}")
+    docs = load_table(spark, BASE, "documents")
+    reps = None
+    for i in range(replicas):
+        r = docs.select(
+            (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
+            F.concat("text", F.lit(f" r{i}")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + F.lit(len(f" r{i}"))).alias("n_chars"),
+        )
+        reps = r if reps is None else reps.unionAll(r)
+    reps.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    emb = load_table(spark, BASE, "embeddings")
+    reps = None
+    for i in range(replicas):
+        r = emb.select(
+            (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, j: F.when(j == 0, x + F.lit(i * 1e-3).cast("float"))
+                .otherwise(x),
+            ).alias("embedding"),
+            "label",
+        )
+        reps = r if reps is None else reps.unionAll(r)
+    reps.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in names:
+        caching.clear()
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 2)
+    return times
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = synth(spark, replicas)
+    registry.QUERIES["wordcount"](spark, BASE).count()  # JVM warm-up
+    base_t = run(spark, BASE, PROBES)
+    big_t = run(spark, big, PROBES)
+    print(f"{'query':34s} {'sf0.1':>8s} {f'x{replicas}':>8s} {'ratio':>7s}")
+    for name in PROBES:
+        r = big_t[name] / base_t[name] if base_t[name] else float("nan")
+        print(f"{name:34s} {base_t[name]:8.2f} {big_t[name]:8.2f} {r:7.1f}")
+    # the k knob: SemDeDup at corpus-sized k vs the fixture pin
+    from dist_map_reduce_spark.functions.semdedup import prune_list_scaled
+
+    caching.clear()
+    t0 = time.perf_counter()
+    n = prune_list_scaled(spark, big, k_cells=64).count()
+    print(
+        f"{'semdedup prune_list_scaled(k=64)':34s} {'-':>8s}"
+        f" {time.perf_counter() - t0:8.2f}   ({n} rows)"
+    )
+
+
+if __name__ == "__main__":
+    main()
