@@ -187,3 +187,51 @@ def winnow_match_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
         .agg(F.count("*").alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= min_shared)
     )
+
+
+def winnow_decontaminate(
+    train: DataFrame, eval_docs: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Substring-level decontamination: flag TRAIN documents sharing
+    at least ``min_shared`` winnowing fingerprint values with ANY
+    eval document. The guarantee makes any verbatim overlap of
+    length ≥ K+W−1 chars contribute a fingerprint, so this catches
+    quoted eval passages that n-gram-set decontamination
+    (`decontaminate_against_eval`, token-level) can miss under
+    tokenization drift — and vice versa; production pipelines run
+    both.
+
+    Returns (doc_id, n_eval_hits, n_shared_fps): one row per
+    CONTAMINATED train doc — n_eval_hits distinct eval docs matched,
+    n_shared_fps total shared (train_fp, eval_doc) fingerprint
+    pairs. Scale shape: both corpora reduce to distinct (fp, doc)
+    rows; the only join is the fp equi-join, with the same
+    MAX_FP_DOCS drop-count-first cap on the TRAIN side (boilerplate
+    fingerprints), and the eval side is benchmark-sized — AQE
+    broadcasts it."""
+    from pyspark.sql import Window as W
+
+    t_fp = (
+        winnow_fingerprints(train)
+        .select("doc_id", F.explode("fps").alias("p"))
+        .select("doc_id", (F.col("p") % F.lit(_P32)).alias("fp"))
+        .distinct()
+        .withColumn("n_docs", F.count("*").over(W.partitionBy("fp")))
+        .filter(F.col("n_docs") <= MAX_FP_DOCS)
+        .drop("n_docs")
+    )
+    e_fp = (
+        winnow_fingerprints(eval_docs)
+        .select(F.col("doc_id").alias("eval_id"), F.explode("fps").alias("p"))
+        .select("eval_id", (F.col("p") % F.lit(_P32)).alias("fp"))
+        .distinct()
+    )
+    return (
+        t_fp.join(e_fp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_hits"),
+            F.count("*").alias("n_shared_fps"),
+        )
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )

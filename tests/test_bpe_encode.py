@@ -189,3 +189,33 @@ def test_winnow_short_docs_emit_no_rows(spark):
     assert 0 not in rows
     assert rows[1].n_grams == thr - K_GRAM + 1 == W_WIN
     assert len(rows[1].fps) == 1  # one window, one selection
+
+
+def test_winnow_decontaminate_flags_quoted_eval_passage(spark):
+    """A train doc quoting an eval passage (>= K+W-1 chars) is
+    flagged; clean train docs are not; no cartesian in the plan."""
+    from dist_map_reduce_spark.functions.text_winnow import (
+        winnow_decontaminate,
+    )
+
+    passage = (
+        "this benchmark prompt sentence is long enough to guarantee a "
+        "winnowing fingerprint is shared when quoted verbatim"
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "innocuous training text with plenty of original words "
+                "to fingerprint against the evaluation corpus"),
+            (1, "contaminated document that quotes " + passage + " inline"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "eval item: " + passage)], "doc_id long, text string"
+    )
+    out = winnow_decontaminate(train, ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 1 in rows and rows[1].n_eval_hits == 1
+    assert 0 not in rows
