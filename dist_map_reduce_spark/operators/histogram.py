@@ -151,23 +151,15 @@ def _equidepth_assign(orders: DataFrame, bnds: DataFrame) -> DataFrame:
     )
 
 
-# no oracle: approx_percentile is a Greenwald-Khanna sketch whose
-# boundary doubles are engine- (and merge-order-) specific, so a
-# value-hash against DuckDB's t-digest cannot match by construction.
-# The driver records a rows-only check; the REAL check is
-# tests/test_corpus_stats.py::test_equidepth_approx_close_to_exact,
-# which pins every approx bucket count within tolerance of the exact
-# path's on the same data.
-@query("histogram_equidepth_approx")
-def histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def equidepth_approx_counts(orders: DataFrame) -> DataFrame:
     """The 100 TB equi-depth path: identical plan to
     ``histogram_equidepth_prices`` with the exact full-sort-per-group
     ``percentile`` swapped for the mergeable ``approx_percentile``
     sketch (accuracy 10⁴ ⇒ rank error ≤ n/10⁴ per boundary) — the
     swap the exact variant's docstring promises, as code. The sketch
     aggregates map-side and merges in O(accuracy) state per
-    partition; no global sort anywhere."""
-    orders = load_table(spark, sf_dir, "orders")
+    partition; no global sort anywhere. Returns the raw
+    (bucket, n_rows, min_val, max_val) histogram."""
     bnds = orders.agg(
         F.expr(
             "approx_percentile(o_totalprice, array("
@@ -178,3 +170,40 @@ def histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bnds")
     )
     return _equidepth_assign(orders, bnds)
+
+
+# the sketch's boundary DOUBLES are engine- (and merge-order-)
+# specific, so hashing the raw bucket counts against DuckDB cannot
+# match by construction. The registered query therefore checks the
+# CONTRACT instead (the approx_percentile_prices pattern): every
+# bucket's depth within max(2% of n/N, 3) of ideal — sketch rank
+# error is ≤ n/10⁴ per boundary, a 12× margin — with the oracle side
+# a constant-true table. The count-level check against the exact path
+# stays in tests/test_corpus_stats.py::test_equidepth_approx_close_to_exact.
+@query(
+    "histogram_equidepth_approx",
+    oracle=f"""
+    SELECT CAST(g AS INTEGER) AS bucket,
+           true AS depth_within_band,
+           (SELECT count(*) FROM orders) AS n
+    FROM generate_series(0, {N_QUANTILES - 1}) t(g)
+    """,
+)
+def histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth-contract check of the sketched path
+    (``equidepth_approx_counts``): each of the N_QUANTILES buckets
+    produced from ``approx_percentile`` edges must hold its fair
+    share of rows within max(2% of n/N, 3) — far looser than the
+    sketch's guaranteed rank error, far tighter than any broken
+    plan. A bucket emptied by a degenerate sketch drops its row
+    entirely and fails the driver's row-count compare."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = equidepth_approx_counts(orders)
+    tot = orders.agg(F.count("*").alias("n"))
+    ideal = F.col("n") / F.lit(N_QUANTILES)
+    band = F.greatest(ideal * F.lit(0.02), F.lit(3.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.abs(F.col("n_rows") - ideal) <= band).alias("depth_within_band"),
+        "n",
+    )

@@ -436,11 +436,18 @@ class TestR7Invariants:
         assert all(lo <= r.n_rows <= hi for r in rows), rows
 
     def test_equidepth_approx_close_to_exact(self, spark):
-        """The approx_percentile path (histogram_equidepth_approx) has
-        no cross-engine oracle by construction; its check is against
-        the exact path on the same data: every bucket count within 2%
-        of the corpus, same bucket ids, same row coverage."""
+        """The approx_percentile path's raw bucket COUNTS have no
+        cross-engine oracle by construction (sketch doubles are
+        engine-specific); the count-level check is against the exact
+        path on the same data: every bucket count within 2% of the
+        corpus, same bucket ids, same row coverage. The registered
+        query wraps these counts in the driver-checkable contract —
+        every depth_within_band flag must come back true."""
         from dist_map_reduce_spark import registry
+        from dist_map_reduce_spark.catalog import load_table
+        from dist_map_reduce_spark.operators.histogram import (
+            equidepth_approx_counts,
+        )
 
         exact = {
             r.bucket: r.n_rows
@@ -450,8 +457,8 @@ class TestR7Invariants:
         }
         approx = {
             r.bucket: r.n_rows
-            for r in registry.QUERIES["histogram_equidepth_approx"](
-                spark, SF_SMOKE
+            for r in equidepth_approx_counts(
+                load_table(spark, SF_SMOKE, "orders")
             ).collect()
         }
         total = sum(exact.values())
@@ -461,6 +468,12 @@ class TestR7Invariants:
             abs(approx[k] - v) <= max(2, total * 0.02)
             for k, v in exact.items()
         ), (exact, approx)
+
+        contract = registry.QUERIES["histogram_equidepth_approx"](
+            spark, SF_SMOKE
+        ).collect()
+        assert len(contract) == 8
+        assert all(r.depth_within_band for r in contract), contract
 
     def test_quality_logreg_training_recovers_teacher_boundary(self, spark):
         """Distributed batch-GD logistic regression must fit: against
