@@ -85,6 +85,24 @@ def test_encode_counts_are_consistent(spark):
     assert bad == 0
 
 
+def test_bpe_decode_roundtrip_is_lossless(spark):
+    """Decode inverts encode: concatenating every vocabulary entry's
+    post-merge symbols must reproduce the pre-token byte-for-byte
+    (merges only ever glue adjacent symbols, never rewrite content).
+    Since documents encode via the pre-token equi-join, vocabulary-
+    level losslessness extends to every encoded document."""
+    from dist_map_reduce_spark.functions.text_bpe_encode import _learn
+
+    _, vocab_enc = _learn(spark, SF_SMOKE)
+    assert vocab_enc.count() > 0
+    bad = vocab_enc.filter(
+        (F.concat_ws("", "syms") != F.col("tok"))
+        | (F.col("n_syms") <= 0)
+        | F.exists("syms", lambda s: F.length(s) == 0)
+    ).count()
+    assert bad == 0
+
+
 def _py_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
     """Reference winnowing: md5-derived gram hashes, per-window min,
     rightmost on ties; returns the distinct (pos, fp) set."""
