@@ -70,11 +70,15 @@ def load_all() -> None:
     are the 49 r5s (binding only at r10, floor r6), so r9 should
     re-stamp as many of them as fit after its novelties (~25+) and
     r10 takes the rest — they do NOT all have to fit in one round.
-    Ready-made r9 novelty candidates: register the tested library
-    functions ``text_winnow.winnow_match_pairs`` and
-    ``text_winnow.winnow_decontaminate`` as oracle-checked queries
-    (their winnowing-CTE oracle prefix is already proven by
-    text_winnow_fingerprints; the r8 window had no free slots).
+    Ready-made r9 novelty candidates (the r8 window had no free
+    slots): register the tested library functions
+    ``text_winnow.winnow_match_pairs`` and
+    ``text_winnow.winnow_decontaminate`` (their winnowing-CTE oracle
+    prefix is already proven by text_winnow_fingerprints), and the
+    incremental-ingestion dedup pipeline
+    (``streaming/ingest_dedup.py`` — rows-only or an oracle over the
+    md5-bucket split + minhash-band SQL already used by
+    minhash_band_candidates).
     The authoritative staleness list is derivable from the evidence
     files, which is what tests/test_registry.py checks; after this
     round the oldest stamps anywhere are r5.

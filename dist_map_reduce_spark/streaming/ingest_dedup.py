@@ -1,0 +1,239 @@
+"""Incremental corpus ingestion with dedup — the production shape.
+
+At 100 TB nobody re-runs batch dedup over the whole corpus for every
+delivery of new documents. The production pattern is a streaming
+ingestion job that, per micro-batch of arrivals:
+
+  1. dedups WITHIN the batch (content-hash groupBy, deterministic
+     keeper);
+  2. dedups ACROSS batches against everything already accepted — by
+     anti-joining the batch against the sink table's own fingerprint
+     column, so the "state" is the sink itself (no unbounded
+     streaming-agg state, restarts are free);
+  3. flags NEAR-duplicates of the EXISTING corpus by joining the
+     arrivals' MinHash-LSH band keys against a precomputed static
+     band index of the corpus (stream-static join, batch-side ops
+     inside ``foreachBatch``);
+  4. appends the surviving rows (+ flags) to the target table.
+
+All four steps are plain batch DataFrame ops inside ``foreachBatch``
+(the ``streaming_foreachbatch_upsert`` pattern,
+streaming/pipelines.py:681) — no streaming aggregation modes, no
+driver-side state, and every join is an equi-join.
+
+Row-wise banding: the batch MinHash pipeline
+(functions/dedup.py:_minhash_signature) computes signatures with a
+per-doc groupBy MIN — one shuffle over the exploded shingles. For
+per-arrival banding that shuffle is pure overhead, so
+``minhash_bands_rowwise`` computes the identical band keys with ZERO
+shuffles: the shingle set stays an array column and every minhash is
+an ``array_min`` over a ``transform`` — per-row, whole-stage-codegen
+friendly, and bit-identical to the batch arm
+(tests/test_ingest_dedup.py pins set equality). The same rewrite is
+the right call for the batch pipeline wherever signatures feed a
+row-local consumer.
+
+Near-dup flag semantics: an arrival sharing ANY (band_id, band_key)
+with a corpus document is flagged ``corpus_neardup`` (same S-curve as
+``minhash_band_candidates``: b=4, r=4 → s* ≈ 0.71). The corpus index
+keeps hot band keys — a semi-join flag has no quadratic pair
+expansion, and a document matching corpus boilerplate IS a near-dup
+of the corpus (the MAX_KEY_DOCS cap exists to bound PAIR generation,
+not membership tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.functions.dedup_common import (
+    _R,
+    _slice,
+    N_BANDS,
+    N_HASHES,
+    _N_SALTS,
+)
+
+N_INGEST_BATCHES = 3  # arrival micro-batches in the replay harness
+
+
+def _shingle_array() -> F.Column:
+    """Distinct 3-word shingle array per doc (array form of
+    dedup_common.shingles — same CASE, no explode). Expects a ``ws``
+    column projected ONCE (split inside the lambda would re-tokenize
+    per element, O(words²))."""
+    k = 3
+    idx = " , ".join(f"ws[i - {k - 1 - j}]" for j in range(k))
+    return F.expr(
+        f"""
+        CASE WHEN size(ws) >= {k} THEN
+          array_distinct(transform(sequence({k - 1}, size(ws) - 1),
+                                   i -> concat_ws(' ', {idx})))
+        ELSE array(text) END
+        """
+    )
+
+
+def minhash_bands_rowwise(docs: DataFrame) -> DataFrame:
+    """(doc_id, bands: array<string>) with each element
+    ``band_id:band_key`` — the EXACT band keys of
+    functions/dedup.py:minhash_bands, computed without any shuffle:
+    salted md5s per shingle via ``transform``, each minhash an
+    ``array_min`` over a 32-bit slice, band keys the md5 of the
+    ':'-joined minhash decimals. Everything stays row-local, so the
+    plan is a single projection over the scan."""
+    sh = docs.select(
+        "doc_id", "text", F.split("text", " ").alias("ws")
+    ).select("doc_id", _shingle_array().alias("sh"))
+    # NB: the per-salt lambda must stay single-argument — a defaulted
+    # second parameter (lambda g, s=s) makes PySpark pass the array
+    # INDEX as s, silently corrupting the salt
+    def _salted(s: int):
+        prefix = f"s{s}:"
+        return lambda g: F.md5(F.concat(F.lit(prefix), g).cast("binary"))
+
+    salted = sh.select(
+        "doc_id",
+        *[
+            F.transform("sh", _salted(s)).alias(f"m{s}")
+            for s in range(_N_SALTS)
+        ],
+    )
+    min_exprs = []
+    for j in range(N_HASHES):
+        s, off = _slice(j)
+        min_exprs.append(
+            F.expr(
+                f"array_min(transform(m{s}, "
+                f"x -> cast(conv(substring(x, {off}, 8), 16, 10) as bigint)))"
+            ).alias(f"h{j}")
+        )
+    sig = salted.select("doc_id", *min_exprs)
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"h{b * _R + i}").cast("string") for i in range(_R)]
+        band_cols.append(
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(F.concat_ws(":", *parts).cast("binary")),
+            )
+        )
+    return sig.select("doc_id", F.array(*band_cols).alias("bands"))
+
+
+def corpus_band_index(corpus: DataFrame) -> DataFrame:
+    """Distinct ``band`` keys (band_id:band_key) of the existing
+    corpus — the static side of the ingestion near-dup join. At scale
+    this is a table maintained alongside the corpus (append the
+    accepted arrivals' bands after each delivery); here it is derived
+    on the fly."""
+    return (
+        minhash_bands_rowwise(corpus)
+        .select(F.explode("bands").alias("band"))
+        .distinct()
+    )
+
+
+def _accept_batch(
+    batch: DataFrame, band_index: DataFrame, target: str
+) -> None:
+    """The foreachBatch body: in-batch dedup → cross-batch anti-join
+    against the sink's fingerprints → corpus near-dup flag → append.
+    Deterministic keeper: min doc_id within the batch (batches
+    replay in a deterministic order, so the accepted set is too)."""
+    spark = batch.sparkSession
+    kept = (
+        batch.withColumn("fp", F.md5(F.col("text").cast("binary")))
+        .groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
+        .select("fp", F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+    )
+    if os.path.isdir(target) and any(
+        f.endswith(".parquet") for f in os.listdir(target)
+    ):
+        seen = spark.read.parquet(target).select("fp")
+        kept = kept.join(seen, "fp", "left_anti")
+    hits = (
+        minhash_bands_rowwise(kept)
+        .select("doc_id", F.explode("bands").alias("band"))
+        .join(band_index, "band")
+        .select("doc_id")
+        .distinct()
+        .withColumn("corpus_neardup", F.lit(True))
+    )
+    out = (
+        kept.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.coalesce("corpus_neardup", F.lit(False)).alias(
+                "corpus_neardup"
+            ),
+        )
+    )
+    out.write.mode("append").parquet(target)
+
+
+def split_corpus_arrivals(
+    docs: DataFrame, n_batches: int = N_INGEST_BATCHES
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic split of the documents table into the EXISTING
+    corpus (bucket 0) and ``n_batches`` arrival waves (buckets
+    1..n) — md5 bucketing, the dataset_split discipline (no RNG)."""
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ingest:"), "doc_id")), 1, 8), 16, 10)
+        .cast("bigint")
+        % (n_batches + 1)
+    ).alias("bucket")
+    with_b = docs.select("doc_id", "text", b)
+    corpus = with_b.filter(F.col("bucket") == 0).drop("bucket")
+    arrivals = with_b.filter(F.col("bucket") > 0)
+    return corpus, arrivals
+
+
+def run_ingest_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_batches: int = N_INGEST_BATCHES,
+) -> DataFrame:
+    """Replay harness: stage each arrival wave as one parquet file,
+    stream them with ``maxFilesPerTrigger=1`` (one REAL micro-batch
+    per wave, the streaming_multibatch_counts discipline), run the
+    foreachBatch ingestion against the corpus band index, and return
+    the final accepted table (doc_id, fp, corpus_neardup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, arrivals = split_corpus_arrivals(docs, n_batches)
+    in_dir = os.path.join(work_dir, "arrivals")
+    target = os.path.join(work_dir, "accepted")
+    ckpt = os.path.join(work_dir, "ckpt")
+    for i in range(1, n_batches + 1):
+        (
+            arrivals.filter(F.col("bucket") == i)
+            .drop("bucket")
+            .coalesce(1)
+            .write.mode("append" if i > 1 else "overwrite")
+            .parquet(in_dir)
+        )
+    band_index = corpus_band_index(corpus).persist()
+    band_index.count()  # materialize once; reused by every batch
+    stream = (
+        spark.readStream.schema(arrivals.drop("bucket").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: _accept_batch(b, band_index, target)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    band_index.unpersist()
+    return spark.read.parquet(target)
