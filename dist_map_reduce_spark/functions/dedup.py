@@ -12,10 +12,14 @@ DuckDB), and MinHash minimizes the *lexicographic* md5 hex string —
 engine-neutral, so the full LSH pipeline is oracle-checkable.
 
 Scale posture (100 TB):
-  - the only shuffles are the per-doc signature aggregation and the
-    band-key / shared-shingle joins; no pairwise n² stage ever
-    materializes (pairs are generated only within LSH buckets /
-    shared shingles).
+  - the only shuffles are the band-key / shared-shingle joins; no
+    pairwise n² stage ever materializes (pairs are generated only
+    within LSH buckets / shared shingles). Since r8 the signature
+    stage itself is shuffle-FREE: dedup_common.minhash_sig_rowwise
+    keeps the shingle set as an array column and takes each minhash
+    as an array_min over a transform, so banding is a pure
+    projection over the scan (the old exploded groupBy-MIN arm is
+    kept only as the equivalence-test reference).
   - HOT-KEY CAPS: a degenerate band key (thousands of boilerplate
     near-identical docs) or a stop-shingle ("of the and" in every
     doc) makes one join key quadratic *within* the key — AQE's
@@ -97,6 +101,12 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TEST-REFERENCE ARM ONLY (since r8): the production signature stage
+# is dedup_common.minhash_sig_rowwise, which computes the identical
+# h0..h15 with zero shuffles (array_min over transform instead of
+# this exploded groupBy-MIN); tests/test_ingest_dedup.py pins the two
+# arms bit-identical. Kept because an independent second
+# implementation is what makes that equivalence test meaningful.
 # The md5 slices are parsed to BIGINT before the min-aggregation:
 # min over a bigint keeps the signature aggregation in HashAggregate,
 # whereas 16 var-length string buffers force a SortAggregate fallback
@@ -126,8 +136,15 @@ def _minhash_signature(sh: DataFrame) -> DataFrame:
 
 def _banded_wide(docs: DataFrame) -> DataFrame:
     """(doc_id, b0..b{N_BANDS-1}): one md5 band key per band (the
-    ':'-joined decimal minhashes of the band, hashed)."""
-    sig = _minhash_signature(shingles(docs))
+    ':'-joined decimal minhashes of the band, hashed). The signature
+    stage is the zero-shuffle row-wise arm — banding is now a pure
+    projection over the scan, so the first Exchange in the whole
+    LSH pipeline is the band-key join itself."""
+    from dist_map_reduce_spark.functions.dedup_common import (
+        minhash_sig_rowwise,
+    )
+
+    sig = minhash_sig_rowwise(docs)
     band_cols = []
     for b in range(N_BANDS):
         parts = [F.col(f"h{b * _R + i}").cast("string") for i in range(_R)]

@@ -66,6 +66,67 @@ def _slice(j: int) -> tuple[int, int]:
     return j // 4, 1 + 8 * (j % 4)
 
 
+def shingle_array() -> F.Column:
+    """Distinct 3-word shingle array per doc (array form of
+    ``shingles`` — same CASE, no explode). Expects ``text`` and a
+    ``ws`` column projected ONCE (split inside the lambda would
+    re-tokenize per element, O(words²))."""
+    k = 3
+    idx = " , ".join(f"ws[i - {k - 1 - j}]" for j in range(k))
+    return F.expr(
+        f"""
+        CASE WHEN size(ws) >= {k} THEN
+          array_distinct(transform(sequence({k - 1}, size(ws) - 1),
+                                   i -> concat_ws(' ', {idx})))
+        ELSE array(text) END
+        """
+    )
+
+
+def minhash_sig_rowwise(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N_HASHES-1}) minhash signature with ZERO
+    shuffles: the shingle set stays an array column, salted md5s per
+    shingle via ``transform``, each minhash an ``array_min`` over a
+    32-bit slice — all row-local, whole-stage-codegen friendly, and
+    bit-identical to the grouped groupBy-MIN arm
+    (tests/test_ingest_dedup.py pins equality). This is the batch
+    banding pipeline's signature stage too — the groupBy form only
+    survives as the test reference. Memory shape: the shingle array
+    lives in one row (~3× the text bytes), same order as the text
+    column itself, so a document that fits in a row as text fits as
+    its shingle array; local wall time is equal to the grouped arm
+    at sf0.1 while dropping one full Exchange+HashAggregate stage
+    from every LSH consumer."""
+
+    # NB: the per-salt lambda must stay single-argument — a defaulted
+    # second parameter (lambda g, s=s) makes PySpark pass the array
+    # INDEX as s, silently corrupting the salt
+    def _salted(s: int):
+        prefix = f"s{s}:"
+        return lambda g: F.md5(F.concat(F.lit(prefix), g).cast("binary"))
+
+    sh = docs.select(
+        "doc_id", "text", F.split("text", " ").alias("ws")
+    ).select("doc_id", shingle_array().alias("sh"))
+    salted = sh.select(
+        "doc_id",
+        *[
+            F.transform("sh", _salted(s)).alias(f"m{s}")
+            for s in range(_N_SALTS)
+        ],
+    )
+    min_exprs = []
+    for j in range(N_HASHES):
+        s, off = _slice(j)
+        min_exprs.append(
+            F.expr(
+                f"array_min(transform(m{s}, "
+                f"x -> cast(conv(substring(x, {off}, 8), 16, 10) as bigint)))"
+            ).alias(f"h{j}")
+        )
+    return salted.select("doc_id", *min_exprs)
+
+
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
         f"min(('0x' || substring(md5('s{_slice(j)[0]}:' || shingle),"

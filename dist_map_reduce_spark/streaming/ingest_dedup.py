@@ -21,17 +21,17 @@ All four steps are plain batch DataFrame ops inside ``foreachBatch``
 streaming/pipelines.py:681) — no streaming aggregation modes, no
 driver-side state, and every join is an equi-join.
 
-Row-wise banding: the batch MinHash pipeline
-(functions/dedup.py:_minhash_signature) computes signatures with a
-per-doc groupBy MIN — one shuffle over the exploded shingles. For
-per-arrival banding that shuffle is pure overhead, so
-``minhash_bands_rowwise`` computes the identical band keys with ZERO
-shuffles: the shingle set stays an array column and every minhash is
-an ``array_min`` over a ``transform`` — per-row, whole-stage-codegen
-friendly, and bit-identical to the batch arm
-(tests/test_ingest_dedup.py pins set equality). The same rewrite is
-the right call for the batch pipeline wherever signatures feed a
-row-local consumer.
+Row-wise banding: signatures historically came from a per-doc
+groupBy MIN over exploded shingles — one shuffle whose only purpose
+was reassembling per-doc state the row already had. For per-arrival
+banding that shuffle is pure overhead, so ``minhash_bands_rowwise``
+computes the identical band keys with ZERO shuffles via
+``dedup_common.minhash_sig_rowwise`` (the shingle set stays an array
+column, every minhash an ``array_min`` over a ``transform``). The
+batch pipeline (functions/dedup.py:_banded_wide) now uses the same
+row-wise signature stage; the grouped arm survives only as the
+independent test reference (tests/test_ingest_dedup.py pins the two
+bit-identical).
 
 Near-dup flag semantics: an arrival sharing ANY (band_id, band_key)
 with a corpus document is flagged ``corpus_neardup`` (same S-curve as
@@ -52,67 +52,21 @@ from pyspark.sql import functions as F
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.functions.dedup_common import (
     _R,
-    _slice,
+    minhash_sig_rowwise,
     N_BANDS,
-    N_HASHES,
-    _N_SALTS,
 )
 
 N_INGEST_BATCHES = 3  # arrival micro-batches in the replay harness
 
 
-def _shingle_array() -> F.Column:
-    """Distinct 3-word shingle array per doc (array form of
-    dedup_common.shingles — same CASE, no explode). Expects a ``ws``
-    column projected ONCE (split inside the lambda would re-tokenize
-    per element, O(words²))."""
-    k = 3
-    idx = " , ".join(f"ws[i - {k - 1 - j}]" for j in range(k))
-    return F.expr(
-        f"""
-        CASE WHEN size(ws) >= {k} THEN
-          array_distinct(transform(sequence({k - 1}, size(ws) - 1),
-                                   i -> concat_ws(' ', {idx})))
-        ELSE array(text) END
-        """
-    )
-
-
 def minhash_bands_rowwise(docs: DataFrame) -> DataFrame:
     """(doc_id, bands: array<string>) with each element
     ``band_id:band_key`` — the EXACT band keys of
-    functions/dedup.py:minhash_bands, computed without any shuffle:
-    salted md5s per shingle via ``transform``, each minhash an
-    ``array_min`` over a 32-bit slice, band keys the md5 of the
-    ':'-joined minhash decimals. Everything stays row-local, so the
-    plan is a single projection over the scan."""
-    sh = docs.select(
-        "doc_id", "text", F.split("text", " ").alias("ws")
-    ).select("doc_id", _shingle_array().alias("sh"))
-    # NB: the per-salt lambda must stay single-argument — a defaulted
-    # second parameter (lambda g, s=s) makes PySpark pass the array
-    # INDEX as s, silently corrupting the salt
-    def _salted(s: int):
-        prefix = f"s{s}:"
-        return lambda g: F.md5(F.concat(F.lit(prefix), g).cast("binary"))
-
-    salted = sh.select(
-        "doc_id",
-        *[
-            F.transform("sh", _salted(s)).alias(f"m{s}")
-            for s in range(_N_SALTS)
-        ],
-    )
-    min_exprs = []
-    for j in range(N_HASHES):
-        s, off = _slice(j)
-        min_exprs.append(
-            F.expr(
-                f"array_min(transform(m{s}, "
-                f"x -> cast(conv(substring(x, {off}, 8), 16, 10) as bigint)))"
-            ).alias(f"h{j}")
-        )
-    sig = salted.select("doc_id", *min_exprs)
+    functions/dedup.py:minhash_bands, computed without any shuffle
+    (``dedup_common.minhash_sig_rowwise`` signature, band keys the
+    md5 of the ':'-joined minhash decimals). Everything stays
+    row-local, so the plan is a single projection over the scan."""
+    sig = minhash_sig_rowwise(docs)
     band_cols = []
     for b in range(N_BANDS):
         parts = [F.col(f"h{b * _R + i}").cast("string") for i in range(_R)]
@@ -200,13 +154,16 @@ def run_ingest_dedup(
     sf_dir: str,
     work_dir: str,
     n_batches: int = N_INGEST_BATCHES,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Replay harness: stage each arrival wave as one parquet file,
     stream them with ``maxFilesPerTrigger=1`` (one REAL micro-batch
     per wave, the streaming_multibatch_counts discipline), run the
     foreachBatch ingestion against the corpus band index, and return
-    the final accepted table (doc_id, fp, corpus_neardup)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the final accepted table (doc_id, fp, corpus_neardup). ``docs``
+    overrides the fixture table (crafted-duplicate tests)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     corpus, arrivals = split_corpus_arrivals(docs, n_batches)
     in_dir = os.path.join(work_dir, "arrivals")
     target = os.path.join(work_dir, "accepted")

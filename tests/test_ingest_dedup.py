@@ -21,14 +21,32 @@ from tests.conftest import SF_SMOKE
 
 def test_rowwise_bands_equal_batch_groupby_bands(spark):
     """Zero-shuffle row-wise banding must produce the EXACT
-    (doc_id, band_id, band_key) set of the batch MinHash pipeline —
-    same shingles, same salted md5 slices, same band md5s."""
-    from dist_map_reduce_spark.functions.dedup import minhash_bands
+    (doc_id, band_id, band_key) set of the INDEPENDENT grouped
+    reference arm (exploded shingles → groupBy MIN signature) —
+    same shingles, same salted md5 slices, same band md5s. The
+    production batch pipeline now shares the row-wise stage, so this
+    grouped arm is the second implementation that keeps the test
+    meaningful."""
+    from dist_map_reduce_spark.functions.dedup import (
+        _minhash_signature,
+        _R,
+        N_BANDS,
+        shingles,
+    )
 
     docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    sig = _minhash_signature(shingles(docs))
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"h{b * _R + i}").cast("string") for i in range(_R)]
+        band_cols.append(
+            F.md5(F.concat_ws(":", *parts).cast("binary")).alias(f"b{b}")
+        )
+    wide = sig.select("doc_id", *band_cols)
     batch = {
-        (r.doc_id, r.band_id, r.band_key)
-        for r in minhash_bands(docs).collect()
+        (r.doc_id, str(b), r[f"b{b}"])
+        for r in wide.collect()
+        for b in range(N_BANDS)
     }
     rowwise = {
         (r.doc_id, *r.band.split(":", 1))
@@ -45,6 +63,47 @@ def test_rowwise_bands_plan_has_no_exchange(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = minhash_bands_rowwise(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ingest_crafted_cross_wave_duplicates(spark, tmp_path):
+    """Engineered corpus exercising every dedup path explicitly:
+    an in-batch duplicate pair (wave 1), a CROSS-wave duplicate
+    (wave 2 re-delivers wave 1's text — the anti-join against the
+    sink's own fingerprints must drop it), an exact copy of a corpus
+    document (must be accepted once but flagged corpus_neardup), and
+    a unique doc (accepted, unflagged). Bucket ids precomputed from
+    the md5 split: 7→corpus, {3,13}→wave1, {0}→wave2, {6}→wave3."""
+    t_dup = "the quick brown fox jumps over the lazy dog today"
+    t_near = "shared corpus passage with enough words to shingle cleanly"
+    t_uniq = "completely unrelated arrival text nothing like the corpus"
+    docs = spark.createDataFrame(
+        [
+            (7, t_near),  # bucket 0: existing corpus
+            (3, t_dup),  # bucket 1 (wave 1)
+            (13, t_dup),  # bucket 1: in-batch duplicate of 3
+            (0, t_dup),  # bucket 2 (wave 2): cross-wave duplicate
+            (0 + 1, t_near),  # bucket 2: exact copy of corpus doc 7
+            (6, t_uniq),  # bucket 3 (wave 3): unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in run_ingest_dedup(
+            spark, SF_SMOKE, str(tmp_path), docs=docs
+        ).collect()
+    }
+    # 3 distinct fingerprints accepted, each exactly once
+    assert len(out) == 3
+    # wave-1 keeper (min doc_id in the first wave holding the text);
+    # the wave-2 redelivery (doc 0) must NOT appear
+    assert 3 in out and 0 not in out and 13 not in out
+    assert not out[3].corpus_neardup
+    # the exact corpus copy is accepted (its fp is new to the SINK)
+    # but flagged as a near-dup of the corpus (Jaccard 1 → same bands)
+    assert 1 in out and out[1].corpus_neardup
+    # the unique doc is accepted and unflagged
+    assert 6 in out and not out[6].corpus_neardup
 
 
 def test_ingest_matches_batch_answer(spark, tmp_path):
