@@ -68,10 +68,16 @@ def doc_bigrams(docs: DataFrame) -> DataFrame:
         "transform(sequence(1, size(ws) - 1),"
         " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
     )
+    # explode_OUTER: plain explode triggers InferFiltersFromGenerate
+    # (excluded in engine-owned sessions, session.py, but this must
+    # also run under foreign driver sessions), whose pushed-down
+    # filter inlines the pair transform with ws re-evaluated per
+    # lambda reference — O(words²). The size >= 2 guard guarantees a
+    # non-empty pair array, so OUTER emits identical rows.
     return (
         docs.select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= 2)
-        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.explode_outer(pairs).alias("bg"))
         .select("doc_id", "bg.w1", "bg.w2")
     )
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import query
+from dist_map_reduce_spark.registry import query, staged_query
 
 K_GRAM = 16  # char k-gram length
 W_WIN = 8  # winnowing window (guarantee threshold = K_GRAM + W_WIN - 1)
@@ -161,9 +161,20 @@ def winnow_match_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
     fingerprint, one pair aggregation."""
     from pyspark.sql import Window as W
 
+    # explode_OUTER, deliberately: plain explode triggers
+    # InferFiltersFromGenerate, which pushes `size(fps) > 0 AND
+    # isnotnull(fps)` below the projections with the ENTIRE fps
+    # expression inlined — and inside lambda bodies Spark performs no
+    # common-subexpression elimination, so every window slice
+    # re-evaluates the full k-gram md5 array: O(windows × W × grams)
+    # per document instead of O(grams). Measured 550 s → 4 s at
+    # sf0.001 (tests/test_winnow_explode_plan.py pins the plan).
+    # fps is never null/empty here (winnow_fingerprints pre-filters
+    # length ≥ K+W−1, guaranteeing ≥ 1 window), so OUTER emits
+    # exactly the same rows.
     fp_docs = (
         winnow_fingerprints(docs)
-        .select("doc_id", F.explode("fps").alias("packed"))
+        .select("doc_id", F.explode_outer("fps").alias("packed"))
         .select("doc_id", (F.col("packed") % F.lit(_P32)).alias("fp"))
         .distinct()
     )
@@ -211,9 +222,12 @@ def winnow_decontaminate(
     broadcasts it."""
     from pyspark.sql import Window as W
 
+    # explode_OUTER on both sides — see winnow_match_pairs: plain
+    # explode infers a size/isnotnull filter that inlines the whole
+    # winnow pipeline per window slice (no CSE inside lambdas)
     t_fp = (
         winnow_fingerprints(train)
-        .select("doc_id", F.explode("fps").alias("p"))
+        .select("doc_id", F.explode_outer("fps").alias("p"))
         .select("doc_id", (F.col("p") % F.lit(_P32)).alias("fp"))
         .distinct()
         .withColumn("n_docs", F.count("*").over(W.partitionBy("fp")))
@@ -222,7 +236,10 @@ def winnow_decontaminate(
     )
     e_fp = (
         winnow_fingerprints(eval_docs)
-        .select(F.col("doc_id").alias("eval_id"), F.explode("fps").alias("p"))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode_outer("fps").alias("p"),
+        )
         .select("eval_id", (F.col("p") % F.lit(_P32)).alias("fp"))
         .distinct()
     )
@@ -235,3 +252,159 @@ def winnow_decontaminate(
         )
         .filter(F.col("n_shared_fps") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED r9 queries over the library functions above (registry.py:
+# staged_query — the r8 window re-stamps the r4 backlog, so these
+# wait one round for driver visibility while being oracle-parity-
+# tested every run). The fixture corpus is synthetic word soup with
+# essentially no organic >=23-char verbatim overlaps, so each query
+# deterministically PLANTS a shared passage into a doc_id-keyed
+# subset before detection — the pii_redact_docs discipline: the
+# plumbing under test is the detector, and the oracle mirrors the
+# planting exactly.
+
+# >= K_GRAM + W_WIN - 1 chars so the winnowing guarantee applies to
+# the planted passage alone; long enough to select several
+# fingerprints, so the min_shared=2 bar is met deterministically.
+_PASSAGE = (
+    "the quick brown fox jumps over the lazy dog while the band plays on"
+)
+
+_PLANT_PAIRS_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN text || ' {_PASSAGE}'
+                ELSE text END AS text
+    FROM documents
+"""
+
+_PLANT_DECON_SQL = f"""
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 50 = 0 THEN text || ' {_PASSAGE}'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def _winnow_fp_sql(src: str) -> str:
+    """DuckDB CTE body: DISTINCT (doc_id, fp) winnowing fingerprint
+    VALUES over ``src`` (must yield doc_id, text) — the oracle mirror
+    of winnow_fingerprints + explode + value-unpack."""
+    return f"""
+      SELECT DISTINCT doc_id, v % {_P32} AS fp
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(hs) - {W_WIN} + 1),
+                 s -> (s + {W_WIN}
+                       - list_position(
+                           list_reverse(hs[s : s + {W_WIN} - 1]),
+                           list_min(hs[s : s + {W_WIN} - 1])))
+                      * {_P32} + list_min(hs[s : s + {W_WIN} - 1])
+               ))) AS v
+        FROM (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, len(text) - {K_GRAM} + 1),
+                   i -> ('0x' || substring(md5(text[i : i + {K_GRAM} - 1]),
+                                           1, 8))::BIGINT
+                 ) AS hs
+          FROM ({src})
+          WHERE len(text) >= {K_GRAM} + {W_WIN} - 1
+        )
+      )
+    """
+
+
+@staged_query(
+    "text_winnow_match_pairs",
+    oracle=f"""
+    WITH fpd AS ({_winnow_fp_sql(_PLANT_PAIRS_SQL)}),
+    cnt AS (SELECT fp, count(*) AS n FROM fpd GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fpd a
+      JOIN fpd b USING (fp)
+      JOIN cnt USING (fp)
+      WHERE cnt.n BETWEEN 2 AND {MAX_FP_DOCS} AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, count(*) AS n_shared_fps
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def text_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs over the winnowing index, on the corpus
+    with a copied passage planted into every 97th document — every
+    planted pair must surface via the >= K+W-1 guarantee. Capped
+    inverted-index postings (winnow_match_pairs): per-fingerprint
+    fan-out <= C(MAX_FP_DOCS, 2), never corpus²."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat("text", F.lit(f" {_PASSAGE}")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return winnow_match_pairs(planted, min_shared=2)
+
+
+_EVAL_SOURCE = "src0"  # the curation.py decontamination split
+
+
+@staged_query(
+    "text_winnow_decontaminate",
+    oracle=f"""
+    WITH planted AS ({_PLANT_DECON_SQL}),
+    t_fp AS (
+      SELECT doc_id, fp FROM ({_winnow_fp_sql(
+          "SELECT doc_id, text FROM planted "
+          f"WHERE source <> '{_EVAL_SOURCE}'"
+      )})
+    ),
+    tcnt AS (SELECT fp, count(*) AS n FROM t_fp GROUP BY 1),
+    t_capped AS (
+      SELECT t_fp.doc_id, t_fp.fp
+      FROM t_fp JOIN tcnt USING (fp)
+      WHERE tcnt.n <= {MAX_FP_DOCS}
+    ),
+    e_fp AS (
+      SELECT doc_id AS eval_id, fp FROM ({_winnow_fp_sql(
+          "SELECT doc_id, text FROM planted "
+          f"WHERE source = '{_EVAL_SOURCE}'"
+      )})
+    )
+    SELECT doc_id,
+           count(DISTINCT eval_id) AS n_eval_hits,
+           count(*) AS n_shared_fps
+    FROM t_capped JOIN e_fp USING (fp)
+    GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+)
+def text_winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level train-vs-eval decontamination on the corpus
+    with an eval passage planted into every 50th document (landing in
+    BOTH splits, so flagged train docs are guaranteed): train docs
+    (source != src0) sharing >= 2 winnowing fingerprint values with
+    any eval (src0) doc are flagged with hit counts. fp equi-join
+    only; train side hot-fingerprint-capped, eval side
+    benchmark-sized (winnow_decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat("text", F.lit(f" {_PASSAGE}")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    train = planted.filter(F.col("source") != _EVAL_SOURCE)
+    ev = planted.filter(F.col("source") == _EVAL_SOURCE)
+    return winnow_decontaminate(train, ev, min_shared=2)

@@ -76,6 +76,24 @@ def get_spark(
         # their shuffles keep the raw shuffle-partition count)
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # InferFiltersFromGenerate rewrites explode(expr) into
+        # Filter(size(expr) > 0 AND isnotnull(expr)) + explode(expr)
+        # and the filter is then pushed below the projections with
+        # the FULL generator expression inlined. Spark performs no
+        # common-subexpression elimination inside lambda bodies, so
+        # when expr is a higher-order function over an aliased array
+        # (shingles, winnowing windows, bigram pairs), every lambda
+        # reference re-evaluates the whole upstream array: word
+        # n-grams go O(words) -> O(words²) per document. Measured on
+        # the winnowing index: 550 s -> 4 s at sf0.001 (!) with the
+        # rule excluded; shingle explode on 4 000-word docs: 6x. The
+        # rule's only benefit is pre-filtering rows whose arrays are
+        # empty — rare-to-impossible in these pipelines and never
+        # worth a quadratic. Pinned by tests/test_winnow_explode_plan.py.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

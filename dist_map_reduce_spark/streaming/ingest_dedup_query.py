@@ -1,0 +1,94 @@
+"""Staged query binding for the incremental corpus-ingestion dedup
+pipeline (streaming/ingest_dedup.py).
+
+The pipeline itself is the foreachBatch replay harness: three REAL
+micro-batches of arrivals against an existing corpus, with in-batch
+content-hash dedup, cross-batch dedup via anti-join against the
+sink's own fingerprints, and a corpus near-dup flag from the MinHash
+band index. This module gives it a full DuckDB oracle — the entire
+streaming outcome re-derived relationally:
+
+- the md5-bucket split (bucket 0 = corpus, 1..3 = arrival waves)
+  mirrors split_corpus_arrivals;
+- acceptance: for each distinct content fingerprint over all
+  arrivals, the EARLIEST wave containing it wins, and within that
+  wave the min doc_id is the keeper — exactly the foreachBatch
+  semantics (waves replay in order; the sink anti-join blocks
+  redeliveries; min-struct picks the keeper);
+- the near-dup flag re-derives the corpus band index with
+  dedup_common's proven minhash-band SQL and equi-joins the keepers'
+  bands against it.
+
+So a lost micro-batch, a double-applied wave, a broken anti-join, or
+a band-key drift anywhere in the streaming path breaks the value
+hash. This is the strongest check a streaming pipeline gets here:
+engine-vs-engine on the final sink state, same discipline as
+streaming/pipelines.py's stream-vs-batch comparisons plus a foreign
+oracle.
+
+Promotion state: STAGED for the r9 correctness window (see
+registry.py:staged_query).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dist_map_reduce_spark.functions.dedup_common import _minhash_bands_sql
+from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.scratch import scratch_path as _scratch
+from dist_map_reduce_spark.streaming.ingest_dedup import (
+    N_INGEST_BATCHES,
+    run_ingest_dedup,
+)
+
+_N_SPLIT = N_INGEST_BATCHES + 1
+
+
+@staged_query(
+    "streaming_ingest_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             ('0x' || substring(md5('ingest:' || doc_id::VARCHAR), 1, 8))
+               ::BIGINT % {_N_SPLIT} AS bucket
+      FROM documents
+    ),
+    arr AS (
+      SELECT doc_id, text, bucket, md5(text) AS fp
+      FROM d WHERE bucket > 0
+    ),
+    first_wave AS (SELECT fp, min(bucket) AS w FROM arr GROUP BY 1),
+    keeper AS (
+      SELECT arr.fp, min(arr.doc_id) AS doc_id
+      FROM arr JOIN first_wave fw ON arr.fp = fw.fp AND arr.bucket = fw.w
+      GROUP BY 1
+    ),
+    all_bands AS ({_minhash_bands_sql()}),
+    corpus_bands AS (
+      SELECT DISTINCT band_id || ':' || band_key AS band
+      FROM all_bands JOIN d USING (doc_id)
+      WHERE d.bucket = 0
+    ),
+    keeper_bands AS (
+      SELECT k.doc_id, ab.band_id || ':' || ab.band_key AS band
+      FROM all_bands ab JOIN keeper k ON ab.doc_id = k.doc_id
+    ),
+    hits AS (
+      SELECT DISTINCT kb.doc_id
+      FROM keeper_bands kb JOIN corpus_bands USING (band)
+    )
+    SELECT k.doc_id, k.fp,
+           (h.doc_id IS NOT NULL) AS corpus_neardup
+    FROM keeper k LEFT JOIN hits h ON k.doc_id = h.doc_id
+    """,
+)
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real streaming replay end-to-end (fresh scratch dir —
+    checkpoint/sink state from a previous run would short-circuit the
+    stream) and return the final accepted table."""
+    work = _scratch(sf_dir, "ingest_dedup_q")
+    shutil.rmtree(work, ignore_errors=True)
+    return run_ingest_dedup(spark, sf_dir, work)

@@ -8,7 +8,19 @@ forbids, from the EXECUTED plan string:
   (string/struct-payload min/max/argmax — see PLANS.md tail);
 - hash-exchange counts, sorted descending, to spot lineage
   re-execution (the semdedup/triangle class of bug: a subtree
-  consumed N times without a persist).
+  consumed N times without a persist);
+- FOREIGN-SESSION lambda-filter blowups: engine sessions exclude
+  InferFiltersFromGenerate (session.py), but the driver harness
+  builds its own SparkSession, where exploding a higher-order-
+  function-derived array infers size/isnotnull filters that inline
+  the generator expression — with no CSE inside lambda bodies, an
+  aliased upstream array re-evaluates per lambda reference
+  (O(words²) shingles, the 550 s winnowing case). The audit re-plans
+  every query with the exclusion lifted and reports Filter nodes
+  containing lambdafunction(, ranked by inlined-expression size.
+  Small constant-factor hits are tolerated (threshold below);
+  anything quadratic-shaped belongs on explode_outer
+  (tests/test_winnow_explode_plan.py shows the fix pattern).
 
 Run after adding an operator or touching a shared build;
 exit code 1 on any new flag, so it can gate locally.
@@ -35,6 +47,13 @@ SORTAGG_OK = {
     "sink_sorted_parquet_ranges",  # max(struct(ts, id)) per file
     "stats_argmax_per_nation",  # max_by with a string payload
 }
+
+# max lambdafunction( occurrences tolerated in ONE inferred Filter
+# line under a foreign session: a filter inlining a single-level
+# higher-order expression carries a handful (constant-factor extra
+# eval); nesting that re-evaluates an aliased array inside another
+# lambda multiplies them (the winnowing case inlined dozens)
+LAMBDA_FILTER_MAX = 8
 
 
 def main() -> int:
@@ -68,6 +87,83 @@ def main() -> int:
             )
             flags.append(f"{name}: SortAggregate {fns[:1]}")
         exchanges.append((plan.count("Exchange hashpartitioning"), name))
+
+    # foreign-session pass: lift the InferFiltersFromGenerate
+    # exclusion and measure how big the inlined lambda filters get
+    lam_hits: list[tuple[int, str]] = []
+    spark.conf.set("spark.sql.optimizer.excludedRules", "")
+    try:
+        # canary: a known-bad probe (raw winnow explode — the shape
+        # the exclusion exists for) must trip the detector, proving
+        # the runtime exclusion lift took effect and the pattern
+        # match still works; otherwise this whole pass is blind
+        from pyspark.sql import functions as F
+
+        from dist_map_reduce_spark.catalog import load_table
+        from dist_map_reduce_spark.functions.text_winnow import (
+            winnow_fingerprints,
+        )
+
+        probe = winnow_fingerprints(
+            load_table(spark, sf_dir, "documents")
+        ).select("doc_id", F.explode("fps").alias("p"))
+        probe_plan = probe._jdf.queryExecution().executedPlan().toString()
+        probe_n = max(
+            (
+                line.count("lambdafunction(")
+                for line in probe_plan.splitlines()
+                if "Filter" in line
+            ),
+            default=0,
+        )
+        if probe_n <= LAMBDA_FILTER_MAX:
+            flags.append(
+                "foreign-session audit pass is BLIND: the raw-winnow "
+                f"canary shows {probe_n} inferred filter lambdas "
+                "(expected > LAMBDA_FILTER_MAX) — the excludedRules "
+                "lift did not take effect or the detector regressed"
+            )
+        for name in sorted(registry.QUERIES):
+            if name.startswith("streaming_") or name.startswith("sink_"):
+                continue  # executes / writes on plan construction
+            caching.clear()
+            try:
+                plan = (
+                    registry.QUERIES[name](spark, sf_dir)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+            except Exception:  # noqa: BLE001
+                continue  # base pass already reported plan errors
+            worst = 0
+            for line in plan.splitlines():
+                if "Filter " in line and "lambdafunction(" in line:
+                    worst = max(worst, line.count("lambdafunction("))
+            if worst:
+                lam_hits.append((worst, name))
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
+    lam_hits.sort(reverse=True)
+    if lam_hits:
+        print("foreign-session inferred lambda-filters (lambda count in")
+        print("one Filter line; NESTED lambdas mark quadratic re-eval):")
+        for n, name in lam_hits[:12]:
+            print(f"  {n:3d}  {name}")
+    # > LAMBDA_FILTER_MAX nested lambdas in one inferred filter means
+    # an aliased array is re-evaluated inside another lambda — the
+    # quadratic class; constant-factor inlining stays below it
+    for n, name in lam_hits:
+        if n > LAMBDA_FILTER_MAX:
+            flags.append(
+                f"{name}: foreign-session inferred filter inlines "
+                f"{n} lambdas (quadratic re-eval risk) — use "
+                f"explode_outer at the hot site"
+            )
     exchanges.sort(reverse=True)
     print("top hash-exchange counts (plan-string, incl. cached-relation reprs):")
     for n, name in exchanges[:10]:
