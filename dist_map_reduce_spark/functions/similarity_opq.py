@@ -1,0 +1,174 @@
+"""OPQ-style rotated product quantization (library arm).
+
+Plain PQ slices the raw vector into M contiguous subspaces; when the
+corpus has correlated dimensions, a few subspaces carry most of the
+energy and their tiny codebooks under-fit while the rest quantize
+noise. Faiss's standard remedy is a PCA-derived rotation before PQ
+(the `OPQ`/`PCAR` pre-transforms). This module implements the
+principled non-iterative variant — OPQ-P from Ge et al., CVPR 2013
+("Optimized Product Quantization"): rotate with the PCA eigenbasis,
+then PERMUTE the eigen-dimensions across subspaces by greedy
+eigenvalue allocation so every subspace receives (approximately) the
+same variance product — each dimension goes to the subspace with the
+smallest current log-eigenvalue sum. The rotation reuses
+``embedding_pca.pca_fit`` (gramian-trick: one distributed pass, d×d
+eigh driver-side) and the quantizer reuses the entire
+``similarity_pq`` machinery unchanged on the rotated corpus —
+composition over reimplementation.
+
+Library-only, like the IVFADC residual arm: the rotation matrix is
+driver-derived floats, so a literal-SQL oracle would need 4 096
+embedded constants; instead correctness rides on (a) the PCA arm's
+own oracle + two-arm tests, (b) the PQ arm's oracle on the unrotated
+path, and (c) the recall harness measuring the composed search
+against exact top-5 engine-side (tools/ann_recall_report.py records
+the numbers in SCALE.md §ANN — measured, not narrated).
+
+Scale posture: identical to PQ (the rotation is one extra
+mapInPandas matmul pass over the scan; everything downstream is the
+PQ plan) plus the PCA fit's single-Exchange gramian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.caching import persist_tracked
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.functions.embedding_pca import (
+    D,
+    pca_fit,
+    pca_project,
+)
+from dist_map_reduce_spark.functions.similarity_pq import (
+    M_SUB,
+    pq_fit,
+    pq_lut,
+    subvector_rows,
+)
+
+
+def eigenvalue_allocation(eigvals, m_sub: int = M_SUB) -> list[int]:
+    """Greedy OPQ-P dimension permutation: eigenvalues in DESCENDING
+    order are assigned one at a time to the non-full subspace with
+    the smallest current log-eigenvalue sum (balancing the per-
+    subspace variance PRODUCT). Returns a permutation of 0..d-1:
+    position j of the rotated vector takes eigen-dimension perm[j],
+    with subspace s owning positions s*SUBDIM..(s+1)*SUBDIM-1."""
+    import math
+
+    cap = len(eigvals) // m_sub
+    # floor tiny/negative values (numerical noise around zero
+    # variance) before the log
+    logs = [math.log(max(float(v), 1e-12)) for v in eigvals]
+    # SHIFT to non-negative before the greedy: every bucket ends with
+    # exactly `cap` items, so adding a constant to every log moves
+    # each bucket sum by cap·c — the spread is shift-invariant — but
+    # the greedy needs positive item weights to be LPT (with raw
+    # negative logs, the fullest bucket keeps the smallest sum and
+    # the "min-sum" rule degenerates into contiguous slicing)
+    base = min(logs)
+    buckets: list[list[int]] = [[] for _ in range(m_sub)]
+    sums = [0.0] * m_sub
+    for dim, lg in enumerate(logs):  # descending eigenvalue order
+        open_b = [b for b in range(m_sub) if len(buckets[b]) < cap]
+        b = min(open_b, key=lambda i: sums[i])
+        buckets[b].append(dim)
+        sums[b] += lg - base
+    perm: list[int] = []
+    for b in buckets:
+        perm.extend(b)
+    return perm
+
+
+def opq_rotation(emb: DataFrame):
+    """(mean, R): the OPQ-P rotation — full-d PCA eigenbasis with
+    columns permuted by eigenvalue allocation. R is orthonormal
+    (a permutation of an orthonormal basis)."""
+    mu, comps, ev = pca_fit(emb, D)
+    perm = eigenvalue_allocation(ev)
+    return mu, comps[:, perm]
+
+
+def rotated_corpus(emb: DataFrame, mean, rot) -> DataFrame:
+    """(vec_id, embedding): the corpus rotated into the OPQ basis —
+    one BLAS matmul per Arrow batch (pca_project), column renamed so
+    the whole similarity_pq machinery runs on it unchanged."""
+    return pca_project(emb, mean, rot).select(
+        "vec_id", F.col("pc").alias("embedding")
+    )
+
+
+def opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated PQ-ADC top-5 — the similarity_ann_pq_adc_topk
+    plan on the rotated corpus (separate cache slots so the plain-PQ
+    index is not clobbered)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mu, rot = opq_rotation(emb)
+    sub = persist_tracked(
+        subvector_rows(rotated_corpus(emb, mu, rot)), "opq_subrows", sf_dir
+    )
+    codes, cb = pq_fit(sub)
+    codes = persist_tracked(codes, "opq_codes", sf_dir)
+    lut = pq_lut(sub, cb)
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("ld"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+def opq_vs_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, hits, recall): recall@5 of rotated-PQ vs plain PQ
+    against the exact cosine top-5 — the measured justification (or
+    refutation) of the rotation, ann_recall-style."""
+    from pyspark.sql import Window as W
+
+    from dist_map_reduce_spark.registry import QUERIES
+
+    exact_w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    exact5 = persist_tracked(
+        QUERIES["similarity_topk_cosine"](spark, sf_dir)
+        .withColumn("rn", F.row_number().over(exact_w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.lit(1).alias("hit")),
+        "ann_recall_exact5",
+        sf_dir,
+    )
+    variants = QUERIES["similarity_ann_pq_adc_topk"](spark, sf_dir).select(
+        F.lit("pq_adc").alias("variant"), "query_id", "vec_id"
+    ).unionAll(
+        opq_pq_topk(spark, sf_dir).select(
+            F.lit("opq_pq").alias("variant"), "query_id", "vec_id"
+        )
+    )
+    denom = exact5.agg(F.count("*").alias("n_exact"))
+    return (
+        variants.join(F.broadcast(exact5), ["query_id", "vec_id"], "left")
+        .groupBy("variant")
+        .agg(F.count("hit").alias("hits"))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "variant",
+            "hits",
+            F.round(F.col("hits") * 1.0 / F.col("n_exact"), 4).alias(
+                "recall"
+            ),
+        )
+    )

@@ -1,0 +1,86 @@
+"""OPQ-P rotated PQ: rotation properties + measured recall sanity.
+
+The composed search has no SQL oracle (the rotation matrix is
+driver-derived floats — see the module docstring); correctness rides
+on the PCA arm's oracle/two-arm tests, the PQ arm's oracle, and
+these: the rotation is orthonormal and norm-preserving, eigenvalue
+allocation is balanced and a true permutation, and the composed
+search returns well-formed top-5 with recall in [0, 1] measured
+against exact (engine-side, ann_recall-style).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.functions.similarity_opq import (
+    eigenvalue_allocation,
+    opq_pq_topk,
+    opq_rotation,
+    opq_vs_pq_recall,
+    rotated_corpus,
+)
+from dist_map_reduce_spark.functions.similarity_pq import M_SUB, SUBDIM
+from tests.conftest import SF_SMOKE
+
+
+def test_eigenvalue_allocation_is_balanced_permutation():
+    # strongly anisotropic spectrum: contiguous slicing would give
+    # the first subspace everything
+    ev = [2.0 ** (-i) for i in range(M_SUB * SUBDIM)]
+    perm = eigenvalue_allocation(ev)
+    assert sorted(perm) == list(range(M_SUB * SUBDIM))
+    # per-subspace log-variance sums much closer than contiguous
+    logs = [math.log(v) for v in ev]
+    alloc = [
+        sum(logs[perm[s * SUBDIM + j]] for j in range(SUBDIM))
+        for s in range(M_SUB)
+    ]
+    contiguous = [
+        sum(logs[s * SUBDIM + j] for j in range(SUBDIM))
+        for s in range(M_SUB)
+    ]
+    # LPT greedy on a geometric spectrum leaves a spread of one-to-
+    # two items' log-mass; 5x tighter than contiguous is the
+    # structural claim (measured: 38.8 vs 310.5 on this spectrum)
+    assert max(alloc) - min(alloc) < (max(contiguous) - min(contiguous)) / 5
+
+
+def test_rotation_orthonormal_and_norm_preserving(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mu, rot = opq_rotation(emb)
+    d = rot.shape[0]
+    assert rot.shape == (d, d)
+    assert np.allclose(rot.T @ rot, np.eye(d), atol=1e-8)
+    # centered norms preserved through the rotation
+    rows = emb.orderBy("vec_id").limit(50).collect()
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    rot_rows = {
+        r.vec_id: np.array(r.embedding)
+        for r in rotated_corpus(emb, mu, rot).collect()
+    }
+    for r, v in zip(rows, x):
+        assert math.isclose(
+            float(np.linalg.norm(v - mu)),
+            float(np.linalg.norm(rot_rows[r.vec_id])),
+            rel_tol=1e-9,
+        )
+
+
+def test_opq_topk_shape_and_recall_bounds(spark):
+    top = opq_pq_topk(spark, SF_SMOKE)
+    rows = top.collect()
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert r.query_id != r.vec_id
+    assert all(n == 5 for n in per_q.values()), per_q
+    rec = {r.variant: r.recall for r in opq_vs_pq_recall(spark, SF_SMOKE).collect()}
+    assert set(rec) == {"pq_adc", "opq_pq"}
+    for v in rec.values():
+        assert 0.0 <= v <= 1.0

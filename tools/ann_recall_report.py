@@ -107,6 +107,19 @@ def main() -> None:
             f"  {'ivfadc':<12} hits={hits:>3}"
             f"  recall@5={hits / len(exact):.4f}  (library fn)"
         )
+        from dist_map_reduce_spark.functions.similarity_opq import (
+            opq_pq_topk,
+        )
+
+        opq = {
+            (r.query_id, r.vec_id)
+            for r in opq_pq_topk(spark, sf_dir).collect()
+        }
+        hits = len(opq & exact)
+        print(
+            f"  {'opq_pq':<12} hits={hits:>3}"
+            f"  recall@5={hits / len(exact):.4f}  (library fn)"
+        )
         print("  -- kmeans-IVF nprobe sweep --")
         for np_, hits, rec, dt in nprobe_sweep(spark, sf_dir):
             print(

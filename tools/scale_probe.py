@@ -32,6 +32,7 @@ from dist_map_reduce_spark.scratch import SCRATCH  # noqa: E402
 from dist_map_reduce_spark.session import get_spark  # noqa: E402
 
 registry.load_all()
+registry.load_staged()
 
 BASE = "/root/testdata/sf0.1"
 ID_STRIDE = 10_000_000
@@ -46,6 +47,15 @@ PROBES = [
     "text_bpe_encode_docs",
     "similarity_lsh_buckets",
     "semdedup_prune_list",
+]
+
+# staged r9 queries (registry.STAGED_QUERIES) probed the same way —
+# documents/embeddings-only, so the synth corpus covers them
+STAGED_PROBES = [
+    "lm_bigram_doc_scores",
+    "corpus_shard_manifest",
+    "embedding_gramian",
+    "text_winnow_match_pairs",
 ]
 
 
@@ -82,10 +92,11 @@ def synth(spark, replicas: int) -> str:
 
 def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     times: dict[str, float] = {}
+    qs = {**registry.QUERIES, **registry.STAGED_QUERIES}
     for name in names:
         caching.clear()
         t0 = time.perf_counter()
-        registry.QUERIES[name](spark, sf_dir).count()
+        qs[name](spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 2)
     return times
 
@@ -96,10 +107,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     big = synth(spark, replicas)
     registry.QUERIES["wordcount"](spark, BASE).count()  # JVM warm-up
-    base_t = run(spark, BASE, PROBES)
-    big_t = run(spark, big, PROBES)
+    probes = PROBES + STAGED_PROBES
+    base_t = run(spark, BASE, probes)
+    big_t = run(spark, big, probes)
     print(f"{'query':34s} {'sf0.1':>8s} {f'x{replicas}':>8s} {'ratio':>7s}")
-    for name in PROBES:
+    for name in probes:
         r = big_t[name] / base_t[name] if base_t[name] else float("nan")
         print(f"{name:34s} {base_t[name]:8.2f} {big_t[name]:8.2f} {r:7.1f}")
     # the k knob: SemDeDup at corpus-sized k vs the fixture pin
