@@ -163,10 +163,25 @@ def pca_fit(emb: DataFrame, k: int):
     return mu, comps * flip, w[order]
 
 
+def whitening_matrix(components, explained_var, eps: float = 1e-9):
+    """PCA whitening transform W·Λ^{-1/2}: projecting with it gives
+    unit variance per component (decorrelated, isotropic) — the
+    standard pre-conditioner before cosine-sensitive downstream ops
+    (embedding-similarity calibration, ZCA-style feature prep).
+    ``eps`` floors near-zero eigenvalues so degenerate directions
+    scale to ~0 instead of exploding."""
+    import numpy as np
+
+    w = np.asarray(components, dtype=np.float64)
+    lam = np.maximum(np.asarray(explained_var, dtype=np.float64), eps)
+    return w / np.sqrt(lam)[None, :]
+
+
 def pca_project(emb: DataFrame, mean, components) -> DataFrame:
     """(vec_id, pc: array<double>) — centered projection (v − μ)·W,
     one BLAS matmul per Arrow batch; μ and W ride into the closure
-    (model-sized broadcast)."""
+    (model-sized broadcast). Pass ``whitening_matrix(...)`` as
+    ``components`` for whitened output."""
     import numpy as np
 
     mu = np.asarray(mean, dtype=np.float64)

@@ -124,16 +124,26 @@ def lm_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts on the corpus, score each document by
     sum(c·ln(λ·p_bigram + (1−λ)·p_unigram)) / n_bigrams."""
     docs = load_table(spark, sf_dir, "documents")
+    return bigram_scores(docs, cache_key=sf_dir)
+
+
+def bigram_scores(docs: DataFrame, cache_key: str | None = None) -> DataFrame:
+    """The scoring pipeline over an arbitrary (doc_id, text) corpus
+    (the staged query binds it to the fixture table with the fixture
+    dir as cache key; property tests feed crafted corpora with
+    ``cache_key=None``, skipping the slot cache — a reused slot key
+    across DIFFERENT inputs would return the previous corpus's
+    table)."""
     # db feeds the bigram vocabulary, the context marginal, AND the
     # scoring join: persist it (slot-bounded) so the corpus bigram
     # extraction runs once — the lm_score.py discipline.
-    db = persist_tracked(
+    db = (
         doc_bigrams(docs)
         .groupBy("doc_id", "w1", "w2")
-        .agg(F.count("*").alias("c")),
-        "lm_doc_bigrams",
-        sf_dir,
+        .agg(F.count("*").alias("c"))
     )
+    if cache_key is not None:
+        db = persist_tracked(db, "lm_doc_bigrams", cache_key)
     # context marginal folded INTO the bigram vocab at vocab scale
     # (a (w1,w2)-keyed join against a w1-keyed aggregate of itself),
     # so the corpus-side db table joins the model twice, not three
@@ -144,13 +154,13 @@ def lm_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = bv.join(ctx, "w1")
     # unigram table persisted: it feeds both the scoring join and the
     # 1-row total, and deriving it once saves a second corpus scan
-    uni = persist_tracked(
+    uni = (
         docs.select(F.explode(F.split("text", " ")).alias("w2"))
         .groupBy("w2")
-        .agg(F.count("*").alias("cnt")),
-        "lm_bigram_uni",
-        sf_dir,
+        .agg(F.count("*").alias("cnt"))
     )
+    if cache_key is not None:
+        uni = persist_tracked(uni, "lm_bigram_uni", cache_key)
     total = uni.agg(F.sum("cnt").alias("total"))
     p = F.lit(LAMBDA) * (F.col("c12") * F.lit(1.0) / F.col("c1")) + F.lit(
         1.0 - LAMBDA

@@ -83,6 +83,27 @@ def test_pca_project_matches_numpy(spark):
     assert var.sum() <= np.trace(np.cov(x, rowvar=False, bias=True)) + 1e-9
 
 
+def test_whitened_projection_has_unit_variance(spark):
+    """Projecting with whitening_matrix gives per-component variance
+    1 and (near-)diagonal covariance — the whitening contract."""
+    from dist_map_reduce_spark.functions.embedding_pca import (
+        whitening_matrix,
+    )
+
+    emb, x, ids = _collect_matrix(spark)
+    k = 8
+    mu, comps, ev = pca_fit(emb, k)
+    wm = whitening_matrix(comps, ev)
+    proj = {
+        r.vec_id: np.array(r.pc) for r in pca_project(emb, mu, wm).collect()
+    }
+    got = np.stack([proj[i] for i in ids])
+    cov = np.cov(got, rowvar=False, bias=True)
+    assert np.allclose(np.diag(cov), 1.0, atol=1e-6)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6
+
+
 def test_gramian_plan_has_single_shuffle(spark):
     """The Arrow arm's plan: scan -> mapInPandas -> one Exchange for
     the final (i, j) aggregate — no join, no second shuffle."""

@@ -836,3 +836,68 @@ def test_wrapped_replace_is_textbook_bpe_merge_random(syms, pa, pb):
     )
     expect = _reference_bpe_merge(syms, (pa, pb))
     assert merged == "".join(f"{sep}{s}{sep}" for s in expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_lm_matches_naive(spark, texts):
+    """Interpolated bigram LM vs an independent pure-Python model on
+    random small corpora: same doc set (docs with <2 tokens produce
+    no row), same n_bigrams, scores equal at the 6-dp round."""
+    import math
+
+    from dist_map_reduce_spark.functions.lm_bigram import (
+        LAMBDA,
+        bigram_scores,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    got = {
+        r.doc_id: r
+        for r in bigram_scores(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    for _, ws in enumerate(texts):
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    total = sum(uni.values())
+
+    expect_ids = {i for i, ws in enumerate(texts) if len(ws) >= 2}
+    assert set(got) == expect_ids
+    for i, ws in enumerate(texts):
+        if len(ws) < 2:
+            continue
+        # group to per-doc (w1, w2) counts first — the engine's sum
+        # order; per-pair-type c * ln(p) matches the plan exactly
+        pairs: dict[tuple[str, str], int] = {}
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        lp = sum(
+            c
+            * math.log(
+                LAMBDA * (big[p] / ctx[p[0]])
+                + (1 - LAMBDA) * (uni[p[1]] / total)
+            )
+            for p, c in pairs.items()
+        )
+        n = sum(pairs.values())
+        assert got[i].n_bigrams == n
+        assert math.isclose(
+            got[i].avg_logprob, round(lp / n, 6), abs_tol=2e-6
+        ), (i, got[i].avg_logprob, lp / n)
