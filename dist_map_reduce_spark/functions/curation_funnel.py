@@ -1,0 +1,272 @@
+"""End-to-end training-data curation funnel.
+
+Every operator a pretraining-data pipeline runs between "raw crawl"
+and "training shards" exists in this engine as an individually
+oracle-checked query; this module composes them into the pipeline
+users actually run and reports the funnel — per stage, how many
+documents and tokens survive:
+
+  0 corpus            — the raw documents table
+  1 exact_dedup       — keeper per content hash (dedup_exact_docs)
+  2 neardup_minhash   — 'keep' rows of dedup_keep_drop_list (MinHash
+                        LSH candidates → connected components →
+                        longest-text canonical)
+  3 quality_logreg    — the fixed quality model's keep decision
+  4 decontaminate     — drop the eval source entirely AND train docs
+                        with ≥ threshold eval-shingle overlap
+                        (decontaminate_against_eval)
+  5 source_cap        — the per-domain cap keep-list
+                        (per_source_doc_cap)
+  6 aes_sample        — Efraimidis–Spirakis weighted sample of K
+                        documents FROM THE SURVIVORS (token-count
+                        weights, deterministic salted-md5 clocks —
+                        the weighted_sample_aes formula)
+
+Composition semantics (the Dolma/RedPajama shape): stage SIGNALS are
+computed corpus-wide by the existing registered queries — dedup
+clusters, quality logits, contamination flags, cap ranks are
+per-document facts independent of the cascade — and the funnel
+applies them as a conjunctive cascade in the order above. Only the
+final sample is survivor-relative (a top-K among survivors must be).
+SemDeDup is deliberately absent: the embeddings table stops being
+doc-aligned above sf0.01 (2 000 vectors vs 5 000 docs at sf0.1), so
+an embedding-keyed stage would silently no-op; its keep/drop list
+composes the same way where embeddings exist.
+
+Oracle: the DuckDB side re-derives every stage from scratch — the
+near-dup stage alone re-runs the full MinHash → banding → capped
+candidate pairs → recursive-CTE connected components chain — so the
+funnel's value hash certifies the COMPOSITION, not just the parts
+(the ann_recall discipline, an order of magnitude bigger).
+
+Fixture honesty note: on the synthetic word-soup corpus two stages
+are no-ops — every text is unique (exact_dedup keeps all) and the
+fixed quality model passes everything; their LOGIC is still covered
+by their own registered oracles, and the funnel's bite comes from
+the near-dup, decontamination, cap, and sample stages (500 → 476 →
+365 → 120 → 100 docs at sf0.01).
+
+Scale shape: one wide left-join pass decorating the corpus with five
+boolean flags (each flag side is a reduced keep-list, hash-joined on
+doc_id), persisted once (slot cache); all six cascade counts are
+conditional aggregates over that single cached table, and the sample
+is one TakeOrderedAndProject over the cascade filter. Nothing in the
+funnel adds a shuffle beyond what its component queries already
+proved out.
+
+Promotion state: STAGED for the r9 correctness window (see
+registry.py:staged_query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the component modules must be imported so their oracle SQL is
+# registered before this module's oracle composes it (the ann_recall
+# pattern); load_all()'s pristine-window guard tolerates any import
+# order because a non-empty registry disables the cut-line check
+from dist_map_reduce_spark.functions import clustering  # noqa: F401
+from dist_map_reduce_spark.functions import curation  # noqa: F401
+from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
+from dist_map_reduce_spark.functions import dedup  # noqa: F401
+from dist_map_reduce_spark.functions import quality_model  # noqa: F401
+from dist_map_reduce_spark.caching import persist_tracked
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.registry import ORACLES, QUERIES, staged_query
+
+SAMPLE_K = 100  # final-stage A-ES sample size (= weighted_sample_aes)
+_POW32 = float(2**32)
+
+_STAGES = (
+    "corpus",
+    "exact_dedup",
+    "neardup_minhash",
+    "quality_logreg",
+    "decontaminate",
+    "source_cap",
+    "aes_sample",
+)
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    WITH ex AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    nd AS (
+      SELECT doc_id FROM ({ORACLES["dedup_keep_drop_list"]}) nd_t
+      WHERE action = 'keep'
+    ),
+    ql AS (
+      SELECT doc_id FROM ({ORACLES["quality_logreg_scores"]}) ql_t
+      WHERE keep
+    ),
+    dc AS (
+      SELECT doc_id FROM ({ORACLES["decontaminate_against_eval"]}) dc_t
+      WHERE NOT contaminated
+    ),
+    cp AS (
+      SELECT doc_id FROM ({ORACLES["per_source_doc_cap"]}) cp_t
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+             ex.doc_id IS NOT NULL AS f1,
+             nd.doc_id IS NOT NULL AS f2,
+             ql.doc_id IS NOT NULL AS f3,
+             dc.doc_id IS NOT NULL AS f4,
+             cp.doc_id IS NOT NULL AS f5,
+             -ln((('0x' || substring(md5('aes:' || CAST(d.doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT + 1) / {_POW32})
+               / len(string_split(d.text, ' ')) + 0.0 AS raw_clock
+      FROM documents d
+      LEFT JOIN ex ON ex.doc_id = d.doc_id
+      LEFT JOIN nd ON nd.doc_id = d.doc_id
+      LEFT JOIN ql ON ql.doc_id = d.doc_id
+      LEFT JOIN dc ON dc.doc_id = d.doc_id
+      LEFT JOIN cp ON cp.doc_id = d.doc_id
+    )
+    SELECT 0 AS stage_no, 'corpus' AS stage,
+           count(*) AS docs_out, CAST(sum(toks) AS BIGINT) AS tokens_out
+    FROM flags
+    UNION ALL
+    SELECT 1, 'exact_dedup', count(*) FILTER (WHERE f1),
+           CAST(sum(toks) FILTER (WHERE f1) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 2, 'neardup_minhash', count(*) FILTER (WHERE f1 AND f2),
+           CAST(sum(toks) FILTER (WHERE f1 AND f2) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 3, 'quality_logreg',
+           count(*) FILTER (WHERE f1 AND f2 AND f3),
+           CAST(sum(toks) FILTER (WHERE f1 AND f2 AND f3) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 4, 'decontaminate',
+           count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4),
+           CAST(sum(toks) FILTER (WHERE f1 AND f2 AND f3 AND f4) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 5, 'source_cap',
+           count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5),
+           CAST(sum(toks) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5)
+                AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 6, 'aes_sample', count(*), CAST(sum(toks) AS BIGINT)
+    FROM (
+      SELECT toks FROM flags
+      WHERE f1 AND f2 AND f3 AND f4 AND f5
+      ORDER BY raw_clock ASC, doc_id ASC
+      LIMIT {SAMPLE_K}
+    ) s
+    """
+
+
+def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks, f1..f5, raw_clock): the corpus decorated with
+    every stage decision — the single table all funnel counts read."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = QUERIES["dedup_exact_docs"](spark, sf_dir).select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("f1")
+    )
+    nd = (
+        QUERIES["dedup_keep_drop_list"](spark, sf_dir)
+        .filter(F.col("action") == "keep")
+        .select("doc_id", F.lit(True).alias("f2"))
+    )
+    ql = (
+        QUERIES["quality_logreg_scores"](spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", F.lit(True).alias("f3"))
+    )
+    dc = (
+        QUERIES["decontaminate_against_eval"](spark, sf_dir)
+        .filter(~F.col("contaminated"))
+        .select("doc_id", F.lit(True).alias("f4"))
+    )
+    cp = QUERIES["per_source_doc_cap"](spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("f5")
+    )
+    toks = F.size(F.split("text", " ")).cast("bigint")
+    m = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    clock = (
+        -F.log((m + F.lit(1)).cast("double") / F.lit(_POW32))
+        / toks.cast("double")
+        + F.lit(0.0)
+    )
+    base = docs.select(
+        "doc_id", toks.alias("toks"), clock.alias("raw_clock")
+    )
+    out = (
+        base.join(ex, "doc_id", "left")
+        .join(nd, "doc_id", "left")
+        .join(ql, "doc_id", "left")
+        .join(dc, "doc_id", "left")
+        .join(cp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "toks",
+            *[
+                F.coalesce(f"f{i}", F.lit(False)).alias(f"f{i}")
+                for i in range(1, 6)
+            ],
+            "raw_clock",
+        )
+    )
+    return persist_tracked(out, "curation_funnel_flags", sf_dir)
+
+
+@staged_query("curation_funnel", oracle=_funnel_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage_no, stage, docs_out, tokens_out): the curation cascade
+    funnel — six conditional aggregates plus one survivor-relative
+    top-K sample, all over the single cached flags table."""
+    flags = funnel_flags(spark, sf_dir)
+    rows = None
+    cond = None
+    for i, stage in enumerate(_STAGES[:-1]):
+        cond = (
+            F.lit(True)
+            if i == 0
+            else (cond & F.col(f"f{i}"))
+        )
+        row = flags.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(
+                "docs_out"
+            ),
+            F.sum(F.when(cond, F.col("toks")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_out"),
+        ).select(
+            F.lit(i).cast("bigint").alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            "docs_out",
+            "tokens_out",
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    surv = flags.filter(
+        F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5")
+    )
+    sample = surv.orderBy(
+        F.col("raw_clock").asc(), F.col("doc_id").asc()
+    ).limit(SAMPLE_K)
+    last = sample.agg(
+        F.count("*").cast("bigint").alias("docs_out"),
+        F.sum("toks").cast("bigint").alias("tokens_out"),
+    ).select(
+        F.lit(6).cast("bigint").alias("stage_no"),
+        F.lit("aes_sample").alias("stage"),
+        "docs_out",
+        "tokens_out",
+    )
+    return rows.unionAll(last)

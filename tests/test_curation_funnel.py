@@ -1,0 +1,42 @@
+"""Curation funnel invariants (oracle parity is in
+tests/test_staged_parity.py — including the composed recursive-CTE
+near-dup chain; these pin the funnel-shape properties the count
+comparison alone doesn't name)."""
+
+from __future__ import annotations
+
+from dist_map_reduce_spark import registry
+from dist_map_reduce_spark.functions.curation_funnel import (
+    SAMPLE_K,
+    _STAGES,
+    funnel_flags,
+)
+from tests.conftest import SF_SMOKE
+
+registry.load_staged()
+
+
+def test_funnel_monotone_and_named(spark):
+    rows = sorted(
+        registry.STAGED_QUERIES["curation_funnel"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.stage_no,
+    )
+    assert [r.stage for r in rows] == list(_STAGES)
+    # docs and tokens both non-increasing through the cascade
+    for a, b in zip(rows, rows[1:]):
+        assert b.docs_out <= a.docs_out, (a, b)
+        assert b.tokens_out <= a.tokens_out, (a, b)
+    # the sample stage is exactly min(K, survivors)
+    assert rows[-1].docs_out == min(SAMPLE_K, rows[-2].docs_out)
+    # the cascade actually bites on the fixture (not all stages
+    # no-op): strictly fewer docs at the end than the start
+    assert rows[-1].docs_out < rows[0].docs_out
+
+
+def test_flags_cover_corpus_once(spark):
+    from dist_map_reduce_spark.catalog import load_table
+
+    flags = funnel_flags(spark, SF_SMOKE)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert flags.count() == n_docs
+    assert flags.select("doc_id").distinct().count() == n_docs
