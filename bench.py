@@ -19,6 +19,7 @@ from dist_map_reduce_spark import registry
 from dist_map_reduce_spark.session import get_spark
 
 registry.load_all()
+registry.load_staged()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -109,6 +110,18 @@ HEADLINE = [
     "text_char_entropy",
     "text_bpe_token_ids_fingerprint",
     "text_winnow_fingerprints",
+    # r8-late STAGED additions (registry.STAGED_QUERIES — the r9
+    # promotion set, perf-tracked a round early): bigram LM,
+    # shard-export round-trip, gramian PCA, winnow pair/decontam
+    # detectors, the streaming ingest-dedup replay, and the
+    # end-to-end curation funnel
+    "lm_bigram_doc_scores",
+    "corpus_shard_manifest",
+    "embedding_gramian",
+    "text_winnow_match_pairs",
+    "text_winnow_decontaminate",
+    "streaming_ingest_dedup",
+    "curation_funnel",
 ]
 
 
@@ -188,7 +201,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = registry.QUERIES.get(name) or EXTRA.get(name)
+        fn = (
+            registry.QUERIES.get(name)
+            or registry.STAGED_QUERIES.get(name)
+            or EXTRA.get(name)
+        )
         if fn is None:
             continue
         best = float("inf")

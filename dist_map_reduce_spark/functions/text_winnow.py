@@ -172,6 +172,16 @@ def winnow_match_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
     # fps is never null/empty here (winnow_fingerprints pre-filters
     # length ≥ K+W−1, guaranteeing ≥ 1 window), so OUTER emits
     # exactly the same rows.
+    # pre-projection repartition: the winnow expression is the
+    # expensive stage (~1 ms/doc of md5 + window mins), and a
+    # single-file fixture scan plans ONE partition — spread it across
+    # the session's cores (the curation_ext/text_boilerplate
+    # precedent; measured 6.5 s -> sub-second at sf0.1). At 100 TB
+    # the scan already has thousands of splits and this one extra
+    # narrow shuffle of (doc_id, text) is noise.
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     fp_docs = (
         winnow_fingerprints(docs)
         .select("doc_id", F.explode_outer("fps").alias("packed"))
@@ -224,7 +234,11 @@ def winnow_decontaminate(
 
     # explode_OUTER on both sides — see winnow_match_pairs: plain
     # explode infers a size/isnotnull filter that inlines the whole
-    # winnow pipeline per window slice (no CSE inside lambdas)
+    # winnow pipeline per window slice (no CSE inside lambdas);
+    # pre-projection repartition for the same single-split reason
+    par = train.sparkSession.sparkContext.defaultParallelism
+    train = train.repartition(par)
+    eval_docs = eval_docs.repartition(par)
     t_fp = (
         winnow_fingerprints(train)
         .select("doc_id", F.explode_outer("fps").alias("p"))

@@ -65,7 +65,36 @@ def main() -> int:
         if not ok:
             bad.append(name)
         print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(sp)} rows)")
-    print(f"\nchecked {n} oracles at {sf_dir}; mismatches: {bad}")
+
+    # STAGED (next-round) queries get the same engine-vs-oracle check
+    # under this FOREIGN session — exactly what the driver will run
+    # after promotion, so a foreign-session-only regression (e.g. an
+    # optimizer-rule dependence masked by session.py's conf) surfaces
+    # here a round early
+    from dist_map_reduce_spark import registry
+
+    registry.load_staged()
+    n_staged = 0
+    for name in sorted(registry.STAGED_ORACLES):
+        sp = registry.STAGED_QUERIES[name](spark, sf_dir).toPandas()
+        od = con.execute(registry.STAGED_ORACLES[name]).fetchdf()
+        n_staged += 1
+        a = (
+            sp[sorted(sp.columns)].astype(str)
+            .apply(tuple, axis=1).sort_values().tolist()
+        )
+        b = (
+            od[sorted(od.columns)].astype(str)
+            .apply(tuple, axis=1).sort_values().tolist()
+        )
+        ok = a == b
+        if not ok:
+            bad.append(f"staged:{name}")
+        print(f"staged:{name}: {'MATCH' if ok else 'MISMATCH'} ({len(sp)} rows)")
+    print(
+        f"\nchecked {n} oracles + {n_staged} staged at {sf_dir}; "
+        f"mismatches: {bad}"
+    )
     return 1 if bad else 0
 
 
