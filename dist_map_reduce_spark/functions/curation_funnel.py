@@ -15,19 +15,25 @@ documents and tokens survive:
   4 decontaminate     — drop the eval source entirely AND train docs
                         with ≥ threshold eval-shingle overlap
                         (decontaminate_against_eval)
-  5 source_cap        — the per-domain cap keep-list
-                        (per_source_doc_cap)
+  5 source_cap        — the per-domain cap (per_source_doc_cap
+                        semantics: largest first, CAP per source)
+                        applied to the SURVIVORS
   6 aes_sample        — Efraimidis–Spirakis weighted sample of K
-                        documents FROM THE SURVIVORS (token-count
-                        weights, deterministic salted-md5 clocks —
-                        the weighted_sample_aes formula)
+                        documents from the capped survivors
+                        (token-count weights, deterministic
+                        salted-md5 clocks — the weighted_sample_aes
+                        formula)
 
-Composition semantics (the Dolma/RedPajama shape): stage SIGNALS are
-computed corpus-wide by the existing registered queries — dedup
-clusters, quality logits, contamination flags, cap ranks are
-per-document facts independent of the cascade — and the funnel
-applies them as a conjunctive cascade in the order above. Only the
-final sample is survivor-relative (a top-K among survivors must be).
+Composition semantics (the Dolma/RedPajama shape): stages 1–4 are
+per-document FACTS computed corpus-wide by the existing registered
+queries — dedup clusters, quality logits, contamination flags are
+independent of the cascade — and the funnel applies them as a
+conjunctive cascade in the order above. Stages 5–6 are SELECTIONS
+and run survivor-relative: a corpus-global cap keep-list intersected
+with the cascade can empty the funnel when earlier stages drop
+exactly the large documents the global cap chose (observed at
+sf0.1, where decontamination keeps only short documents), and a
+sample must be drawn from what is actually left.
 SemDeDup is deliberately absent: the embeddings table stops being
 doc-aligned above sf0.01 (2 000 vectors vs 5 000 docs at sf0.1), so
 an embedding-keyed stage would silently no-op; its keep/drop list
@@ -39,12 +45,11 @@ candidate pairs → recursive-CTE connected components chain — so the
 funnel's value hash certifies the COMPOSITION, not just the parts
 (the ann_recall discipline, an order of magnitude bigger).
 
-Fixture honesty note: on the synthetic word-soup corpus two stages
-are no-ops — every text is unique (exact_dedup keeps all) and the
-fixed quality model passes everything; their LOGIC is still covered
-by their own registered oracles, and the funnel's bite comes from
-the near-dup, decontamination, cap, and sample stages (500 → 476 →
-365 → 120 → 100 docs at sf0.01).
+Fixture honesty note: on the synthetic word-soup corpus the quality
+stage is a near-no-op (the fixed model passes everything) and exact
+dedup bites only at sf0.1; their LOGIC is still covered by their own
+registered oracles, and the funnel's bite comes from the near-dup,
+decontamination, cap, and sample stages.
 
 Scale shape: one wide left-join pass decorating the corpus with five
 boolean flags (each flag side is a reduced keep-list, hash-joined on
@@ -74,6 +79,7 @@ from dist_map_reduce_spark.functions import dedup  # noqa: F401
 from dist_map_reduce_spark.functions import quality_model  # noqa: F401
 from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.functions.curation_ext import CAP
 from dist_map_reduce_spark.registry import ORACLES, QUERIES, staged_query
 
 SAMPLE_K = 100  # final-stage A-ES sample size (= weighted_sample_aes)
@@ -107,17 +113,13 @@ def _funnel_oracle() -> str:
       SELECT doc_id FROM ({ORACLES["decontaminate_against_eval"]}) dc_t
       WHERE NOT contaminated
     ),
-    cp AS (
-      SELECT doc_id FROM ({ORACLES["per_source_doc_cap"]}) cp_t
-    ),
     flags AS (
-      SELECT d.doc_id,
+      SELECT d.doc_id, d.source, d.n_chars,
              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
              ex.doc_id IS NOT NULL AS f1,
              nd.doc_id IS NOT NULL AS f2,
              ql.doc_id IS NOT NULL AS f3,
              dc.doc_id IS NOT NULL AS f4,
-             cp.doc_id IS NOT NULL AS f5,
              -ln((('0x' || substring(md5('aes:' || CAST(d.doc_id AS VARCHAR)),
                                      1, 8))::BIGINT + 1) / {_POW32})
                / len(string_split(d.text, ' ')) + 0.0 AS raw_clock
@@ -126,38 +128,49 @@ def _funnel_oracle() -> str:
       LEFT JOIN nd ON nd.doc_id = d.doc_id
       LEFT JOIN ql ON ql.doc_id = d.doc_id
       LEFT JOIN dc ON dc.doc_id = d.doc_id
-      LEFT JOIN cp ON cp.doc_id = d.doc_id
+    ),
+    capped AS (
+      SELECT doc_id, toks, raw_clock FROM (
+        SELECT doc_id, toks, raw_clock,
+               row_number() OVER (
+                 PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM flags WHERE f1 AND f2 AND f3 AND f4
+      ) r WHERE rk <= {CAP}
     )
     SELECT 0 AS stage_no, 'corpus' AS stage,
-           count(*) AS docs_out, CAST(sum(toks) AS BIGINT) AS tokens_out
+           count(*) AS docs_out,
+           CAST(coalesce(sum(toks), 0) AS BIGINT) AS tokens_out
     FROM flags
     UNION ALL
     SELECT 1, 'exact_dedup', count(*) FILTER (WHERE f1),
-           CAST(sum(toks) FILTER (WHERE f1) AS BIGINT) FROM flags
+           CAST(coalesce(sum(toks) FILTER (WHERE f1), 0) AS BIGINT)
+    FROM flags
     UNION ALL
     SELECT 2, 'neardup_minhash', count(*) FILTER (WHERE f1 AND f2),
-           CAST(sum(toks) FILTER (WHERE f1 AND f2) AS BIGINT) FROM flags
+           CAST(coalesce(sum(toks) FILTER (WHERE f1 AND f2), 0) AS BIGINT)
+    FROM flags
     UNION ALL
     SELECT 3, 'quality_logreg',
            count(*) FILTER (WHERE f1 AND f2 AND f3),
-           CAST(sum(toks) FILTER (WHERE f1 AND f2 AND f3) AS BIGINT)
+           CAST(coalesce(sum(toks) FILTER (WHERE f1 AND f2 AND f3), 0)
+                AS BIGINT)
     FROM flags
     UNION ALL
     SELECT 4, 'decontaminate',
            count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4),
-           CAST(sum(toks) FILTER (WHERE f1 AND f2 AND f3 AND f4) AS BIGINT)
+           CAST(coalesce(sum(toks) FILTER (WHERE f1 AND f2 AND f3 AND f4),
+                         0) AS BIGINT)
     FROM flags
     UNION ALL
-    SELECT 5, 'source_cap',
-           count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5),
-           CAST(sum(toks) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5)
-                AS BIGINT)
-    FROM flags
+    SELECT 5, 'source_cap', count(*),
+           CAST(coalesce(sum(toks), 0) AS BIGINT)
+    FROM capped
     UNION ALL
-    SELECT 6, 'aes_sample', count(*), CAST(sum(toks) AS BIGINT)
+    SELECT 6, 'aes_sample', count(*),
+           CAST(coalesce(sum(toks), 0) AS BIGINT)
     FROM (
-      SELECT toks FROM flags
-      WHERE f1 AND f2 AND f3 AND f4 AND f5
+      SELECT toks FROM capped
       ORDER BY raw_clock ASC, doc_id ASC
       LIMIT {SAMPLE_K}
     ) s
@@ -165,8 +178,11 @@ def _funnel_oracle() -> str:
 
 
 def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, toks, f1..f5, raw_clock): the corpus decorated with
-    every stage decision — the single table all funnel counts read."""
+    """(doc_id, source, n_chars, toks, f1..f4, raw_clock): the corpus
+    decorated with every per-doc stage fact — the single table all
+    funnel counts read. The cap and sample stages are selections
+    over survivors, not per-doc facts, so they live in the funnel
+    body, not here."""
     docs = load_table(spark, sf_dir, "documents")
     ex = QUERIES["dedup_exact_docs"](spark, sf_dir).select(
         F.col("keep_id").alias("doc_id"), F.lit(True).alias("f1")
@@ -186,9 +202,6 @@ def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("contaminated"))
         .select("doc_id", F.lit(True).alias("f4"))
     )
-    cp = QUERIES["per_source_doc_cap"](spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("f5")
-    )
     toks = F.size(F.split("text", " ")).cast("bigint")
     m = F.conv(
         F.substring(
@@ -205,25 +218,81 @@ def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.0)
     )
     base = docs.select(
-        "doc_id", toks.alias("toks"), clock.alias("raw_clock")
+        "doc_id",
+        "source",
+        "n_chars",
+        toks.alias("toks"),
+        clock.alias("raw_clock"),
     )
     out = (
         base.join(ex, "doc_id", "left")
         .join(nd, "doc_id", "left")
         .join(ql, "doc_id", "left")
         .join(dc, "doc_id", "left")
-        .join(cp, "doc_id", "left")
         .select(
             "doc_id",
+            "source",
+            "n_chars",
             "toks",
             *[
                 F.coalesce(f"f{i}", F.lit(False)).alias(f"f{i}")
-                for i in range(1, 6)
+                for i in range(1, 5)
             ],
             "raw_clock",
         )
     )
     return persist_tracked(out, "curation_funnel_flags", sf_dir)
+
+
+def capped_survivors(flags: DataFrame) -> DataFrame:
+    """Stage-5 selection: the per-source cap applied to the stage-4
+    SURVIVORS (largest first, doc_id tie-break). Survivor-relative,
+    like the sample — a global cap keep-list intersected with the
+    cascade can empty the funnel when earlier stages drop exactly
+    the large documents a corpus-global cap would have chosen
+    (observed at sf0.1: decontamination keeps only short docs)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        flags.filter(
+            F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CAP)
+        .drop("rk")
+    )
+
+
+def export_curated_corpus(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """The last mile: run the cascade (stages 1-5 — the sample stage
+    is a budgeting device, not an export filter), join the survivors
+    back to their text, and write deterministic training shards
+    (shard_export.write_training_shards: salted-md5 shuffle order,
+    sorted one-file-per-shard parquet). Returns the re-read shard
+    manifest aggregate so callers can assert the export against the
+    funnel's own counts — the sources_sinks round-trip discipline
+    applied to the whole pipeline."""
+    from dist_map_reduce_spark.functions.shard_export import (
+        write_training_shards,
+    )
+
+    flags = funnel_flags(spark, sf_dir)
+    survivors = capped_survivors(flags).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").join(
+        survivors, "doc_id"
+    )
+    write_training_shards(docs.select("doc_id", "text"), out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.countDistinct("shard").cast("bigint").alias("n_shards"),
+    )
 
 
 @staged_query("curation_funnel", oracle=_funnel_oracle())
@@ -234,7 +303,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = funnel_flags(spark, sf_dir)
     rows = None
     cond = None
-    for i, stage in enumerate(_STAGES[:-1]):
+    for i, stage in enumerate(_STAGES[:5]):
         cond = (
             F.lit(True)
             if i == 0
@@ -254,19 +323,26 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_out",
         )
         rows = row if rows is None else rows.unionAll(row)
-    surv = flags.filter(
-        F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5")
-    )
-    sample = surv.orderBy(
+    capped = capped_survivors(flags)
+
+    def _sel_row(df: DataFrame, no: int, stage: str) -> DataFrame:
+        # coalesce: sum over an EMPTY selection is NULL in both
+        # engines' SQL semantics; the funnel reports 0 tokens
+        return df.agg(
+            F.count("*").cast("bigint").alias("docs_out"),
+            F.coalesce(F.sum("toks"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_out"),
+        ).select(
+            F.lit(no).cast("bigint").alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            "docs_out",
+            "tokens_out",
+        )
+
+    sample = capped.orderBy(
         F.col("raw_clock").asc(), F.col("doc_id").asc()
     ).limit(SAMPLE_K)
-    last = sample.agg(
-        F.count("*").cast("bigint").alias("docs_out"),
-        F.sum("toks").cast("bigint").alias("tokens_out"),
-    ).select(
-        F.lit(6).cast("bigint").alias("stage_no"),
-        F.lit("aes_sample").alias("stage"),
-        "docs_out",
-        "tokens_out",
+    return rows.unionAll(_sel_row(capped, 5, "source_cap")).unionAll(
+        _sel_row(sample, 6, "aes_sample")
     )
-    return rows.unionAll(last)

@@ -33,6 +33,27 @@ def test_funnel_monotone_and_named(spark):
     assert rows[-1].docs_out < rows[0].docs_out
 
 
+def test_export_matches_funnel_counts(spark, tmp_path):
+    """Exporting the survivors through the deterministic shard
+    writer must round-trip exactly the funnel's stage-5 docs/tokens
+    (a lost or duplicated row anywhere in the write path breaks
+    this)."""
+    from dist_map_reduce_spark.functions.curation_funnel import (
+        export_curated_corpus,
+    )
+
+    funnel = {
+        r.stage: r
+        for r in registry.STAGED_QUERIES["curation_funnel"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    m = export_curated_corpus(spark, SF_SMOKE, str(tmp_path / "out")).collect()[0]
+    assert m.n_docs == funnel["source_cap"].docs_out
+    assert m.n_tokens == funnel["source_cap"].tokens_out
+    assert m.n_shards >= 1
+
+
 def test_flags_cover_corpus_once(spark):
     from dist_map_reduce_spark.catalog import load_table
 
