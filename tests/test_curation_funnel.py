@@ -61,3 +61,23 @@ def test_flags_cover_corpus_once(spark):
     n_docs = load_table(spark, SF_SMOKE, "documents").count()
     assert flags.count() == n_docs
     assert flags.select("doc_id").distinct().count() == n_docs
+
+
+def test_selection_rows_on_empty_cascade(spark):
+    """If every flag were false the selection stages must report
+    (0, 0), not (0, NULL) — the sf0.1 regression class. Simulated by
+    capping survivors of an impossible filter."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.functions.curation_funnel import (
+        capped_survivors,
+        funnel_flags,
+    )
+
+    flags = funnel_flags(spark, SF_SMOKE).withColumn("f1", F.lit(False))
+    capped = capped_survivors(flags)
+    row = capped.agg(
+        F.count("*").cast("bigint").alias("d"),
+        F.coalesce(F.sum("toks"), F.lit(0)).cast("bigint").alias("t"),
+    ).collect()[0]
+    assert (row.d, row.t) == (0, 0)

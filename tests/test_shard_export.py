@@ -110,3 +110,15 @@ def test_epoch_salt_changes_order_not_membership(spark):
         se.SALT = old
     assert {d for d, _ in base} == {d for d, _ in other}
     assert base != other  # at least one doc moved shards
+
+
+def test_empty_corpus_export(spark, tmp_path):
+    """An empty corpus writes no shard files and reads back empty —
+    the writer must not fail on zero rows (a filtered-out cascade
+    can legitimately produce an empty export)."""
+    import glob as _glob
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = str(tmp_path / "empty")
+    write_training_shards(empty, out)
+    assert _glob.glob(out + "/shard=*") == []
