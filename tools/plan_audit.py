@@ -40,6 +40,11 @@ from dist_map_reduce_spark import caching, registry  # noqa: E402
 from dist_map_reduce_spark.session import get_spark  # noqa: E402
 
 registry.load_all()
+registry.load_staged()
+
+# staged (next-round) queries audit identically — they are about to
+# occupy driver window slots, so their plans must already be clean
+ALL_QUERIES = {**registry.QUERIES, **registry.STAGED_QUERIES}
 
 CARTESIAN_OK = {"join_semi_anti_balance"}  # 1-row scalar crossJoin
 SORTAGG_OK = {
@@ -62,13 +67,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     flags: list[str] = []
     exchanges: list[tuple[int, str]] = []
-    for name in sorted(registry.QUERIES):
+    for name in sorted(ALL_QUERIES):
         if name.startswith("streaming_"):
             continue  # streaming queries execute on plan construction
         caching.clear()
         try:
             plan = (
-                registry.QUERIES[name](spark, sf_dir)
+                ALL_QUERIES[name](spark, sf_dir)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()
@@ -123,13 +128,13 @@ def main() -> int:
                 "(expected > LAMBDA_FILTER_MAX) — the excludedRules "
                 "lift did not take effect or the detector regressed"
             )
-        for name in sorted(registry.QUERIES):
+        for name in sorted(ALL_QUERIES):
             if name.startswith("streaming_") or name.startswith("sink_"):
                 continue  # executes / writes on plan construction
             caching.clear()
             try:
                 plan = (
-                    registry.QUERIES[name](spark, sf_dir)
+                    ALL_QUERIES[name](spark, sf_dir)
                     ._jdf.queryExecution()
                     .executedPlan()
                     .toString()
