@@ -83,18 +83,12 @@ def _recall_oracle() -> str:
     """
 
 
-@query("similarity_ann_recall", oracle=_recall_oracle())
-def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of each ANN variant vs exact cosine top-5.
-
-    Runs the exact search once, truncates to top-5 per query
-    (re-ranking the registered top-10 by the same rounded-score /
-    vec_id order), runs all five variant searches, and counts the
-    overlap; the denominator is the exact-pair count computed as a
-    1-row broadcast scalar (no driver-side action). The exact-pair
-    set feeds BOTH the overlap join and the denominator, so it is
-    persisted through the bounded cache slot — otherwise the full
-    exact scan runs twice per invocation."""
+def exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, hit=1): the exact cosine top-5 grading set
+    (registered top-10 re-ranked by the same rounded-score / vec_id
+    order), persisted in the shared 'ann_recall_exact5' slot so
+    every recall consumer — this query, the OPQ comparison, the
+    report tool — reads the same cached set."""
     from pyspark.sql import Window as W
 
     from dist_map_reduce_spark.caching import persist_tracked
@@ -103,7 +97,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
-    exact5 = persist_tracked(
+    return persist_tracked(
         QUERIES[_EXACT](spark, sf_dir)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
@@ -111,12 +105,13 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ann_recall_exact5",
         sf_dir,
     )
-    variants = None
-    for label, name in _VARIANTS.items():
-        v = QUERIES[name](spark, sf_dir).select(
-            F.lit(label).alias("variant"), "query_id", "vec_id"
-        )
-        variants = v if variants is None else variants.unionAll(v)
+
+
+def grade_recall(variants: DataFrame, exact5: DataFrame) -> DataFrame:
+    """(variant, hits, recall): overlap of each variant's
+    (variant, query_id, vec_id) rows with the exact top-5 set; the
+    denominator rides as a 1-row broadcast scalar (no driver-side
+    action)."""
     denom = exact5.agg(F.count("*").alias("n_exact"))
     return (
         variants.join(F.broadcast(exact5), ["query_id", "vec_id"], "left")
@@ -131,3 +126,24 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("similarity_ann_recall", oracle=_recall_oracle())
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of each ANN variant vs exact cosine top-5.
+
+    Runs the exact search once, truncates to top-5 per query, runs
+    all five variant searches, and counts the overlap. The
+    exact-pair set feeds BOTH the overlap join and the denominator,
+    so it is persisted through the bounded cache slot — otherwise
+    the full exact scan runs twice per invocation."""
+    from dist_map_reduce_spark.registry import QUERIES
+
+    exact5 = exact_top5(spark, sf_dir)
+    variants = None
+    for label, name in _VARIANTS.items():
+        v = QUERIES[name](spark, sf_dir).select(
+            F.lit(label).alias("variant"), "query_id", "vec_id"
+        )
+        variants = v if variants is None else variants.unionAll(v)
+    return grade_recall(variants, exact5)

@@ -287,7 +287,13 @@ def export_curated_corpus(
         survivors, "doc_id"
     )
     write_training_shards(docs.select("doc_id", "text"), out_dir)
-    back = spark.read.parquet(out_dir)
+    # explicit schema: a fully-emptied cascade writes ZERO part files
+    # (legitimate — see the survivor-relative cap note), and a
+    # schema-less parquet read of an empty directory throws instead
+    # of returning the (0, 0, 0) manifest row
+    back = spark.read.schema(
+        "doc_id long, text string, sort_key string, shard int"
+    ).parquet(out_dir)
     return back.groupBy().agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),

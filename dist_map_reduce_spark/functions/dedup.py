@@ -141,17 +141,14 @@ def _banded_wide(docs: DataFrame) -> DataFrame:
     projection over the scan, so the first Exchange in the whole
     LSH pipeline is the band-key join itself."""
     from dist_map_reduce_spark.functions.dedup_common import (
+        band_md5,
         minhash_sig_rowwise,
     )
 
     sig = minhash_sig_rowwise(docs)
-    band_cols = []
-    for b in range(N_BANDS):
-        parts = [F.col(f"h{b * _R + i}").cast("string") for i in range(_R)]
-        band_cols.append(
-            F.md5(F.concat_ws(":", *parts).cast("binary")).alias(f"b{b}")
-        )
-    return sig.select("doc_id", *band_cols)
+    return sig.select(
+        "doc_id", *[band_md5(b).alias(f"b{b}") for b in range(N_BANDS)]
+    )
 
 
 def _bands_long(wide: DataFrame) -> DataFrame:

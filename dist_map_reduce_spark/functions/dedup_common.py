@@ -20,22 +20,14 @@ MAX_KEY_DOCS = 100
 
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) with distinct k-word shingles per document.
-
-    The word array is projected ONCE before the transform — an
-    expression referencing split() inside the lambda re-tokenizes the
-    document per element, turning shingling O(words) into O(words²).
-    """
-    idx = " , ".join(f"ws[i - {k - 1 - j}]" for j in range(k))
-    expr = f"""
-    CASE WHEN size(ws) >= {k} THEN
-      transform(sequence({k - 1}, size(ws) - 1),
-                i -> concat_ws(' ', {idx}))
-    ELSE array(text) END
-    """
+    """(doc_id, shingle) with distinct k-word shingles per document —
+    ``shingle_array`` exploded (one expression source of truth;
+    explode_OUTER so the inferred-filter inlining cannot bite under
+    foreign sessions, see SCALE.md §Session defaults; the array is
+    never empty — short docs fall back to array(text))."""
     return docs.select(
         "doc_id", "text", F.split("text", " ").alias("ws")
-    ).select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
+    ).select("doc_id", F.explode_outer(shingle_array(k)).alias("shingle"))
 
 
 _SHINGLE_SQL = """
@@ -66,12 +58,11 @@ def _slice(j: int) -> tuple[int, int]:
     return j // 4, 1 + 8 * (j % 4)
 
 
-def shingle_array() -> F.Column:
-    """Distinct 3-word shingle array per doc (array form of
-    ``shingles`` — same CASE, no explode). Expects ``text`` and a
+def shingle_array(k: int = 3) -> F.Column:
+    """Distinct k-word shingle array per doc — THE shingling
+    expression (``shingles`` is its explode). Expects ``text`` and a
     ``ws`` column projected ONCE (split inside the lambda would
     re-tokenize per element, O(words²))."""
-    k = 3
     idx = " , ".join(f"ws[i - {k - 1 - j}]" for j in range(k))
     return F.expr(
         f"""
@@ -81,6 +72,17 @@ def shingle_array() -> F.Column:
         ELSE array(text) END
         """
     )
+
+
+def band_md5(b: int) -> F.Column:
+    """Band key of band ``b``: md5 over the ':'-joined decimal
+    minhashes of the band's rows, from a signature table's h0..hN
+    columns — the ONE band-key definition shared by the batch wide
+    table (dedup._banded_wide) and the streaming row-wise banding
+    (ingest_dedup.minhash_bands_rowwise); a drift here would silently
+    diverge the batch and streaming band indexes."""
+    parts = [F.col(f"h{b * _R + i}").cast("string") for i in range(_R)]
+    return F.md5(F.concat_ws(":", *parts).cast("binary"))
 
 
 def minhash_sig_rowwise(docs: DataFrame) -> DataFrame:

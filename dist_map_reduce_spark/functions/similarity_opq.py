@@ -113,8 +113,14 @@ def opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = persist_tracked(
         subvector_rows(rotated_corpus(emb, mu, rot)), "opq_subrows", sf_dir
     )
+    # persist BOTH pq_fit outputs (the similarity_pq.pq_index policy,
+    # under opq-prefixed slots so the plain-PQ index isn't clobbered):
+    # codes and codebook hang off the same Lloyd training lineage, and
+    # an unpersisted codebook re-runs the whole training a second time
+    # when the LUT side materializes
     codes, cb = pq_fit(sub)
     codes = persist_tracked(codes, "opq_codes", sf_dir)
+    cb = persist_tracked(cb, "opq_codebook", sf_dir)
     lut = pq_lut(sub, cb)
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -134,23 +140,15 @@ def opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def opq_vs_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(variant, hits, recall): recall@5 of rotated-PQ vs plain PQ
-    against the exact cosine top-5 — the measured justification (or
-    refutation) of the rotation, ann_recall-style."""
-    from pyspark.sql import Window as W
-
+    against the exact cosine top-5, via the shared ann_recall
+    grading machinery (same exact-top5 cache slot, same recall
+    definition — one source of truth)."""
+    from dist_map_reduce_spark.functions.ann_recall import (
+        exact_top5,
+        grade_recall,
+    )
     from dist_map_reduce_spark.registry import QUERIES
 
-    exact_w = W.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    exact5 = persist_tracked(
-        QUERIES["similarity_topk_cosine"](spark, sf_dir)
-        .withColumn("rn", F.row_number().over(exact_w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "vec_id", F.lit(1).alias("hit")),
-        "ann_recall_exact5",
-        sf_dir,
-    )
     variants = QUERIES["similarity_ann_pq_adc_topk"](spark, sf_dir).select(
         F.lit("pq_adc").alias("variant"), "query_id", "vec_id"
     ).unionAll(
@@ -158,17 +156,4 @@ def opq_vs_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("opq_pq").alias("variant"), "query_id", "vec_id"
         )
     )
-    denom = exact5.agg(F.count("*").alias("n_exact"))
-    return (
-        variants.join(F.broadcast(exact5), ["query_id", "vec_id"], "left")
-        .groupBy("variant")
-        .agg(F.count("hit").alias("hits"))
-        .crossJoin(F.broadcast(denom))
-        .select(
-            "variant",
-            "hits",
-            F.round(F.col("hits") * 1.0 / F.col("n_exact"), 4).alias(
-                "recall"
-            ),
-        )
-    )
+    return grade_recall(variants, exact_top5(spark, sf_dir))

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.functions.dedup_common import (
-    _R,
+    band_md5,
     minhash_sig_rowwise,
     N_BANDS,
 )
@@ -67,15 +67,9 @@ def minhash_bands_rowwise(docs: DataFrame) -> DataFrame:
     md5 of the ':'-joined minhash decimals). Everything stays
     row-local, so the plan is a single projection over the scan."""
     sig = minhash_sig_rowwise(docs)
-    band_cols = []
-    for b in range(N_BANDS):
-        parts = [F.col(f"h{b * _R + i}").cast("string") for i in range(_R)]
-        band_cols.append(
-            F.concat(
-                F.lit(f"{b}:"),
-                F.md5(F.concat_ws(":", *parts).cast("binary")),
-            )
-        )
+    band_cols = [
+        F.concat(F.lit(f"{b}:"), band_md5(b)) for b in range(N_BANDS)
+    ]
     return sig.select("doc_id", F.array(*band_cols).alias("bands"))
 
 

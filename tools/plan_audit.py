@@ -46,6 +46,22 @@ registry.load_staged()
 # occupy driver window slots, so their plans must already be clean
 ALL_QUERIES = {**registry.QUERIES, **registry.STAGED_QUERIES}
 
+# Queries whose CALLABLE executes work (streams, sink writes) during
+# plan construction — auditing their plan string would run the job.
+# Property, not prefix: 'streaming_'/'sink_' naming covers the
+# registered families, and eager staged/odd-named queries list here
+# explicitly.
+EXECUTES_ON_CONSTRUCTION = {"corpus_shard_manifest"}
+
+
+def _eager(name: str) -> bool:
+    return (
+        name.startswith("streaming_")
+        or name.startswith("sink_")
+        or name in EXECUTES_ON_CONSTRUCTION
+    )
+
+
 CARTESIAN_OK = {"join_semi_anti_balance"}  # 1-row scalar crossJoin
 SORTAGG_OK = {
     "profile_orders_columns",  # global min/max over string columns
@@ -68,8 +84,10 @@ def main() -> int:
     flags: list[str] = []
     exchanges: list[tuple[int, str]] = []
     for name in sorted(ALL_QUERIES):
-        if name.startswith("streaming_"):
-            continue  # streaming queries execute on plan construction
+        # base pass: sink_* round-trips are small writes this pass
+        # has always audited; streams and full-corpus exports skip
+        if name.startswith("streaming_") or name in EXECUTES_ON_CONSTRUCTION:
+            continue
         caching.clear()
         try:
             plan = (
@@ -129,7 +147,7 @@ def main() -> int:
                 "lift did not take effect or the detector regressed"
             )
         for name in sorted(ALL_QUERIES):
-            if name.startswith("streaming_") or name.startswith("sink_"):
+            if _eager(name):
                 continue  # executes / writes on plan construction
             caching.clear()
             try:
