@@ -122,6 +122,7 @@ HEADLINE = [
     "text_winnow_decontaminate",
     "streaming_ingest_dedup",
     "curation_funnel",
+    "multimodal_image_resize",
 ]
 
 

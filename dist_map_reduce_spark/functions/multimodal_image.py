@@ -157,3 +157,161 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ppms = ids.mapInPandas(synth_ppm_batches, IMAGE_PAYLOAD_SCHEMA)
     return ppms.mapInPandas(decode_ppm_batches, IMAGE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# STAGED r9: real image RESIZE through the same two-stage pipeline.
+# The brief's multimodal op list is decode / feature-extract / RESIZE
+# / frame-sample; this adds the resize leg with the same no-codec
+# realism: box-average downsampling (the standard area-interpolation
+# kernel, cv2.INTER_AREA / PIL BOX) implemented as a numpy blocked
+# mean — REAL pixel arithmetic, not a stub. Factor 4 divides every
+# synthesized dimension (w ∈ {16..44 step 4}, h ∈ {12..28 step 4}).
+#
+# Oracle discipline: box sums are 16 uint8 values, so every resized pixel
+# is an exact multiple of 1/16 — every emitted feature is an
+# exactly-representable double with a closed form in doc_id. The
+# corner/edge pixel probes discriminate stride, block geometry and
+# off-by-one errors (a transposed reshape or wrong block axis moves
+# them), and mean_r doubles as the box-filter mean-preservation
+# invariant (global mean is unchanged by area averaging).
+# ---------------------------------------------------------------------------
+
+RESIZE_FACTOR = 4
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id long, rheight int, rwidth int,"
+    " r00 double, g_bottom double, b_const double, mean_r double"
+)
+
+from dist_map_reduce_spark.registry import staged_query  # noqa: E402
+
+
+def box_downsample(px, fy: int, fx: int):
+    """Area-average downsample of an (h, w, c) array by integer
+    factors — dims must divide exactly; float64 output (each value a
+    multiple of 1/(fy·fx), exact for uint8 input)."""
+    import numpy as np
+
+    h, w, c = px.shape
+    if h % fy or w % fx:
+        raise ValueError(f"dims ({h},{w}) not divisible by ({fy},{fx})")
+    return (
+        px.astype(np.float64)
+        .reshape(h // fy, fy, w // fx, fx, c)
+        .mean(axis=(1, 3))
+    )
+
+
+@staged_query(
+    "multimodal_image_resize",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             16 + (doc_id % 8) * 4 AS w,
+             12 + (doc_id % 5) * 4 AS h
+      FROM documents WHERE doc_id % 4 = 1
+    )
+    SELECT doc_id,
+           CAST(h // {RESIZE_FACTOR} AS INT) AS rheight,
+           CAST(w // {RESIZE_FACTOR} AS INT) AS rwidth,
+           4.5 + doc_id % 100 AS r00,
+           20.0 * (h // {RESIZE_FACTOR} - 1) + 7.5 + doc_id % 50
+             AS g_bottom,
+           CAST(doc_id % 256 AS DOUBLE) AS b_const,
+           1.5 * w - 1.5 + doc_id % 100 AS mean_r
+    FROM params
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize → decode → box-average resize (factor 4) over the
+    image subset; emits resized dims, three pixel probes (resized
+    top-left red, bottom-left green, constant blue) and the global
+    red mean (invariant under area averaging). Zero shuffles — the
+    decode/transform pipeline shape of the brief's resize op."""
+
+    def synth_ppm_batches(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        def synth(doc_id: int) -> bytes:
+            w = 16 + (doc_id % 8) * 4
+            h = 12 + (doc_id % 5) * 4
+            x = np.arange(w, dtype=np.uint16)
+            y = np.arange(h, dtype=np.uint16)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = (3 * x + doc_id % 100)[None, :]
+            img[:, :, 1] = (5 * y + doc_id % 50)[:, None]
+            img[:, :, 2] = doc_id % 256
+            return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+        for pdf in pdf_iter:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(synth)}
+            )
+
+    def resize_batches(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        f = RESIZE_FACTOR
+
+        def feats(blob: bytes):
+            # P6 decode (bounds-guarded, multimodal.decode_image
+            # discipline), then the REAL blocked-mean resize
+            if not blob.startswith(b"P6"):
+                raise ValueError("not a P6 PPM payload")
+            n_blob = len(blob)
+            tokens, i = [], 2
+            while len(tokens) < 3:
+                while i < n_blob and blob[i : i + 1].isspace():
+                    i += 1
+                if i >= n_blob:
+                    raise ValueError("truncated PPM header")
+                if blob[i : i + 1] == b"#":
+                    while i < n_blob and blob[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < n_blob and not blob[j : j + 1].isspace():
+                    j += 1
+                tokens.append(blob[i:j])
+                i = j
+            if i >= n_blob:
+                raise ValueError("truncated PPM header")
+            i += 1
+            w, h, _maxval = (int(t) for t in tokens)
+            px = np.frombuffer(
+                blob, dtype=np.uint8, count=h * w * 3, offset=i
+            ).reshape(h, w, 3)
+            small = box_downsample(px, f, f)
+            rh, rw = small.shape[0], small.shape[1]
+            return (
+                rh,
+                rw,
+                float(small[0, 0, 0]),
+                float(small[rh - 1, 0, 1]),
+                float(small[0, 0, 2]),
+                float(small[:, :, 0].mean()),
+            )
+
+        for pdf in pdf_iter:
+            cols = list(zip(*pdf["payload"].map(feats)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "rheight": pd.Series(cols[0], dtype="int32"),
+                    "rwidth": pd.Series(cols[1], dtype="int32"),
+                    "r00": cols[2],
+                    "g_bottom": cols[3],
+                    "b_const": cols[4],
+                    "mean_r": cols[5],
+                }
+            )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 4 == 1)
+    )
+    ppms = ids.mapInPandas(synth_ppm_batches, IMAGE_PAYLOAD_SCHEMA)
+    return ppms.mapInPandas(resize_batches, IMAGE_RESIZE_SCHEMA)

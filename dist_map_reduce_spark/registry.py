@@ -83,6 +83,7 @@ def load_staged() -> None:
     from dist_map_reduce_spark.functions import embedding_pca  # noqa: F401
     from dist_map_reduce_spark.functions import text_winnow  # noqa: F401
     from dist_map_reduce_spark.functions import curation_funnel  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
     from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
 
 
@@ -114,16 +115,18 @@ def load_all() -> None:
     re-stamp as many of them as fit after its novelties (~25+) and
     r10 takes the rest — they do NOT all have to fit in one round.
     Ready-made r9 novelties (the r8 window had no free slots): the
-    seven STAGED queries (see staged_query below — already
+    eight STAGED queries (see staged_query below — already
     oracle-parity-tested every run via tests/test_staged_parity.py):
     ``lm_bigram_doc_scores`` (functions/lm_bigram.py),
     ``corpus_shard_manifest`` (functions/shard_export.py),
     ``embedding_gramian`` (functions/embedding_pca.py),
     ``text_winnow_match_pairs`` + ``text_winnow_decontaminate``
     (functions/text_winnow.py), ``streaming_ingest_dedup``
-    (streaming/ingest_dedup_query.py), and ``curation_funnel``
+    (streaming/ingest_dedup_query.py), ``curation_funnel``
     (functions/curation_funnel.py — the end-to-end cascade whose
-    oracle recomposes five component oracles). Promotion is swapping
+    oracle recomposes five component oracles), and
+    ``multimodal_image_resize`` (functions/multimodal_image.py —
+    real box-average downsampling, closed-form pixel-probe oracle). Promotion is swapping
     each decorator to @query and moving the module import into the
     window section above (load_staged() then shrinks accordingly).
     The authoritative staleness list is derivable from the evidence
