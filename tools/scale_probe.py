@@ -56,6 +56,7 @@ STAGED_PROBES = [
     "corpus_shard_manifest",
     "embedding_gramian",
     "text_winnow_match_pairs",
+    "multimodal_image_resize",
 ]
 
 
