@@ -78,10 +78,19 @@ def corpus_band_index(corpus: DataFrame) -> DataFrame:
     corpus — the static side of the ingestion near-dup join. At scale
     this is a table maintained alongside the corpus (append the
     accepted arrivals' bands after each delivery); here it is derived
-    on the fly."""
+    on the fly.
+
+    ``explode_outer``, not ``explode``: the optimizer synthesizes an
+    IsNotNull/size filter from a plain Generate and inlines the whole
+    row-wise signature expression into it (no CSE between filter and
+    project — the InferFiltersFromGenerate trap, see
+    tests/test_winnow_explode_plan.py), which re-evaluated the 16
+    minhashes per row and doubled this stage's wall time (measured
+    3.7 s → 1.8 s at sf0.1). The bands array is never null/empty, so
+    the outer variant is semantically identical."""
     return (
         minhash_bands_rowwise(corpus)
-        .select(F.explode("bands").alias("band"))
+        .select(F.explode_outer("bands").alias("band"))
         .distinct()
     )
 
@@ -105,16 +114,29 @@ def _accept_batch(
     ):
         seen = spark.read.parquet(target).select("fp")
         kept = kept.join(seen, "fp", "left_anti")
+    # kept feeds BOTH the near-dup banding and the final projection —
+    # without a persist the groupBy + sink anti-join lineage runs
+    # twice per micro-batch (plain .persist(), not the tracked slots:
+    # the lifetime is exactly this batch, released before return)
+    kept = kept.persist()
     hits = (
+        # explode_outer for the same no-filter-inlining reason as
+        # corpus_band_index (bands is never null/empty). No explicit
+        # broadcast on the index join: the corpus band index is
+        # corpus-sized at 100 TB (AQE broadcasts it while it fits,
+        # and falls back to a shuffle equi-join when it doesn't)
         minhash_bands_rowwise(kept)
-        .select("doc_id", F.explode("bands").alias("band"))
+        .select("doc_id", F.explode_outer("bands").alias("band"))
         .join(band_index, "band")
         .select("doc_id")
         .distinct()
         .withColumn("corpus_neardup", F.lit(True))
     )
     out = (
-        kept.join(hits, "doc_id", "left")
+        # hits ⊆ this micro-batch's keepers, so it is bounded by the
+        # batch size the harness itself controls — broadcast, saving
+        # a batch shuffle per trigger
+        kept.join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
             "fp",
@@ -124,6 +146,7 @@ def _accept_batch(
         )
     )
     out.write.mode("append").parquet(target)
+    kept.unpersist()
 
 
 def split_corpus_arrivals(
@@ -162,6 +185,12 @@ def run_ingest_dedup(
     in_dir = os.path.join(work_dir, "arrivals")
     target = os.path.join(work_dir, "accepted")
     ckpt = os.path.join(work_dir, "ckpt")
+    # one md5-bucket scan feeds all wave writes (per-harness-run
+    # lifetime, so a bare persist, not a tracked slot); the waves
+    # must be staged as SEQUENTIAL single-file writes — their
+    # modification-time order is what makes maxFilesPerTrigger=1
+    # replay them as ordered micro-batches
+    arrivals = arrivals.persist()
     for i in range(1, n_batches + 1):
         (
             arrivals.filter(F.col("bucket") == i)
@@ -187,4 +216,5 @@ def run_ingest_dedup(
     )
     q.awaitTermination()
     band_index.unpersist()
+    arrivals.unpersist()
     return spark.read.parquet(target)
