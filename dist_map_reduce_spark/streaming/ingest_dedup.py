@@ -80,14 +80,17 @@ def corpus_band_index(corpus: DataFrame) -> DataFrame:
     accepted arrivals' bands after each delivery); here it is derived
     on the fly.
 
-    ``explode_outer``, not ``explode``: the optimizer synthesizes an
-    IsNotNull/size filter from a plain Generate and inlines the whole
-    row-wise signature expression into it (no CSE between filter and
-    project — the InferFiltersFromGenerate trap, see
-    tests/test_winnow_explode_plan.py), which re-evaluated the 16
-    minhashes per row and doubled this stage's wall time (measured
-    3.7 s → 1.8 s at sf0.1). The bands array is never null/empty, so
-    the outer variant is semantically identical."""
+    ``explode_outer``, not ``explode``: under a FOREIGN session (the
+    driver's — session.py's InferFiltersFromGenerate exclusion does
+    not protect it) the optimizer synthesizes an IsNotNull/size
+    filter from the plain Generate with the whole row-wise signature
+    expression inlined (no CSE inside lambdas, see
+    tests/test_winnow_explode_plan.py), re-evaluating the 16
+    minhashes per row: measured 15 s vs 1.1 s at sf0.1 in a plain
+    local[32] session (29 vs 9 md5 nodes in the plan). In the
+    engine-owned session the excluded rule makes the two variants
+    plan-identical. The bands array is never null/empty, so the
+    outer variant is semantically identical."""
     return (
         minhash_bands_rowwise(corpus)
         .select(F.explode_outer("bands").alias("band"))

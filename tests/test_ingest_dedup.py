@@ -155,3 +155,43 @@ def test_ingest_matches_batch_answer(spark, tmp_path):
     got_flagged_fps = {r.fp for r in accepted if r.corpus_neardup}
     assert got_flagged_fps == exp_flagged_fps
     assert any(not r.corpus_neardup for r in accepted)
+
+
+def test_band_index_plan_no_inlined_signature_under_foreign_rules(spark):
+    """The driver runs a PLAIN session where InferFiltersFromGenerate
+    is active; plan_audit's foreign pass skips streaming_ingest_dedup
+    because it executes on construction, so pin the hot shape here:
+    with the exclusion lifted, the band-index plan must not inline
+    the row-wise signature lambdas into an inferred Filter
+    (explode_outer prevents it — measured 15 s vs 1.1 s at sf0.1 for
+    this one stage in a plain local[32] session)."""
+    from dist_map_reduce_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    saved = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    spark.conf.set("spark.sql.optimizer.excludedRules", "")
+    try:
+        docs = load_table(spark, SF_SMOKE, "documents")
+        corpus, _ = split_corpus_arrivals(docs)
+        plan = (
+            corpus_band_index(corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        worst = max(
+            (
+                line.count("lambdafunction(")
+                for line in plan.splitlines()
+                if "Filter " in line
+            ),
+            default=0,
+        )
+        # the plan_audit detector threshold: a Filter inlining the
+        # full 16-minhash signature carries dozens of lambdas
+        assert worst <= 8, f"inferred Filter inlines {worst} lambdas"
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.optimizer.excludedRules")
+        else:
+            spark.conf.set("spark.sql.optimizer.excludedRules", saved)
