@@ -9,12 +9,25 @@ runnable at ANY scale factor — run it at sf0.1 after touching any
 rounded/float output path (two real boundary bugs — pandas
 half-even rounding, DuckDB -0.0 — only materialized above the
 driver's sf0.01).
+
+Each line carries the query's Spark wall-time UNDER THIS FOREIGN
+SESSION, first-run-cold — exactly what the driver pays — and the
+sweep ends with the ten slowest. Two distinct signals hide in
+these numbers: (a) one-time plan/codegen compile cost (iterative
+queries like dedup_clusters or text_bpe_encode_docs spend 3-8 s
+cold and <0.5 s on a second run — benign, data-independent), and
+(b) genuine execution blowups that bench.py's warm engine session
+masks (the r8 ingest band-index case: 15 s vs 1.1 s WARM and
+interleaved, from InferFiltersFromGenerate inlining the signature).
+To tell them apart, re-run the suspect twice in one process: only
+(b) stays slow.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,12 +57,15 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     bad: list[str] = []
+    times: dict[str, float] = {}
     n = 0
     for name, fn in sorted(e.queries().items()):
+        t0 = time.perf_counter()
         sp = fn(spark, sf_dir).toPandas()
+        times[name] = time.perf_counter() - t0
         osql = e.oracle_sql().get(name)
         if osql is None:
-            print(f"{name}: rows-only ({len(sp)} rows)")
+            print(f"{name}: rows-only ({len(sp)} rows) {times[name]:.2f}s")
             continue
         n += 1
         od = con.execute(osql).fetchdf()
@@ -64,7 +80,10 @@ def main() -> int:
         ok = a == b
         if not ok:
             bad.append(name)
-        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(sp)} rows)")
+        print(
+            f"{name}: {'MATCH' if ok else 'MISMATCH'}"
+            f" ({len(sp)} rows) {times[name]:.2f}s"
+        )
 
     # STAGED (next-round) queries get the same engine-vs-oracle check
     # under this FOREIGN session — exactly what the driver will run
@@ -76,7 +95,9 @@ def main() -> int:
     registry.load_staged()
     n_staged = 0
     for name in sorted(registry.STAGED_ORACLES):
+        t0 = time.perf_counter()
         sp = registry.STAGED_QUERIES[name](spark, sf_dir).toPandas()
+        times[f"staged:{name}"] = time.perf_counter() - t0
         od = con.execute(registry.STAGED_ORACLES[name]).fetchdf()
         n_staged += 1
         a = (
@@ -90,7 +111,13 @@ def main() -> int:
         ok = a == b
         if not ok:
             bad.append(f"staged:{name}")
-        print(f"staged:{name}: {'MATCH' if ok else 'MISMATCH'} ({len(sp)} rows)")
+        print(
+            f"staged:{name}: {'MATCH' if ok else 'MISMATCH'}"
+            f" ({len(sp)} rows) {times[f'staged:{name}']:.2f}s"
+        )
+    print("\nslowest under the foreign session:")
+    for name, t in sorted(times.items(), key=lambda x: -x[1])[:10]:
+        print(f"  {t:7.2f}s  {name}")
     print(
         f"\nchecked {n} oracles + {n_staged} staged at {sf_dir}; "
         f"mismatches: {bad}"
