@@ -35,13 +35,94 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import query
+from dist_map_reduce_spark.registry import query, staged_query
 
 IMAGE_PAYLOAD_SCHEMA = "doc_id long, payload binary"
 IMAGE_FEATURE_SCHEMA = (
     "doc_id long, height int, width int,"
     " mean_r double, mean_g double, mean_b double"
 )
+
+
+def _make_synth():
+    """Factory for the deterministic P6 synthesizer shared by the
+    features and resize queries (both oracles are closed forms of
+    THESE gradients — one definition, no drift). Returns a NESTED
+    function so capturing UDF closures keep the cloudpickle-by-value
+    executor contract: a module-level function would pickle by
+    reference and demand this package importable on every executor."""
+
+    def synth(doc_id: int) -> bytes:
+        # x/y gradients chosen to never wrap mod 256, so channel
+        # means/box-means have exact closed forms
+        import numpy as np
+
+        w = 16 + (doc_id % 8) * 4
+        h = 12 + (doc_id % 5) * 4
+        x = np.arange(w, dtype=np.uint16)
+        y = np.arange(h, dtype=np.uint16)
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = (3 * x + doc_id % 100)[None, :]
+        img[:, :, 1] = (5 * y + doc_id % 50)[:, None]
+        img[:, :, 2] = doc_id % 256
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+    return synth
+
+
+def _make_p6_decode():
+    """Factory for the bounds-guarded P6 decoder (header parse +
+    numpy reshape — the logic of ``multimodal.decode_image``),
+    nested for the same pickle-by-value reason as ``_make_synth``.
+    Every header loop is bounds-guarded so a truncated/malformed
+    blob raises instead of spinning executor-side; ValueError, not
+    assert, survives ``python -O``."""
+
+    def decode(blob: bytes):
+        import numpy as np
+
+        if not blob.startswith(b"P6"):
+            raise ValueError("not a P6 PPM payload")
+        n_blob = len(blob)
+        tokens, i = [], 2
+        while len(tokens) < 3:
+            while i < n_blob and blob[i : i + 1].isspace():
+                i += 1
+            if i >= n_blob:
+                raise ValueError("truncated PPM header")
+            if blob[i : i + 1] == b"#":
+                while i < n_blob and blob[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < n_blob and not blob[j : j + 1].isspace():
+                j += 1
+            tokens.append(blob[i:j])
+            i = j
+        if i >= n_blob:
+            raise ValueError("truncated PPM header")
+        i += 1
+        w, h, _maxval = (int(t) for t in tokens)
+        return np.frombuffer(
+            blob, dtype=np.uint8, count=h * w * 3, offset=i
+        ).reshape(h, w, 3)
+
+    return decode
+
+
+def _synth_udf(synth):
+    """The shared payload-synthesis mapInPandas generator, built
+    around a by-value-picklable ``synth``."""
+
+    def synth_ppm_batches(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(synth)}
+            )
+
+    return synth_ppm_batches
 
 
 @query(
@@ -69,65 +150,18 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel statistics; the oracle recomputes the same features in
     closed form from doc_id."""
 
-    def synth_ppm_batches(pdf_iter):
-        # deterministic synthesis: x/y gradients chosen to never
-        # wrap mod 256, so channel means have exact closed forms
-        import numpy as np
-        import pandas as pd
-
-        def synth(doc_id: int) -> bytes:
-            w = 16 + (doc_id % 8) * 4
-            h = 12 + (doc_id % 5) * 4
-            x = np.arange(w, dtype=np.uint16)
-            y = np.arange(h, dtype=np.uint16)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = (3 * x + doc_id % 100)[None, :]
-            img[:, :, 1] = (5 * y + doc_id % 50)[:, None]
-            img[:, :, 2] = doc_id % 256
-            return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
-
-        for pdf in pdf_iter:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(synth)}
-            )
+    synth_ppm_batches = _synth_udf(_make_synth())
+    decode = _make_p6_decode()
 
     def decode_ppm_batches(pdf_iter):
-        # real decode: P6 header parse + numpy reshape (the logic of
-        # multimodal.decode_image, inlined for pickle-by-value);
-        # int64 channel sums are exact, means are exact doubles
+        # real decode via the shared bounds-guarded parser; int64
+        # channel sums are exact, means are exact doubles
         import numpy as np
         import pandas as pd
 
         def feats(blob: bytes):
-            # every header loop is bounds-guarded (same discipline as
-            # multimodal.decode_image) so a truncated/malformed blob
-            # raises instead of spinning executor-side; ValueError,
-            # not assert, survives python -O
-            if not blob.startswith(b"P6"):
-                raise ValueError("not a P6 PPM payload")
-            n_blob = len(blob)
-            tokens, i = [], 2
-            while len(tokens) < 3:
-                while i < n_blob and blob[i : i + 1].isspace():
-                    i += 1
-                if i >= n_blob:
-                    raise ValueError("truncated PPM header")
-                if blob[i : i + 1] == b"#":
-                    while i < n_blob and blob[i : i + 1] != b"\n":
-                        i += 1
-                    continue
-                j = i
-                while j < n_blob and not blob[j : j + 1].isspace():
-                    j += 1
-                tokens.append(blob[i:j])
-                i = j
-            if i >= n_blob:
-                raise ValueError("truncated PPM header")
-            i += 1
-            w, h, _maxval = (int(t) for t in tokens)
-            px = np.frombuffer(
-                blob, dtype=np.uint8, count=h * w * 3, offset=i
-            ).reshape(h, w, 3).astype(np.int64)
+            px = decode(blob).astype(np.int64)
+            h, w = px.shape[0], px.shape[1]
             n = h * w
             return (
                 h,
@@ -183,13 +217,13 @@ IMAGE_RESIZE_SCHEMA = (
     " r00 double, g_bottom double, b_const double, mean_r double"
 )
 
-from dist_map_reduce_spark.registry import staged_query  # noqa: E402
-
 
 def box_downsample(px, fy: int, fx: int):
     """Area-average downsample of an (h, w, c) array by integer
     factors — dims must divide exactly; float64 output (each value a
-    multiple of 1/(fy·fx), exact for uint8 input)."""
+    multiple of 1/(fy·fx), exact for uint8 input). Reference form of
+    the kernel (unit/property-tested); the resize UDF inlines the
+    same reshape-mean to preserve the pickle-by-value contract."""
     import numpy as np
 
     h, w, c = px.shape
@@ -229,25 +263,8 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     red mean (invariant under area averaging). Zero shuffles — the
     decode/transform pipeline shape of the brief's resize op."""
 
-    def synth_ppm_batches(pdf_iter):
-        import numpy as np
-        import pandas as pd
-
-        def synth(doc_id: int) -> bytes:
-            w = 16 + (doc_id % 8) * 4
-            h = 12 + (doc_id % 5) * 4
-            x = np.arange(w, dtype=np.uint16)
-            y = np.arange(h, dtype=np.uint16)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = (3 * x + doc_id % 100)[None, :]
-            img[:, :, 1] = (5 * y + doc_id % 50)[:, None]
-            img[:, :, 2] = doc_id % 256
-            return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
-
-        for pdf in pdf_iter:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(synth)}
-            )
+    synth_ppm_batches = _synth_udf(_make_synth())
+    decode = _make_p6_decode()
 
     def resize_batches(pdf_iter):
         import numpy as np
@@ -256,35 +273,19 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         f = RESIZE_FACTOR
 
         def feats(blob: bytes):
-            # P6 decode (bounds-guarded, multimodal.decode_image
-            # discipline), then the REAL blocked-mean resize
-            if not blob.startswith(b"P6"):
-                raise ValueError("not a P6 PPM payload")
-            n_blob = len(blob)
-            tokens, i = [], 2
-            while len(tokens) < 3:
-                while i < n_blob and blob[i : i + 1].isspace():
-                    i += 1
-                if i >= n_blob:
-                    raise ValueError("truncated PPM header")
-                if blob[i : i + 1] == b"#":
-                    while i < n_blob and blob[i : i + 1] != b"\n":
-                        i += 1
-                    continue
-                j = i
-                while j < n_blob and not blob[j : j + 1].isspace():
-                    j += 1
-                tokens.append(blob[i:j])
-                i = j
-            if i >= n_blob:
-                raise ValueError("truncated PPM header")
-            i += 1
-            w, h, _maxval = (int(t) for t in tokens)
-            px = np.frombuffer(
-                blob, dtype=np.uint8, count=h * w * 3, offset=i
-            ).reshape(h, w, 3)
-            small = box_downsample(px, f, f)
-            rh, rw = small.shape[0], small.shape[1]
+            px = decode(blob)
+            h, w = px.shape[0], px.shape[1]
+            if h % f or w % f:
+                raise ValueError(f"dims ({h},{w}) not divisible by {f}")
+            rh, rw = h // f, w // f
+            # the REAL blocked-mean resize — box_downsample's kernel
+            # inlined (a module-level call would pickle by reference
+            # and break the by-value executor contract)
+            small = (
+                px.astype(np.float64)
+                .reshape(rh, f, rw, f, 3)
+                .mean(axis=(1, 3))
+            )
             return (
                 rh,
                 rw,

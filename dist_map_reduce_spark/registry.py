@@ -77,7 +77,16 @@ def staged_query(
 def load_staged() -> None:
     """Import the modules holding staged (next-round) queries. Kept
     OUT of load_all() so the driver's first-WINDOW registration
-    bookkeeping is untouched; tests call this explicitly."""
+    bookkeeping is untouched; tests call this explicitly.
+
+    Some staged queries live in MIXED modules that also register
+    @query entries (text_winnow, multimodal_image). Calling this in
+    a pristine process before load_all() would land those @query
+    registrations at early QUERIES positions and silently shift the
+    first-WINDOW cut line — so load_all() runs first here, making
+    the call order irrelevant."""
+    if not QUERIES:
+        load_all()
     from dist_map_reduce_spark.functions import lm_bigram  # noqa: F401
     from dist_map_reduce_spark.functions import shard_export  # noqa: F401
     from dist_map_reduce_spark.functions import embedding_pca  # noqa: F401

@@ -120,8 +120,19 @@ def _accept_batch(
     # kept feeds BOTH the near-dup banding and the final projection —
     # without a persist the groupBy + sink anti-join lineage runs
     # twice per micro-batch (plain .persist(), not the tracked slots:
-    # the lifetime is exactly this batch, released before return)
+    # the lifetime is exactly this batch, released in the finally —
+    # CLAUDE.md's sanctioned harness-scoped exception)
     kept = kept.persist()
+    try:
+        _flag_and_append(kept, band_index, target)
+    finally:
+        kept.unpersist()
+
+
+def _flag_and_append(
+    kept: DataFrame, band_index: DataFrame, target: str
+) -> None:
+    """Near-dup flag + append for one micro-batch's keepers."""
     hits = (
         # explode_outer for the same no-filter-inlining reason as
         # corpus_band_index (bands is never null/empty). No explicit
@@ -149,7 +160,6 @@ def _accept_batch(
         )
     )
     out.write.mode("append").parquet(target)
-    kept.unpersist()
 
 
 def split_corpus_arrivals(
@@ -189,35 +199,38 @@ def run_ingest_dedup(
     target = os.path.join(work_dir, "accepted")
     ckpt = os.path.join(work_dir, "ckpt")
     # one md5-bucket scan feeds all wave writes (per-harness-run
-    # lifetime, so a bare persist, not a tracked slot); the waves
-    # must be staged as SEQUENTIAL single-file writes — their
+    # lifetime released in the finally — CLAUDE.md's sanctioned
+    # harness-scoped bare-persist exception); the waves must be
+    # staged as SEQUENTIAL single-file writes — their
     # modification-time order is what makes maxFilesPerTrigger=1
     # replay them as ordered micro-batches
     arrivals = arrivals.persist()
-    for i in range(1, n_batches + 1):
-        (
-            arrivals.filter(F.col("bucket") == i)
-            .drop("bucket")
-            .coalesce(1)
-            .write.mode("append" if i > 1 else "overwrite")
+    band_index = corpus_band_index(corpus).persist()
+    try:
+        for i in range(1, n_batches + 1):
+            (
+                arrivals.filter(F.col("bucket") == i)
+                .drop("bucket")
+                .coalesce(1)
+                .write.mode("append" if i > 1 else "overwrite")
+                .parquet(in_dir)
+            )
+        band_index.count()  # materialize once; reused by every batch
+        stream = (
+            spark.readStream.schema(arrivals.drop("bucket").schema)
+            .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
         )
-    band_index = corpus_band_index(corpus).persist()
-    band_index.count()  # materialize once; reused by every batch
-    stream = (
-        spark.readStream.schema(arrivals.drop("bucket").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda b, _id: _accept_batch(b, band_index, target)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: _accept_batch(b, band_index, target)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    band_index.unpersist()
-    arrivals.unpersist()
+        q.awaitTermination()
+    finally:
+        band_index.unpersist()
+        arrivals.unpersist()
     return spark.read.parquet(target)
