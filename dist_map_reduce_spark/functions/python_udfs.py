@@ -63,6 +63,7 @@ def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((o_totalprice - avg(o_totalprice) OVER w)
                  / stddev_samp(o_totalprice) OVER w, 4) + 0 AS z
     FROM orders
+    WHERE o_custkey % 10 = 1
     WINDOW w AS (PARTITION BY o_custkey)
     """,
 )
@@ -72,9 +73,19 @@ def grouped_map_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same normalization with window functions —
     the built-in formulation that would be preferred in the hot path.
     (Single-order customers get NULL z on both sides: pandas std of
-    one value is NaN, SQL stddev_samp is NULL.)"""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_totalprice"
+    one value is NaN, SQL stddev_samp is NULL.)
+
+    Bounded to a deterministic 1-in-10 customer subset, the
+    udtf_tokenize_docs discipline: grouped-map pays per-GROUP Python
+    round-trip overhead, so running the surface demo over every tiny
+    per-customer group was the slowest line in the whole sf0.1 sweep
+    (24 s for ~100k two-row groups) while demonstrating nothing the
+    subset doesn't. The hot-path formulation IS the oracle's window
+    expression; SCALE.md's UDF rule stands."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .where(F.col("o_custkey") % 10 == 1)
     )
 
     def zscore(pdf):
