@@ -93,7 +93,6 @@ def load_staged() -> None:
     from dist_map_reduce_spark.functions import text_winnow  # noqa: F401
     from dist_map_reduce_spark.functions import curation_funnel  # noqa: F401
     from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
-    from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
 
 
 def load_all() -> None:
@@ -107,57 +106,52 @@ def load_all() -> None:
     window imports is the rotation bookkeeping — if adding a query
     to a window module silently changed the cut line, it fires.
 
-    Round 8: the 36 r4-stamped queries lead, exactly as round 7's
-    rotation plan prescribed — windows (6), timeseries (6),
-    sources_sinks (5), stats (5), scalar_fns (4), setops (4),
-    dedup (4, incl. simhash16), clustering's two (plus this round's
-    new dedup_clusters_logn). Then the queries NEW this round:
-    semdedup (2), the BPE encode arm (text_bpe_encode 4, whose
-    import pulls text_bpe's two r6 stamps into the window as
-    riders), the approx equi-depth histogram (riding with
-    histogram's two r7 stamps), text_char_entropy (1), and
-    text_winnow_fingerprints (1). 36 stale + 9 new + 5 riders = 50.
-    The two r5-stamped singles (dedup_simhash,
-    sources_sinks_orc) sit just OUTSIDE — safe through r9 (floor
-    r5). r9 planning note: after r8 evidence lands the oldest stamps
-    are the 49 r5s (binding only at r10, floor r6), so r9 should
-    re-stamp as many of them as fit after its novelties (~25+) and
-    r10 takes the rest — they do NOT all have to fit in one round.
-    Ready-made r9 novelties (the r8 window had no free slots): the
-    eight STAGED queries (see staged_query below — already
-    oracle-parity-tested every run via tests/test_staged_parity.py):
-    ``lm_bigram_doc_scores`` (functions/lm_bigram.py),
-    ``corpus_shard_manifest`` (functions/shard_export.py),
-    ``embedding_gramian`` (functions/embedding_pca.py),
-    ``text_winnow_match_pairs`` + ``text_winnow_decontaminate``
-    (functions/text_winnow.py), ``streaming_ingest_dedup``
-    (streaming/ingest_dedup_query.py), ``curation_funnel``
-    (functions/curation_funnel.py — the end-to-end cascade whose
-    oracle recomposes five component oracles), and
-    ``multimodal_image_resize`` (functions/multimodal_image.py —
-    real box-average downsampling, closed-form pixel-probe oracle). Promotion is swapping
-    each decorator to @query and moving the module import into the
-    window section above (load_staged() then shrinks accordingly).
+    Round 10 (forced recovery — round 9 was a zero-commit no-op, so
+    the window never rotated and the 49 r5-stamped names sit exactly
+    at the staleness floor, which becomes binding at r10:
+    floor = newest - ceil(189/50) = r10 - 4 = r6). The r10 window is
+    therefore fully determined: ALL 49 r5 names + exactly ONE staged
+    promotion. The 49 live in ten modules that register nothing
+    else -- relational (17), tpch_more (6), arrays_maps (6),
+    subqueries (5), streaming/pipelines (10), dedup_simhash,
+    bucketing, cohorts, skew, sources_sinks_orc (1 each) = 49 -- and
+    the free slot promotes ``streaming_ingest_dedup``
+    (streaming/ingest_dedup_query.py, @staged_query -> @query this
+    round), the highest-value staged query: it certifies the whole
+    incremental-ingest path, now with the band index maintained
+    across waves (round-10 work). 49 + 1 = 50.
+
+    Round 11 plan (mechanical -- execute, don't re-derive): after
+    CORRECTNESS_r10 lands, the oldest stamps are the 41 r6 names
+    (floor binding at r11). The r11 window = those 41 + the SEVEN
+    remaining staged promotions -- ``lm_bigram_doc_scores``
+    (functions/lm_bigram.py), ``corpus_shard_manifest``
+    (functions/shard_export.py), ``embedding_gramian``
+    (functions/embedding_pca.py), ``text_winnow_match_pairs`` +
+    ``text_winnow_decontaminate`` (functions/text_winnow.py -- MIXED
+    module: its existing @query entries ride into the window, count
+    them in the arithmetic), ``curation_funnel``
+    (functions/curation_funnel.py), ``multimodal_image_resize``
+    (functions/multimodal_image.py -- mixed module, same note) --
+    41 + 7 = 48 before riders; trim or add a small module to land
+    exactly on 50. Then r12 re-stamps the 48 r7 names (floor r8) and
+    r13 the 50 r9 names -- steady-state four-round cadence restored.
     The authoritative staleness list is derivable from the evidence
-    files, which is what tests/test_registry.py checks; after this
-    round the oldest stamps anywhere are r5.
+    files, which is what tests/test_registry.py checks.
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
-    from dist_map_reduce_spark.operators import windows  # noqa: F401
-    from dist_map_reduce_spark.operators import timeseries  # noqa: F401
-    from dist_map_reduce_spark.operators import sources_sinks  # noqa: F401
-    from dist_map_reduce_spark.operators import stats  # noqa: F401
-    from dist_map_reduce_spark.operators import scalar_fns  # noqa: F401
-    from dist_map_reduce_spark.operators import setops  # noqa: F401
-    from dist_map_reduce_spark.functions import dedup  # noqa: F401
-    from dist_map_reduce_spark.functions import clustering  # noqa: F401
-    from dist_map_reduce_spark.functions import semdedup  # noqa: F401
-    from dist_map_reduce_spark.functions import text_bpe  # noqa: F401
-    from dist_map_reduce_spark.functions import text_bpe_encode  # noqa: F401
-    from dist_map_reduce_spark.operators import histogram  # noqa: F401
-    from dist_map_reduce_spark.functions import text_entropy  # noqa: F401
-    from dist_map_reduce_spark.functions import text_winnow  # noqa: F401
+    from dist_map_reduce_spark.operators import relational  # noqa: F401
+    from dist_map_reduce_spark.operators import tpch_more  # noqa: F401
+    from dist_map_reduce_spark.operators import arrays_maps  # noqa: F401
+    from dist_map_reduce_spark.operators import subqueries  # noqa: F401
+    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
+    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401
+    from dist_map_reduce_spark.operators import bucketing  # noqa: F401
+    from dist_map_reduce_spark.operators import cohorts  # noqa: F401
+    from dist_map_reduce_spark.operators import skew  # noqa: F401
+    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401
+    from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -170,13 +164,14 @@ def load_all() -> None:
             f"register {len(QUERIES)} queries, expected {WINDOW}"
         )
 
-    # --- outside the window: driver-green in r5-r7, unchanged ---
+    # --- outside the window: driver-green in r6-r9, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
         ann_recall,
         chunking,
+        clustering,
         curation,
         curation_ext,
-        dedup_simhash,
+        dedup,
         graph,
         lm_score,
         multimodal,
@@ -188,40 +183,43 @@ def load_all() -> None:
         quality_model,
         resample_weighted,
         sampling_aes,
+        semdedup,
         similarity,
         similarity_ivf_kmeans,
         similarity_ivfpq,
         similarity_pq,
         text,
         text_boilerplate,
+        text_bpe,
+        text_bpe_encode,
         text_dupngrams,
+        text_entropy,
+        text_winnow,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
         approx,
-        arrays_maps,
-        bucketing,
-        cohorts,
         contribution,
         etl,
+        histogram,
         intervals,
         json_ops,
         linkage,
         profiling,
-        relational,
+        scalar_fns,
         scd,
         sequences,
-        skew,
+        setops,
         skyline,
         snapshot_diff,
-        sources_sinks_orc,
+        sources_sinks,
+        stats,
         stats_robust,
-        subqueries,
+        timeseries,
         timeseries_fill,
         tpch_full,
-        tpch_more,
         tpch_partsupp,
+        windows,
         wordcount,
         zorder,
     )
-    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
     from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401

@@ -10,11 +10,14 @@ ingestion job that, per micro-batch of arrivals:
      anti-joining the batch against the sink table's own fingerprint
      column, so the "state" is the sink itself (no unbounded
      streaming-agg state, restarts are free);
-  3. flags NEAR-duplicates of the EXISTING corpus by joining the
-     arrivals' MinHash-LSH band keys against a precomputed static
-     band index of the corpus (stream-static join, batch-side ops
-     inside ``foreachBatch``);
-  4. appends the surviving rows (+ flags) to the target table.
+  3. flags NEAR-duplicates of everything ALREADY INGESTED by joining
+     the arrivals' MinHash-LSH band keys against a band-index table
+     seeded from the corpus and APPENDED TO after every accepted
+     delivery — so a wave-3 arrival that nearly duplicates a wave-1
+     acceptance is flagged, not just near-dups of the initial corpus
+     (batch-side ops inside ``foreachBatch``);
+  4. appends the surviving rows (+ flags) to the target table and
+     their band keys to the band-index table.
 
 All four steps are plain batch DataFrame ops inside ``foreachBatch``
 (the ``streaming_foreachbatch_upsert`` pattern,
@@ -34,17 +37,31 @@ independent test reference (tests/test_ingest_dedup.py pins the two
 bit-identical).
 
 Near-dup flag semantics: an arrival sharing ANY (band_id, band_key)
-with a corpus document is flagged ``corpus_neardup`` (same S-curve as
-``minhash_band_candidates``: b=4, r=4 → s* ≈ 0.71). The corpus index
-keeps hot band keys — a semi-join flag has no quadratic pair
-expansion, and a document matching corpus boilerplate IS a near-dup
-of the corpus (the MAX_KEY_DOCS cap exists to bound PAIR generation,
-not membership tests).
+with a previously-ingested document — the initial corpus or a keeper
+from an EARLIER wave — is flagged ``corpus_neardup`` (same S-curve as
+``minhash_band_candidates``: b=4, r=4 → s* ≈ 0.71). Two keepers in
+the SAME wave never flag each other: each batch joins against the
+index state as of the previous delivery, which is the only
+well-defined "before" inside a single append. The index keeps hot
+band keys — a semi-join flag has no quadratic pair expansion, and a
+document matching corpus boilerplate IS a near-dup of the corpus
+(the MAX_KEY_DOCS cap exists to bound PAIR generation, not
+membership tests).
+
+The band index lives as a parquet table beside the sink — the same
+sink-as-state discipline as the fingerprint anti-join. Each batch
+reads it, flags, then appends the batch keepers' distinct bands
+(append-only: a band re-introduced by a later wave is a harmless
+duplicate for a membership semi-join; a production compaction would
+anti-join before appending, which costs an extra scan per delivery
+for storage only — semantics are identical).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,10 +92,11 @@ def minhash_bands_rowwise(docs: DataFrame) -> DataFrame:
 
 def corpus_band_index(corpus: DataFrame) -> DataFrame:
     """Distinct ``band`` keys (band_id:band_key) of the existing
-    corpus — the static side of the ingestion near-dup join. At scale
-    this is a table maintained alongside the corpus (append the
-    accepted arrivals' bands after each delivery); here it is derived
-    on the fly.
+    corpus — the SEED of the ingestion near-dup index.
+    ``run_ingest_dedup`` materializes this once to the band-index
+    table, then every accepted delivery appends its keepers' bands
+    (``_flag_and_append``), so the join side grows with the corpus
+    exactly as a production index would.
 
     ``explode_outer``, not ``explode``: under a FOREIGN session (the
     driver's — session.py's InferFiltersFromGenerate exclusion does
@@ -99,12 +117,27 @@ def corpus_band_index(corpus: DataFrame) -> DataFrame:
 
 
 def _accept_batch(
-    batch: DataFrame, band_index: DataFrame, target: str
+    batch: DataFrame, index_dir: str, target: str, stage_dir: str
 ) -> None:
     """The foreachBatch body: in-batch dedup → cross-batch anti-join
-    against the sink's fingerprints → corpus near-dup flag → append.
+    against the sink's fingerprints → SNAPSHOT the keepers to a
+    staging parquet → near-dup flag against the band-index table as
+    of the previous delivery → append rows to the sink and the
+    keepers' bands to the index.
     Deterministic keeper: min doc_id within the batch (batches
-    replay in a deterministic order, so the accepted set is too)."""
+    replay in a deterministic order, so the accepted set is too).
+
+    The staging write is load-bearing, not a cache: the keeper
+    lineage READS the sink (the anti-join), and this batch APPENDS to
+    the sink before the index append runs — parquet scans re-list
+    files at execution, so any post-append recomputation of that
+    lineage would see the batch's own fingerprints in the sink and
+    silently empty itself (observed: waves 2-3 appended 0 bands when
+    the keepers were merely .persist()ed — cache eviction or a
+    second job re-listing is enough). Writing the keepers once and
+    re-reading the snapshot cuts every downstream plan's lineage from
+    the tables being appended to; correctness no longer depends on
+    cache residency."""
     spark = batch.sparkSession
     kept = (
         batch.withColumn("fp", F.md5(F.col("text").cast("binary")))
@@ -117,49 +150,65 @@ def _accept_batch(
     ):
         seen = spark.read.parquet(target).select("fp")
         kept = kept.join(seen, "fp", "left_anti")
-    # kept feeds BOTH the near-dup banding and the final projection —
-    # without a persist the groupBy + sink anti-join lineage runs
-    # twice per micro-batch (plain .persist(), not the tracked slots:
-    # the lifetime is exactly this batch, released in the finally —
-    # CLAUDE.md's sanctioned harness-scoped exception)
-    kept = kept.persist()
-    try:
-        _flag_and_append(kept, band_index, target)
-    finally:
-        kept.unpersist()
+    kept.write.mode("overwrite").parquet(stage_dir)
+    _flag_and_append(spark.read.parquet(stage_dir), index_dir, target)
 
 
-def _flag_and_append(
-    kept: DataFrame, band_index: DataFrame, target: str
-) -> None:
-    """Near-dup flag + append for one micro-batch's keepers."""
-    hits = (
-        # explode_outer for the same no-filter-inlining reason as
-        # corpus_band_index (bands is never null/empty). No explicit
-        # broadcast on the index join: the corpus band index is
-        # corpus-sized at 100 TB (AQE broadcasts it while it fits,
-        # and falls back to a shuffle equi-join when it doesn't)
+def _flag_and_append(kept: DataFrame, index_dir: str, target: str) -> None:
+    """Near-dup flag + append for one micro-batch's keepers, then
+    index maintenance: the keepers' own distinct bands are appended
+    to the band-index table so LATER waves flag near-dups of THIS
+    delivery (VERDICT r9 #2 — the index must not stay frozen at the
+    initial corpus). ``kept`` must be lineage-isolated from both
+    ``target`` and ``index_dir`` (see _accept_batch's staging note).
+    """
+    spark = kept.sparkSession
+    # explode_outer for the same no-filter-inlining reason as
+    # corpus_band_index (bands is never null/empty). The keepers'
+    # bands feed BOTH the flag join and the index append — persist
+    # for the batch (harness-scoped, released in the finally) so the
+    # 16-minhash signature is computed once per keeper; an eviction
+    # only costs a recompute from the staged snapshot, never a
+    # correctness change.
+    kept_bands = (
         minhash_bands_rowwise(kept)
         .select("doc_id", F.explode_outer("bands").alias("band"))
-        .join(band_index, "band")
-        .select("doc_id")
-        .distinct()
-        .withColumn("corpus_neardup", F.lit(True))
+        .persist()
     )
-    out = (
-        # hits ⊆ this micro-batch's keepers, so it is bounded by the
-        # batch size the harness itself controls — broadcast, saving
-        # a batch shuffle per trigger
-        kept.join(F.broadcast(hits), "doc_id", "left")
-        .select(
-            "doc_id",
-            "fp",
-            F.coalesce("corpus_neardup", F.lit(False)).alias(
-                "corpus_neardup"
-            ),
+    try:
+        band_index = spark.read.parquet(index_dir)
+        hits = (
+            # No explicit broadcast on the index join: the band
+            # index is corpus-sized at 100 TB (AQE broadcasts it
+            # while it fits, and falls back to a shuffle equi-join
+            # when it doesn't)
+            kept_bands.join(band_index, "band")
+            .select("doc_id")
+            .distinct()
+            .withColumn("corpus_neardup", F.lit(True))
         )
-    )
-    out.write.mode("append").parquet(target)
+        out = (
+            # hits ⊆ this micro-batch's keepers, so it is bounded by
+            # the batch size the harness itself controls — broadcast,
+            # saving a batch shuffle per trigger
+            kept.join(F.broadcast(hits), "doc_id", "left")
+            .select(
+                "doc_id",
+                "fp",
+                F.coalesce("corpus_neardup", F.lit(False)).alias(
+                    "corpus_neardup"
+                ),
+            )
+        )
+        # sink write FIRST: its flag join must see the pre-batch
+        # index state (same-wave keepers never flag each other), so
+        # the index append comes strictly after
+        out.write.mode("append").parquet(target)
+        kept_bands.select("band").distinct().write.mode("append").parquet(
+            index_dir
+        )
+    finally:
+        kept_bands.unpersist()
 
 
 def split_corpus_arrivals(
@@ -189,33 +238,53 @@ def run_ingest_dedup(
     """Replay harness: stage each arrival wave as one parquet file,
     stream them with ``maxFilesPerTrigger=1`` (one REAL micro-batch
     per wave, the streaming_multibatch_counts discipline), run the
-    foreachBatch ingestion against the corpus band index, and return
-    the final accepted table (doc_id, fp, corpus_neardup). ``docs``
-    overrides the fixture table (crafted-duplicate tests)."""
+    foreachBatch ingestion against the growing band-index table, and
+    return the final accepted table (doc_id, fp, corpus_neardup).
+    ``docs`` overrides the fixture table (crafted-duplicate tests).
+
+    Wave ordering: Spark's file stream source orders micro-batches
+    by file modification time, and parquet writers stamp whatever
+    the filesystem clock says — two waves written within one mtime
+    granule would tie and break the earliest-wave-wins keeper
+    determinism the oracle assumes (ADVICE r8). So each staged wave
+    file gets an EXPLICIT strictly-increasing mtime (base + 10 s per
+    wave) plus a lexicographic ``wave-i.parquet`` name for
+    debuggability — replay order is pinned by construction, not by
+    write-latency luck."""
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
     corpus, arrivals = split_corpus_arrivals(docs, n_batches)
     in_dir = os.path.join(work_dir, "arrivals")
     target = os.path.join(work_dir, "accepted")
+    index_dir = os.path.join(work_dir, "band_index")
+    batch_stage = os.path.join(work_dir, "batch_stage")
     ckpt = os.path.join(work_dir, "ckpt")
     # one md5-bucket scan feeds all wave writes (per-harness-run
     # lifetime released in the finally — CLAUDE.md's sanctioned
-    # harness-scoped bare-persist exception); the waves must be
-    # staged as SEQUENTIAL single-file writes — their
-    # modification-time order is what makes maxFilesPerTrigger=1
-    # replay them as ordered micro-batches
+    # harness-scoped bare-persist exception)
     arrivals = arrivals.persist()
-    band_index = corpus_band_index(corpus).persist()
     try:
+        os.makedirs(in_dir, exist_ok=True)
+        base = time.time()
         for i in range(1, n_batches + 1):
+            stage = os.path.join(work_dir, f"stage_{i}")
             (
                 arrivals.filter(F.col("bucket") == i)
                 .drop("bucket")
                 .coalesce(1)
-                .write.mode("append" if i > 1 else "overwrite")
-                .parquet(in_dir)
+                .write.mode("overwrite")
+                .parquet(stage)
             )
-        band_index.count()  # materialize once; reused by every batch
+            [part] = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ]
+            dst = os.path.join(in_dir, f"wave-{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (base + 10 * i, base + 10 * i))
+            shutil.rmtree(stage)
+        # seed the band-index table from the existing corpus; each
+        # accepted delivery appends its keepers' bands
+        corpus_band_index(corpus).write.mode("overwrite").parquet(index_dir)
         stream = (
             spark.readStream.schema(arrivals.drop("bucket").schema)
             .option("maxFilesPerTrigger", 1)
@@ -223,7 +292,7 @@ def run_ingest_dedup(
         )
         q = (
             stream.writeStream.foreachBatch(
-                lambda b, _id: _accept_batch(b, band_index, target)
+                lambda b, _id: _accept_batch(b, index_dir, target, batch_stage)
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -231,6 +300,5 @@ def run_ingest_dedup(
         )
         q.awaitTermination()
     finally:
-        band_index.unpersist()
         arrivals.unpersist()
     return spark.read.parquet(target)

@@ -15,19 +15,23 @@ streaming outcome re-derived relationally:
   wave the min doc_id is the keeper — exactly the foreachBatch
   semantics (waves replay in order; the sink anti-join blocks
   redeliveries; min-struct picks the keeper);
-- the near-dup flag re-derives the corpus band index with
-  dedup_common's proven minhash-band SQL and equi-joins the keepers'
-  bands against it.
+- the near-dup flag re-derives the GROWING band index with
+  dedup_common's proven minhash-band SQL: a keeper is flagged iff it
+  shares a band with the corpus (wave 0) or with a keeper from a
+  STRICTLY EARLIER wave — mirroring the engine's index maintenance,
+  where each delivery appends its keepers' bands after flagging
+  against the pre-batch state (so same-wave keepers never flag each
+  other).
 
-So a lost micro-batch, a double-applied wave, a broken anti-join, or
-a band-key drift anywhere in the streaming path breaks the value
-hash. This is the strongest check a streaming pipeline gets here:
-engine-vs-engine on the final sink state, same discipline as
-streaming/pipelines.py's stream-vs-batch comparisons plus a foreign
-oracle.
+So a lost micro-batch, a double-applied wave, a broken anti-join, a
+band-key drift, or a missed/premature index append anywhere in the
+streaming path breaks the value hash. This is the strongest check a
+streaming pipeline gets here: engine-vs-engine on the final sink
+state, same discipline as streaming/pipelines.py's stream-vs-batch
+comparisons plus a foreign oracle.
 
-Promotion state: STAGED for the r9 correctness window (see
-registry.py:staged_query).
+Promoted to @query in round 10 (the r10 window's one free slot —
+registry.load_all docstring has the rotation arithmetic).
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from dist_map_reduce_spark.functions.dedup_common import _minhash_bands_sql
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 from dist_map_reduce_spark.scratch import scratch_path as _scratch
 from dist_map_reduce_spark.streaming.ingest_dedup import (
     N_INGEST_BATCHES,
@@ -47,7 +51,7 @@ from dist_map_reduce_spark.streaming.ingest_dedup import (
 _N_SPLIT = N_INGEST_BATCHES + 1
 
 
-@staged_query(
+@query(
     "streaming_ingest_dedup",
     oracle=f"""
     WITH d AS (
@@ -62,23 +66,33 @@ _N_SPLIT = N_INGEST_BATCHES + 1
     ),
     first_wave AS (SELECT fp, min(bucket) AS w FROM arr GROUP BY 1),
     keeper AS (
-      SELECT arr.fp, min(arr.doc_id) AS doc_id
+      SELECT arr.fp, min(arr.doc_id) AS doc_id, fw.w
       FROM arr JOIN first_wave fw ON arr.fp = fw.fp AND arr.bucket = fw.w
-      GROUP BY 1
+      GROUP BY arr.fp, fw.w
     ),
     all_bands AS ({_minhash_bands_sql()}),
-    corpus_bands AS (
-      SELECT DISTINCT band_id || ':' || band_key AS band
-      FROM all_bands JOIN d USING (doc_id)
-      WHERE d.bucket = 0
-    ),
     keeper_bands AS (
-      SELECT k.doc_id, ab.band_id || ':' || ab.band_key AS band
+      SELECT k.doc_id, k.w, ab.band_id || ':' || ab.band_key AS band
       FROM all_bands ab JOIN keeper k ON ab.doc_id = k.doc_id
+    ),
+    -- index state: each band tagged with the earliest wave that put
+    -- it in the index (0 = the seeded corpus); the engine appends
+    -- keepers' bands after each delivery, so a keeper sees exactly
+    -- the bands whose introducing wave is STRICTLY earlier
+    state_bands AS (
+      SELECT band, 0 AS w
+      FROM (
+        SELECT DISTINCT ab.band_id || ':' || ab.band_key AS band
+        FROM all_bands ab JOIN d USING (doc_id)
+        WHERE d.bucket = 0
+      )
+      UNION ALL
+      SELECT band, w FROM keeper_bands
     ),
     hits AS (
       SELECT DISTINCT kb.doc_id
-      FROM keeper_bands kb JOIN corpus_bands USING (band)
+      FROM keeper_bands kb
+      JOIN state_bands sb ON kb.band = sb.band AND sb.w < kb.w
     )
     SELECT k.doc_id, k.fp,
            (h.doc_id IS NOT NULL) AS corpus_neardup

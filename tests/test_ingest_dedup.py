@@ -106,6 +106,75 @@ def test_ingest_crafted_cross_wave_duplicates(spark, tmp_path):
     assert 6 in out and not out[6].corpus_neardup
 
 
+def test_ingest_cross_wave_neardup_flagged(spark, tmp_path):
+    """The band index must GROW with accepted deliveries (VERDICT r9
+    #2): a wave-3 arrival that nearly duplicates a WAVE-1 keeper —
+    sharing MinHash bands with it but none with the initial corpus —
+    must be flagged, which the old frozen-at-corpus index could never
+    do. Conversely two near-dups arriving in the SAME wave must NOT
+    flag each other: each batch joins against the index state as of
+    the previous delivery.
+
+    Texts engineered so (precondition-asserted below): wave1_text and
+    wave3_text share ≥1 band; pair_a and pair_b share all 4 bands;
+    nothing shares a band with the corpus doc. Buckets precomputed
+    from the md5 split: 7→corpus, 3→wave1, {0,1}→wave2, 6→wave3."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango"
+    )
+    base2 = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
+        "nineteen twenty"
+    )
+    corpus_text = (
+        "the existing corpus document speaks about entirely different "
+        "topics like cooking baking roasting grilling frying steaming "
+        "boiling"
+    )
+    wave1_text, wave3_text = base, base + " uniform"
+    pair_a, pair_b = base2, base2 + " extra"
+    docs = spark.createDataFrame(
+        [
+            (7, corpus_text),  # bucket 0: existing corpus
+            (3, wave1_text),  # bucket 1 (wave 1)
+            (0, pair_a),  # bucket 2 (wave 2): same-wave near-dup pair
+            (1, pair_b),  # bucket 2
+            (6, wave3_text),  # bucket 3: near-dup of the WAVE-1 keeper
+        ],
+        ["doc_id", "text"],
+    )
+    # precondition: the engineered band overlaps actually hold (the
+    # minhash is md5-deterministic, so these are stable constants —
+    # this assert turns a drifted banding constant into a loud
+    # diagnosis instead of a silent wrong-reason pass)
+    bands = {
+        r.doc_id: set(r.bands)
+        for r in minhash_bands_rowwise(docs).collect()
+    }
+    assert bands[3] & bands[6], "wave1/wave3 texts no longer share a band"
+    assert bands[0] & bands[1], "same-wave pair no longer shares a band"
+    for d in (3, 0, 1, 6):
+        assert not (bands[d] & bands[7]), f"doc {d} collides with corpus"
+
+    out = {
+        r.doc_id: r
+        for r in run_ingest_dedup(
+            spark, SF_SMOKE, str(tmp_path), docs=docs
+        ).collect()
+    }
+    assert set(out) == {3, 0, 1, 6}
+    # cross-wave: flagged against the wave-1 keeper's appended bands
+    assert out[6].corpus_neardup
+    # same-wave pair: the index state is pre-batch, so neither is
+    # flagged (and the wave-1 keeper itself matched nothing)
+    assert not out[0].corpus_neardup
+    assert not out[1].corpus_neardup
+    assert not out[3].corpus_neardup
+
+
 def test_ingest_matches_batch_answer(spark, tmp_path):
     """End-to-end replay: 3 arrival waves through foreachBatch must
     accept exactly one row per distinct arrival fingerprint, never a
@@ -139,19 +208,45 @@ def test_ingest_matches_batch_answer(spark, tmp_path):
     }
     assert all(fp_by_doc[r.doc_id] == r.fp for r in accepted)
 
-    # near-dup flags == batch band-intersection answer (flag is a
-    # function of text, so it is fingerprint-stable across keepers)
-    idx = corpus_band_index(corpus)
-    flagged_docs = {
-        r.doc_id
-        for r in minhash_bands_rowwise(arrivals)
-        .select("doc_id", F.explode("bands").alias("band"))
-        .join(idx, "band")
-        .select("doc_id")
-        .distinct()
-        .collect()
+    # near-dup flags == the GROWING-index answer, re-derived in plain
+    # Python: a keeper is flagged iff it shares a band with the
+    # corpus (wave 0) or with a keeper from a strictly earlier wave
+    _, arrivals_b = split_corpus_arrivals(docs)
+    wave_by_doc = {
+        r.doc_id: r.bucket
+        for r in arrivals_b.select("doc_id", "bucket").collect()
     }
-    exp_flagged_fps = {fp_by_doc[d] for d in flagged_docs}
+    first_wave: dict[str, int] = {}
+    for d, w in wave_by_doc.items():
+        fp = fp_by_doc[d]
+        first_wave[fp] = min(first_wave.get(fp, w), w)
+    keeper_by_fp = {
+        fp: min(
+            d
+            for d, w in wave_by_doc.items()
+            if fp_by_doc[d] == fp and w == fw
+        )
+        for fp, fw in first_wave.items()
+    }
+    bands_by_doc = {
+        r.doc_id: set(r.bands)
+        for r in minhash_bands_rowwise(docs).collect()
+    }
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    band_intro: dict[str, int] = {}
+    for c in corpus_ids:
+        for b in bands_by_doc[c]:
+            band_intro[b] = 0
+    for fp, d in keeper_by_fp.items():
+        for b in bands_by_doc[d]:
+            band_intro[b] = min(band_intro.get(b, first_wave[fp]), first_wave[fp])
+    exp_flagged_fps = {
+        fp
+        for fp, d in keeper_by_fp.items()
+        if any(
+            band_intro.get(b, 99) < first_wave[fp] for b in bands_by_doc[d]
+        )
+    }
     got_flagged_fps = {r.fp for r in accepted if r.corpus_neardup}
     assert got_flagged_fps == exp_flagged_fps
     assert any(not r.corpus_neardup for r in accepted)
