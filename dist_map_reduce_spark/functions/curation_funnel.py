@@ -11,33 +11,46 @@ documents and tokens survive:
   2 neardup_minhash   — 'keep' rows of dedup_keep_drop_list (MinHash
                         LSH candidates → connected components →
                         longest-text canonical)
-  3 quality_logreg    — the fixed quality model's keep decision
-  4 decontaminate     — drop the eval source entirely AND train docs
+  3 semdedup          — 'keep' rows of semdedup_prune_list (k-means
+                        cells → per-cell cosine prune) where the
+                        embeddings table is doc-aligned; an explicit
+                        LOGGED no-op (every doc passes) where it is
+                        not — see the alignment note below
+  4 quality_logreg    — the fixed quality model's keep decision
+  5 decontaminate     — drop the eval source entirely AND train docs
                         with ≥ threshold eval-shingle overlap
                         (decontaminate_against_eval)
-  5 source_cap        — the per-domain cap (per_source_doc_cap
+  6 source_cap        — the per-domain cap (per_source_doc_cap
                         semantics: largest first, CAP per source)
                         applied to the SURVIVORS
-  6 aes_sample        — Efraimidis–Spirakis weighted sample of K
+  7 aes_sample        — Efraimidis–Spirakis weighted sample of K
                         documents from the capped survivors
                         (token-count weights, deterministic
                         salted-md5 clocks — the weighted_sample_aes
                         formula)
 
-Composition semantics (the Dolma/RedPajama shape): stages 1–4 are
+Composition semantics (the Dolma/RedPajama shape): stages 1–5 are
 per-document FACTS computed corpus-wide by the existing registered
-queries — dedup clusters, quality logits, contamination flags are
-independent of the cascade — and the funnel applies them as a
-conjunctive cascade in the order above. Stages 5–6 are SELECTIONS
+queries — dedup clusters, semantic prune lists, quality logits,
+contamination flags are independent of the cascade — and the funnel
+applies them as a conjunctive cascade in the order above. Stages
+6–7 are SELECTIONS
 and run survivor-relative: a corpus-global cap keep-list intersected
 with the cascade can empty the funnel when earlier stages drop
 exactly the large documents the global cap chose (observed at
 sf0.1, where decontamination keeps only short documents), and a
 sample must be drawn from what is actually left.
-SemDeDup is deliberately absent: the embeddings table stops being
+SemDeDup alignment (VERDICT r9 #4): the embeddings table stops being
 doc-aligned above sf0.01 (2 000 vectors vs 5 000 docs at sf0.1), so
-an embedding-keyed stage would silently no-op; its keep/drop list
-composes the same way where embeddings exist.
+the semantic stage keys on an explicit alignment predicate — every
+document has a vector (count(documents ⋈ embeddings) ==
+count(documents)). Aligned: the stage applies semdedup_prune_list's
+keep decisions. Not aligned: the stage passes every document AND
+logs a warning — a visible no-op, never a silent one — and the
+oracle evaluates the SAME predicate in SQL, so the two engines
+no-op (or bite) in lockstep at every scale factor. The two counts
+are 1-row scalar aggregates (the quality_model bounded-collect
+class), not data-path collects.
 
 Oracle: the DuckDB side re-derives every stage from scratch — the
 near-dup stage alone re-runs the full MinHash → banding → capped
@@ -59,8 +72,8 @@ is one TakeOrderedAndProject over the cascade filter. Nothing in the
 funnel adds a shuffle beyond what its component queries already
 proved out.
 
-Promotion state: STAGED for the r9 correctness window (see
-registry.py:staged_query).
+Promotion state: STAGED; scheduled for the r11 correctness window
+(registry.load_all's rotation plan).
 """
 
 from __future__ import annotations
@@ -77,6 +90,7 @@ from dist_map_reduce_spark.functions import curation  # noqa: F401
 from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
 from dist_map_reduce_spark.functions import dedup  # noqa: F401
 from dist_map_reduce_spark.functions import quality_model  # noqa: F401
+from dist_map_reduce_spark.functions import semdedup  # noqa: F401
 from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.functions.curation_ext import CAP
@@ -89,6 +103,7 @@ _STAGES = (
     "corpus",
     "exact_dedup",
     "neardup_minhash",
+    "semdedup",
     "quality_logreg",
     "decontaminate",
     "source_cap",
@@ -105,6 +120,18 @@ def _funnel_oracle() -> str:
       SELECT doc_id FROM ({ORACLES["dedup_keep_drop_list"]}) nd_t
       WHERE action = 'keep'
     ),
+    -- SemDeDup stage gated on doc-alignment: every document has a
+    -- vector, or the stage passes everyone (same predicate the
+    -- engine evaluates — see funnel_flags)
+    sd_aligned AS (
+      SELECT (SELECT count(*) FROM documents d
+              JOIN embeddings e ON e.vec_id = d.doc_id)
+           = (SELECT count(*) FROM documents) AS ok
+    ),
+    sd AS (
+      SELECT vec_id AS doc_id FROM ({ORACLES["semdedup_prune_list"]}) sd_t
+      WHERE action = 'keep'
+    ),
     ql AS (
       SELECT doc_id FROM ({ORACLES["quality_logreg_scores"]}) ql_t
       WHERE keep
@@ -118,14 +145,17 @@ def _funnel_oracle() -> str:
              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
              ex.doc_id IS NOT NULL AS f1,
              nd.doc_id IS NOT NULL AS f2,
-             ql.doc_id IS NOT NULL AS f3,
-             dc.doc_id IS NOT NULL AS f4,
+             CASE WHEN (SELECT ok FROM sd_aligned)
+                  THEN sd.doc_id IS NOT NULL ELSE TRUE END AS f3,
+             ql.doc_id IS NOT NULL AS f4,
+             dc.doc_id IS NOT NULL AS f5,
              -ln((('0x' || substring(md5('aes:' || CAST(d.doc_id AS VARCHAR)),
                                      1, 8))::BIGINT + 1) / {_POW32})
                / len(string_split(d.text, ' ')) + 0.0 AS raw_clock
       FROM documents d
       LEFT JOIN ex ON ex.doc_id = d.doc_id
       LEFT JOIN nd ON nd.doc_id = d.doc_id
+      LEFT JOIN sd ON sd.doc_id = d.doc_id
       LEFT JOIN ql ON ql.doc_id = d.doc_id
       LEFT JOIN dc ON dc.doc_id = d.doc_id
     ),
@@ -135,7 +165,7 @@ def _funnel_oracle() -> str:
                row_number() OVER (
                  PARTITION BY source ORDER BY n_chars DESC, doc_id
                ) AS rk
-        FROM flags WHERE f1 AND f2 AND f3 AND f4
+        FROM flags WHERE f1 AND f2 AND f3 AND f4 AND f5
       ) r WHERE rk <= {CAP}
     )
     SELECT 0 AS stage_no, 'corpus' AS stage,
@@ -151,23 +181,29 @@ def _funnel_oracle() -> str:
            CAST(coalesce(sum(toks) FILTER (WHERE f1 AND f2), 0) AS BIGINT)
     FROM flags
     UNION ALL
-    SELECT 3, 'quality_logreg',
-           count(*) FILTER (WHERE f1 AND f2 AND f3),
+    SELECT 3, 'semdedup', count(*) FILTER (WHERE f1 AND f2 AND f3),
            CAST(coalesce(sum(toks) FILTER (WHERE f1 AND f2 AND f3), 0)
                 AS BIGINT)
     FROM flags
     UNION ALL
-    SELECT 4, 'decontaminate',
+    SELECT 4, 'quality_logreg',
            count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4),
            CAST(coalesce(sum(toks) FILTER (WHERE f1 AND f2 AND f3 AND f4),
                          0) AS BIGINT)
     FROM flags
     UNION ALL
-    SELECT 5, 'source_cap', count(*),
+    SELECT 5, 'decontaminate',
+           count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5),
+           CAST(coalesce(sum(toks)
+                         FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5),
+                         0) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 6, 'source_cap', count(*),
            CAST(coalesce(sum(toks), 0) AS BIGINT)
     FROM capped
     UNION ALL
-    SELECT 6, 'aes_sample', count(*),
+    SELECT 7, 'aes_sample', count(*),
            CAST(coalesce(sum(toks), 0) AS BIGINT)
     FROM (
       SELECT toks FROM capped
@@ -178,11 +214,13 @@ def _funnel_oracle() -> str:
 
 
 def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, n_chars, toks, f1..f4, raw_clock): the corpus
+    """(doc_id, source, n_chars, toks, f1..f5, raw_clock): the corpus
     decorated with every per-doc stage fact — the single table all
     funnel counts read. The cap and sample stages are selections
     over survivors, not per-doc facts, so they live in the funnel
     body, not here."""
+    import logging
+
     docs = load_table(spark, sf_dir, "documents")
     ex = QUERIES["dedup_exact_docs"](spark, sf_dir).select(
         F.col("keep_id").alias("doc_id"), F.lit(True).alias("f1")
@@ -192,15 +230,42 @@ def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("action") == "keep")
         .select("doc_id", F.lit(True).alias("f2"))
     )
+    # SemDeDup stage, gated on doc-alignment (two 1-row scalar
+    # aggregates — the quality_model bounded-collect class). The
+    # oracle evaluates the identical predicate in SQL, so both
+    # engines no-op (or bite) in lockstep.
+    emb_ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    n_docs = docs.count()
+    n_aligned = docs.select("doc_id").join(emb_ids, "doc_id").count()
+    if n_aligned == n_docs:
+        sd = (
+            QUERIES["semdedup_prune_list"](spark, sf_dir)
+            .filter(F.col("action") == "keep")
+            .select(
+                F.col("vec_id").alias("doc_id"), F.lit(True).alias("f3")
+            )
+        )
+    else:
+        logging.getLogger(__name__).warning(
+            "curation_funnel: embeddings not doc-aligned at %s "
+            "(%d of %d documents have a vector) — SemDeDup stage is "
+            "an explicit no-op (every document passes)",
+            sf_dir,
+            n_aligned,
+            n_docs,
+        )
+        sd = docs.select("doc_id", F.lit(True).alias("f3"))
     ql = (
         QUERIES["quality_logreg_scores"](spark, sf_dir)
         .filter(F.col("keep"))
-        .select("doc_id", F.lit(True).alias("f3"))
+        .select("doc_id", F.lit(True).alias("f4"))
     )
     dc = (
         QUERIES["decontaminate_against_eval"](spark, sf_dir)
         .filter(~F.col("contaminated"))
-        .select("doc_id", F.lit(True).alias("f4"))
+        .select("doc_id", F.lit(True).alias("f5"))
     )
     toks = F.size(F.split("text", " ")).cast("bigint")
     m = F.conv(
@@ -227,6 +292,7 @@ def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         base.join(ex, "doc_id", "left")
         .join(nd, "doc_id", "left")
+        .join(sd, "doc_id", "left")
         .join(ql, "doc_id", "left")
         .join(dc, "doc_id", "left")
         .select(
@@ -236,7 +302,7 @@ def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks",
             *[
                 F.coalesce(f"f{i}", F.lit(False)).alias(f"f{i}")
-                for i in range(1, 5)
+                for i in range(1, 6)
             ],
             "raw_clock",
         )
@@ -258,7 +324,11 @@ def capped_survivors(flags: DataFrame) -> DataFrame:
     )
     return (
         flags.filter(
-            F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")
+            F.col("f1")
+            & F.col("f2")
+            & F.col("f3")
+            & F.col("f4")
+            & F.col("f5")
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= CAP)
@@ -269,7 +339,7 @@ def capped_survivors(flags: DataFrame) -> DataFrame:
 def export_curated_corpus(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> DataFrame:
-    """The last mile: run the cascade (stages 1-5 — the sample stage
+    """The last mile: run the cascade (stages 1-6 — the sample stage
     is a budgeting device, not an export filter), join the survivors
     back to their text, and write deterministic training shards
     (shard_export.write_training_shards: salted-md5 shuffle order,
@@ -304,12 +374,12 @@ def export_curated_corpus(
 @staged_query("curation_funnel", oracle=_funnel_oracle())
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(stage_no, stage, docs_out, tokens_out): the curation cascade
-    funnel — six conditional aggregates plus one survivor-relative
+    funnel — seven conditional aggregates plus one survivor-relative
     top-K sample, all over the single cached flags table."""
     flags = funnel_flags(spark, sf_dir)
     rows = None
     cond = None
-    for i, stage in enumerate(_STAGES[:5]):
+    for i, stage in enumerate(_STAGES[:6]):
         cond = (
             F.lit(True)
             if i == 0
@@ -349,6 +419,6 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = capped.orderBy(
         F.col("raw_clock").asc(), F.col("doc_id").asc()
     ).limit(SAMPLE_K)
-    return rows.unionAll(_sel_row(capped, 5, "source_cap")).unionAll(
-        _sel_row(sample, 6, "aes_sample")
+    return rows.unionAll(_sel_row(capped, 6, "source_cap")).unionAll(
+        _sel_row(sample, 7, "aes_sample")
     )

@@ -100,3 +100,37 @@ def grouped_map_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_custkey").applyInPandas(
         zscore, schema="o_custkey long, o_orderkey long, z double"
     ).withColumn("z", F.round("z", 4))
+
+
+def window_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in TWIN of ``grouped_map_zscore_orders`` — identical
+    result, zero Python. This is the formulation the grouped-map
+    demo's docstring tells you to use in a hot path, made executable
+    so the advice is testable: avg/stddev_samp window expressions
+    stay inside whole-stage codegen, the only exchange is the
+    hash-partition on o_custkey, and there is no per-GROUP
+    Arrow/pandas round-trip (the overhead that made the unbounded
+    grouped-map demo the slowest line of the sf0.1 sweep — ~24 s for
+    ~100k tiny groups vs sub-second here). At 100 TB the difference
+    is a cluster-sized Python fleet doing serialization work the JVM
+    expresses as one window operator.
+    tests/test_udf_twins.py pins result equality with the
+    grouped-map arm and the no-Python plan shape; PLANS.md
+    "grouped-map vs window twin" records the plan comparison."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .where(F.col("o_custkey") % 10 == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                (F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+                / F.stddev_samp("o_totalprice").over(w),
+                4,
+            ).alias("z"),
+        )
+    )

@@ -77,10 +77,20 @@ def prune_list_scaled(
     target_occupancy (10³-10⁴) keeps per-cell pairing bounded as the
     corpus grows, the policy the fixture-pinned registered query
     documents (``kmeans_fit``'s k knob; same scale pattern as
-    ``ann_lsh_topk_scaled``). Uncached — production materializes the
-    decision list to a table anyway."""
+    ``ann_lsh_topk_scaled``). The assignment persist goes through a
+    tracked slot — a bare ``.persist()`` here leaked one
+    corpus-sized cache per call in a long session (ADVICE r8,
+    fixed r10): the slot keeps at most ONE live entry, re-keyed by
+    (fixture, k, tau, cap) so a parameter change releases the old
+    assignment instead of stacking a new one beside it."""
+    from dist_map_reduce_spark import caching
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned = kmeans_fit(emb, k=k_cells)[0].persist()
+    assigned = caching.persist_tracked(
+        kmeans_fit(emb, k=k_cells)[0],
+        "semdedup_scaled_assigned",
+        f"{sf_dir}:{k_cells}:{tau}:{max_cell_vecs}",
+    )
     return _decide(assigned, tau, max_cell_vecs)
 
 

@@ -136,22 +136,106 @@ def similarity_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFADC_K_CODES = 16  # per-cell codes per subspace (vs K_PQ=8 shared)
+
+
+def _pq_fit_percell(
+    sub: DataFrame, k_codes: int = IVFADC_K_CODES, rounds: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Composite-key Lloyd's PER COARSE CELL over residual subvector
+    rows ``(vec_id, m, sub, cell)``: returns ``(codes, codebook)``
+    with codes (vec_id, cell, m, code) and codebook (cell, m, code,
+    cent). Same packed-bigint HashAggregate assignment as ``pq_fit``
+    (d2 carries ≤6 decimals; code < k_codes, so the key
+    round(d2·10⁶)·k_codes + code is exact), just grouped by (cell, m)
+    instead of m — each cell trains its own k_codes-entry codebook
+    per subspace, so total codebook capacity is K_CELLS×k_codes per
+    subspace while each candidate still decodes against exactly its
+    home cell's book. Seeds: the k_codes lowest vec_ids per cell
+    (deterministic, no RNG). Cells with fewer vectors than k_codes
+    train smaller books — correct, just less resolution."""
+    from pyspark.sql import Window as W
+
+    from dist_map_reduce_spark.functions.similarity_pq import _sq_l2
+
+    seeds = (
+        sub.select("cell", "vec_id")
+        .distinct()
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("cell").orderBy("vec_id")),
+        )
+        .filter(F.col("rk") <= k_codes)
+        .select("cell", "vec_id", (F.col("rk") - 1).alias("code"))
+    )
+    cb = sub.join(seeds, ["cell", "vec_id"]).select(
+        "cell",
+        "m",
+        "code",
+        F.transform("sub", lambda x: F.round(x, 6)).alias("cent"),
+    )
+    assigned = None
+    for r in range(1, rounds + 1):
+        scored = sub.join(cb, ["cell", "m"]).select(
+            "vec_id",
+            "cell",
+            "m",
+            "code",
+            F.round(_sq_l2("sub", "cent"), 6).alias("d2"),
+        )
+        key = (
+            F.round(F.col("d2") * F.lit(1_000_000.0), 0).cast("long")
+            * F.lit(k_codes)
+            + F.col("code")
+        )
+        assigned = sub.join(
+            scored.groupBy("vec_id", "cell", "m")
+            .agg(F.min(key).alias("mk"))
+            .select(
+                "vec_id",
+                "cell",
+                "m",
+                (F.col("mk") % F.lit(k_codes)).alias("code"),
+            ),
+            ["vec_id", "cell", "m"],
+        ).select("vec_id", "cell", "m", "sub", "code")
+        if r < rounds:
+            cb = (
+                assigned.select(
+                    "cell", "m", "code", F.posexplode("sub").alias("pos", "v")
+                )
+                .groupBy("cell", "m", "code", "pos")
+                .agg(F.round(F.avg("v"), 6).alias("mm"))
+                .groupBy("cell", "m", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "mm"))),
+                        lambda s: s.mm,
+                    ).alias("cent")
+                )
+            )
+    return assigned.select("vec_id", "cell", "m", "code"), cb
+
+
 def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Faiss IVFADC: L2-normalize (so squared-L2 order is cosine
-    order), then PQ over RESIDUALS (vector − home-cell centroid)
-    instead of raw vectors.
+    order), then PQ over RESIDUALS (vector − home-cell centroid) with
+    a codebook trained PER COARSE CELL (``_pq_fit_percell``).
 
-    MEASURED NEGATIVE on this corpus (SCALE.md §ANN): recall@5 = 0.20
-    vs 0.32 for the raw-vector `similarity_ann_ivfpq_topk`, both
-    scales. The reason is instructive: the fixture embeddings are
-    label clusters + isotropic noise, so the coarse quantizer absorbs
-    essentially ALL the structure — the residual is near-pure noise,
-    which an M=8, K=8 codebook cannot resolve, while raw-vector PQ
-    still encodes the (dominant) between-cell signal. IVFADC earns
-    its keep when within-cell variation is structured and the
-    codebook is big (Faiss-scale M=32-64, K=256); the function exists
-    so that trade is a measured fact here rather than folklore — the
-    recall harness (tools/ann_recall_report.py) emits both variants.
+    Measured history (SCALE.md §ANN, tools/ann_recall_report.py):
+    with the SHARED M=8/K=8 codebook this variant scored recall@5 =
+    0.20 at both scales — BELOW raw-vector IVF-PQ's 0.32, because the
+    fixture's coarse quantizer absorbs essentially all structure
+    (label clusters + isotropic noise) and a tiny shared codebook
+    cannot resolve the near-pure-noise residuals. Per-cell codebooks
+    (r10, the beat-or-delete directive): K_CELLS × IVFADC_K_CODES=16
+    codes per subspace, each candidate decoding against exactly its
+    home cell's book — recall@5 = 0.28 / 0.40 / 0.36 at
+    sf0.001/0.01/0.1, ABOVE both PQ-ADC (0.20/0.28/0.32) and raw
+    IVF-PQ (0.24/0.32/0.32). The capacity went where the distortion
+    was: isotropic residual noise needs codes per cell, not a shared
+    book stretched across cells. tests/test_similarity.py pins
+    ivfadc ≥ pq_adc as an executable gate.
 
     Library entry point, not a registered query: the per-(query,
     probe-cell) residual LUT makes an unrolled SQL oracle ~K× the
@@ -166,10 +250,7 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — still broadcast-sized. Candidates reach the ADC sum through
     their home cell only, so each (query, candidate) scores exactly
     once against the matching probe-cell LUT."""
-    from dist_map_reduce_spark.functions.similarity_pq import (
-        _sq_l2,
-        pq_fit,
-    )
+    from dist_map_reduce_spark.functions.similarity_pq import _sq_l2
 
     # L2-normalize first: on the unit sphere squared-L2 order IS
     # cosine order (cos = 1 − ‖q̂−x̂‖²/2), so the ADC ranking targets
@@ -209,14 +290,18 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cent), "cell")
         .select("vec_id", "cell", residual.alias("embedding"))
     )
-    # PQ trained on residual subvectors (own cache slots — the codes
-    # table is the residual-compressed corpus)
+    # PQ trained PER COARSE CELL on residual subvectors (own cache
+    # slots — the codes table is the residual-compressed corpus):
+    # each cell's residual distribution gets its own k_codes-entry
+    # codebook per subspace instead of sharing one tiny global one
     sub_res = persist_tracked(
-        subvector_rows(res.select("vec_id", "embedding")),
+        subvector_rows(res.select("vec_id", "embedding")).join(
+            homes, "vec_id"
+        ),
         "ivfadc_subrows",
         sf_dir,
     )
-    codes, cb = pq_fit(sub_res)
+    codes, cb = _pq_fit_percell(sub_res)
     codes = persist_tracked(codes, "ivfadc_codes", sf_dir)
     # query-side: one residual PER PROBE CELL, so the LUT is keyed by
     # (query_id, qcell) — a candidate scores against the LUT of the
@@ -249,22 +334,23 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" x -> CAST(x AS DOUBLE))"
         ).alias("sub"),
     )
-    lut = q_sub.join(F.broadcast(cb), "m").select(
+    # per-cell LUT: a probe cell's residual queries score against
+    # THAT cell's codebook (cb is keyed by cell)
+    lut = q_sub.join(
+        F.broadcast(cb),
+        (F.col("qcell") == F.col("cell")) & (q_sub["m"] == cb["m"]),
+    ).select(
         "query_id",
         "qcell",
-        "m",
+        q_sub["m"].alias("m"),
         "code",
         F.round(_sq_l2("sub", "cent"), 6).alias("ld"),
     )
-    candidates = (
-        codes.join(homes, "vec_id")
-        .join(
-            F.broadcast(qprobes),
-            (F.col("cell") == F.col("qcell"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "qcell", "vec_id", "m", "code")
-    )
+    candidates = codes.join(
+        F.broadcast(qprobes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "qcell", "vec_id", "m", "code")
     adc = (
         candidates.join(F.broadcast(lut), ["query_id", "qcell", "m", "code"])
         .groupBy("query_id", "vec_id")

@@ -97,7 +97,24 @@ def _learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     if hit_m is not None and hit_v is not None:
         return hit_m, hit_v
 
-    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab_enc = _learn_from(load_table(spark, sf_dir, "documents"))
+    return (
+        caching.persist_tracked(merges, "bpe_merges", sf_dir),
+        caching.persist_tracked(vocab_enc, "bpe_vocab_enc", sf_dir),
+    )
+
+
+def _learn_from(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The learning loop over an arbitrary documents frame —
+    ``_learn`` adds the per-fixture caching. On a corpus whose
+    vocabulary fully merges before N_MERGES rounds the loop breaks
+    early and returns the merges found so far (possibly zero —
+    crafted-corpus tests hit this; never at corpus scale). The
+    unrolled oracle mirrors this exactly: its per-round merge CTE
+    falls back to the previous vocabulary when the round's argmax is
+    empty (ADVICE r8, fixed r10 — the old code raised TypeError on
+    zero merges and the old oracle emptied v{{r}} via a cross join
+    with the empty argmax)."""
     toks = F.explode(
         F.regexp_extract_all("text", F.lit(PRETOKEN_PATTERN), F.lit(0))
     ).alias("tok")
@@ -136,9 +153,15 @@ def _learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                 ).alias("seq"),
             )
         )
-    merges = reduce(DataFrame.unionAll, bests).select(
-        "merge_rank", "pa", "pb", F.col("cnt").alias("pair_count")
-    )
+    if bests:
+        merges = reduce(DataFrame.unionAll, bests).select(
+            "merge_rank", "pa", "pb", F.col("cnt").alias("pair_count")
+        )
+    else:
+        # every pre-token is a single symbol: zero merge rounds ran
+        merges = docs.sparkSession.createDataFrame(
+            [], "merge_rank int, pa string, pb string, pair_count bigint"
+        )
     syms = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), _DSEP)
     vocab_enc = state.select(
         "tok",
@@ -146,10 +169,7 @@ def _learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         syms.alias("syms"),
         F.size(syms).alias("n_syms"),
     )
-    return (
-        caching.persist_tracked(merges, "bpe_merges", sf_dir),
-        caching.persist_tracked(vocab_enc, "bpe_vocab_enc", sf_dir),
-    )
+    return merges, vocab_enc
 
 
 def _oracle_ctes() -> str:
@@ -177,11 +197,16 @@ def _oracle_ctes() -> str:
             f"b{r} AS MATERIALIZED (SELECT pa, pb, cnt FROM p{r} "
             f"ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not a cross join: when the corpus fully
+        # merges before round r, b{r} is empty and v{r} must FALL
+        # BACK to v{r-1} (a cross join with the empty argmax would
+        # empty the vocabulary) — mirrors the engine's early break
         ctes.append(f"""v{r} AS MATERIALIZED (
           SELECT tok, c,
-                 replace(seq, {sep}||b.pa||{sep}||{sep}||b.pb||{sep},
-                         {sep}||b.pa||b.pb||{sep}) AS seq
-          FROM v{r - 1}, b{r} b)""")
+                 CASE WHEN b.pa IS NULL THEN seq
+                      ELSE replace(seq, {sep}||b.pa||{sep}||{sep}||b.pb||{sep},
+                                   {sep}||b.pa||b.pb||{sep}) END AS seq
+          FROM v{r - 1} LEFT JOIN b{r} b ON TRUE)""")
     return "WITH " + ",\n".join(ctes)
 
 

@@ -74,6 +74,77 @@ def test_merge_table_is_iterative_not_round1_histogram(spark):
     assert len({(m.pa, m.pb) for m in merges}) == 16
 
 
+def test_bpe_early_convergence_matches_oracle(spark, duck):
+    """A corpus whose vocabulary fully merges before N_MERGES rounds
+    (ADVICE r8, fixed r10): the engine's merge loop breaks early
+    WITHOUT raising, returns exactly the merges found, and the
+    unrolled oracle — whose per-round v{r} now falls back to v{r-1}
+    when the round's argmax is empty — derives the identical merge
+    table AND encoded vocabulary. The old code raised TypeError at
+    zero merges and the old oracle emptied the vocabulary via a
+    cross join with the empty argmax."""
+    from dist_map_reduce_spark.functions.text_bpe_encode import (
+        N_MERGES,
+        _learn_from,
+        _oracle_ctes,
+    )
+
+    # 4 merge rounds then convergence: ab / ␠ab / ␠c+d
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd", "s")], ["doc_id", "text", "source"]
+    )
+    merges, vocab_enc = _learn_from(docs)
+    got_merges = sorted(
+        (r.merge_rank, r.pa, r.pb, r.pair_count) for r in merges.collect()
+    )
+    assert 0 < len(got_merges) < N_MERGES
+    got_vocab = sorted((r.tok, r.c, r.n_syms) for r in vocab_enc.collect())
+
+    duck.register("documents", docs.toPandas())
+    try:
+        exp_merges = sorted(
+            map(
+                tuple,
+                duck.execute(
+                    _oracle_ctes()
+                    + "\n"
+                    + " UNION ALL ".join(
+                        f"SELECT {r} AS merge_rank, pa, pb, cnt FROM b{r}"
+                        for r in range(1, N_MERGES + 1)
+                    )
+                ).fetchall(),
+            )
+        )
+        exp_vocab = sorted(
+            map(
+                tuple,
+                duck.execute(
+                    _oracle_ctes()
+                    + f""",
+                    enc AS (SELECT tok, c,
+                            len(string_split(seq[2:len(seq)-1],
+                                             chr(31)||chr(31))) AS n_syms
+                            FROM v{N_MERGES})
+                    SELECT tok, c, n_syms FROM enc
+                    """
+                ).fetchall(),
+            )
+        )
+    finally:
+        duck.unregister("documents")
+    assert got_merges == exp_merges
+    assert got_vocab == exp_vocab
+
+    # the degenerate zero-merge corpus: single one-symbol pre-token —
+    # the loop breaks in round 1 and must return an EMPTY merge
+    # table (not raise) and the unmerged vocabulary
+    docs0 = spark.createDataFrame([(1, "a", "s")], ["doc_id", "text", "source"])
+    merges0, vocab0 = _learn_from(docs0)
+    assert merges0.count() == 0
+    v0 = vocab0.collect()
+    assert [(r.tok, r.n_syms) for r in v0] == [("a", 1)]
+
+
 def test_encode_counts_are_consistent(spark):
     """BPE can only shrink the symbol count: per doc,
     n_bpe_tokens <= total chars and >= n_pretokens."""

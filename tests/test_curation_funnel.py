@@ -33,9 +33,29 @@ def test_funnel_monotone_and_named(spark):
     assert rows[-1].docs_out < rows[0].docs_out
 
 
+def test_semdedup_stage_applies_prune_list_when_aligned(spark):
+    """At an embeddings-doc-aligned fixture the funnel's f3 must be
+    EXACTLY semdedup_prune_list's keep decision (VERDICT r9 #4) —
+    and actually bite, so the stage isn't a vacuous pass-through."""
+    from pyspark.sql import functions as F
+
+    flags = funnel_flags(spark, SF_SMOKE)
+    sd_drop = {
+        r.vec_id
+        for r in registry.QUERIES["semdedup_prune_list"](spark, SF_SMOKE)
+        .filter(F.col("action") == "drop")
+        .collect()
+    }
+    f3_false = {
+        r.doc_id for r in flags.filter(~F.col("f3")).collect()
+    }
+    assert f3_false == sd_drop
+    assert sd_drop, "prune list drops nothing — stage untested"
+
+
 def test_export_matches_funnel_counts(spark, tmp_path):
     """Exporting the survivors through the deterministic shard
-    writer must round-trip exactly the funnel's stage-5 docs/tokens
+    writer must round-trip exactly the funnel's source_cap-stage docs/tokens
     (a lost or duplicated row anywhere in the write path breaks
     this)."""
     from dist_map_reduce_spark.functions.curation_funnel import (

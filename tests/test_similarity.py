@@ -189,6 +189,28 @@ def test_ivfpq_respects_cell_restriction(spark):
         )
 
 
+def test_semdedup_scaled_assignment_is_slot_tracked(spark):
+    """prune_list_scaled's kmeans assignment must go through the
+    bounded caching slot (ADVICE r8, fixed r10): re-invoking with a
+    different k re-keys the slot and RELEASES the previous
+    assignment's cache instead of stacking a new corpus-sized entry
+    beside it per call."""
+    from dist_map_reduce_spark import caching
+    from dist_map_reduce_spark.functions.semdedup import prune_list_scaled
+    from pyspark.storagelevel import StorageLevel
+
+    prune_list_scaled(spark, SF_SMOKE, k_cells=8).count()
+    slot = caching._SLOTS["semdedup_scaled_assigned"]
+    first_key, first_df = slot
+    assert ":8:" in first_key
+    prune_list_scaled(spark, SF_SMOKE, k_cells=16).count()
+    second_key, second_df = caching._SLOTS["semdedup_scaled_assigned"]
+    assert ":16:" in second_key
+    # the k=8 assignment was unpersisted on re-key, not leaked
+    assert first_df.storageLevel == StorageLevel.NONE
+    assert second_df.storageLevel != StorageLevel.NONE
+
+
 def test_semdedup_scaled_k_shrinks_cells(spark):
     """The k knob is the SemDeDup scale lever: raising k must yield
     more, smaller cells (bounding per-cell pair work) with every
@@ -216,19 +238,24 @@ def test_semdedup_scaled_k_shrinks_cells(spark):
         assert m.action == "keep"
 
 
-def test_ivfadc_residual_search_shape_and_floor(spark):
+def test_ivfadc_residual_search_shape_and_beats_pq_adc(spark):
     """The IVFADC library variant returns exactly top-5 per query
-    with positive ADC distances, and its measured recall floor holds
-    (the documented negative result: ~0.20 on this corpus — a
-    regression BELOW the floor means the composition broke, not that
-    the trade-off moved)."""
+    with positive ADC distances, its Lloyd assignment stays a
+    HashAggregate, and — the r10 beat-or-delete gate, executable —
+    its recall@5 is at least plain PQ-ADC's (per-cell residual
+    codebooks earn their complexity or the module goes; measured
+    0.28 vs 0.20 at sf0.001, 0.40/0.36 vs 0.28/0.32 at
+    sf0.01/sf0.1)."""
     from pyspark.sql import Window as W
 
     from dist_map_reduce_spark.functions.similarity_ivfpq import (
         ivfadc_residual_topk,
     )
 
-    rows = ivfadc_residual_topk(spark, SF_SMOKE).collect()
+    df = ivfadc_residual_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, "per-cell PQ fit lost HashAggregate"
+    rows = df.collect()
     per_q = {}
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r)
@@ -251,4 +278,13 @@ def test_ivfadc_residual_search_shape_and_floor(spark):
         .collect()
     }
     got = {(r.query_id, r.vec_id) for r in rows}
-    assert len(got & exact) / len(exact) >= 0.1
+    pq = {
+        (r.query_id, r.vec_id)
+        for r in registry.QUERIES["similarity_ann_pq_adc_topk"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert len(got & exact) >= len(pq & exact), (
+        f"ivfadc {len(got & exact)} hits < pq_adc {len(pq & exact)} — "
+        "beat-or-delete gate failed"
+    )
