@@ -37,5 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return dict(registry.ORACLES)
+    """DuckDB-equivalent SQL per query (omitted → rows-only check).
+    Lazy (callable) oracles resolve here — every module is imported
+    by now, so composed oracles see their components registered."""
+    return {n: registry.resolve_oracle(v) for n, v in registry.ORACLES.items()}

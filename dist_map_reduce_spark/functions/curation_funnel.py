@@ -81,23 +81,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# the component modules must be imported so their oracle SQL is
-# registered before this module's oracle composes it (the ann_recall
-# pattern); load_all()'s pristine-window guard tolerates any import
-# order because a non-empty registry disables the cut-line check
-from dist_map_reduce_spark.functions import clustering  # noqa: F401
-from dist_map_reduce_spark.functions import curation  # noqa: F401
-from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
-from dist_map_reduce_spark.functions import dedup  # noqa: F401
-from dist_map_reduce_spark.functions import quality_model  # noqa: F401
-from dist_map_reduce_spark.functions import semdedup  # noqa: F401
 from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.functions.curation_ext import CAP
 from dist_map_reduce_spark.registry import ORACLES, QUERIES, staged_query
 
 SAMPLE_K = 100  # final-stage A-ES sample size (= weighted_sample_aes)
 _POW32 = float(2**32)
+CAP = 10  # per-source doc cap — MUST equal curation_ext.CAP
+# (pinned by tests/test_curation_funnel.py; importing curation_ext
+# here for the constant would defeat _ensure_components' laziness)
+
+
+def _ensure_components() -> None:
+    """Import the component modules whose registered queries and
+    oracle SQL the funnel composes. DEFERRED, not module-level: the
+    funnel's module import must register ONLY the funnel, or the six
+    component modules' registrations ride into the driver's
+    first-WINDOW correctness window ahead of it and break the
+    rotation arithmetic (12+ rider slots — see registry.Oracle).
+    Idempotent and cheap after the first call (sys.modules hits)."""
+    from dist_map_reduce_spark.functions import clustering  # noqa: F401
+    from dist_map_reduce_spark.functions import curation  # noqa: F401
+    from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
+    from dist_map_reduce_spark.functions import dedup  # noqa: F401
+    from dist_map_reduce_spark.functions import quality_model  # noqa: F401
+    from dist_map_reduce_spark.functions import semdedup  # noqa: F401
+
+    assert CAP == curation_ext.CAP, "funnel CAP drifted from curation_ext"
+
 
 _STAGES = (
     "corpus",
@@ -112,6 +123,11 @@ _STAGES = (
 
 
 def _funnel_oracle() -> str:
+    """LAZY oracle composer (passed as the callable itself to
+    @staged_query): resolves at first use, after load_all, so the
+    component oracles it embeds are registered without this module
+    having to import them at module scope."""
+    _ensure_components()
     return f"""
     WITH ex AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
@@ -221,6 +237,7 @@ def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     body, not here."""
     import logging
 
+    _ensure_components()
     docs = load_table(spark, sf_dir, "documents")
     ex = QUERIES["dedup_exact_docs"](spark, sf_dir).select(
         F.col("keep_id").alias("doc_id"), F.lit(True).alias("f1")
@@ -371,7 +388,7 @@ def export_curated_corpus(
     )
 
 
-@staged_query("curation_funnel", oracle=_funnel_oracle())
+@staged_query("curation_funnel", oracle=_funnel_oracle)
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(stage_no, stage, docs_out, tokens_out): the curation cascade
     funnel — seven conditional aggregates plus one survivor-relative

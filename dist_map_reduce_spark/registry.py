@@ -19,13 +19,36 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+# an oracle is DuckDB SQL, or a zero-arg callable returning it —
+# LAZY oracles exist for composed oracles (curation_funnel) whose
+# text embeds OTHER queries' oracle SQL: building the string at
+# decoration time forces the component modules to be imported before
+# the composing module, which drags their registrations into the
+# driver's first-WINDOW correctness window as riders and breaks the
+# rotation arithmetic (the funnel's components alone are 12+ rider
+# slots). A callable defers both the imports and the composition to
+# first use, when load_all has long finished.
+Oracle = "str | Callable[[], str]"
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, object] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query; ``oracle`` is DuckDB SQL or None (rows-only check)."""
+def resolve_oracle(value: object) -> str:
+    """An oracle dict value → its SQL text (callables are lazy
+    composers — see the Oracle note above)."""
+    return value() if callable(value) else value
+
+
+def oracle_for(name: str) -> str | None:
+    """Resolved oracle SQL for a registered query, or None."""
+    v = ORACLES.get(name)
+    return None if v is None else resolve_oracle(v)
+
+
+def query(name: str, oracle=None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle`` is DuckDB SQL, a zero-arg
+    callable returning it, or None (rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -54,14 +77,13 @@ WINDOW = 50
 # round is mechanical — swap the decorator to @query and move the
 # module import into load_all()'s window section.
 STAGED_QUERIES: dict[str, QueryFn] = {}
-STAGED_ORACLES: dict[str, str] = {}
+STAGED_ORACLES: dict[str, object] = {}
 
 
-def staged_query(
-    name: str, oracle: str | None = None
-) -> Callable[[QueryFn], QueryFn]:
+def staged_query(name: str, oracle=None) -> Callable[[QueryFn], QueryFn]:
     """Register a next-round query candidate (oracle-parity-tested
-    now, driver-visible after promotion)."""
+    now, driver-visible after promotion). ``oracle`` as for
+    :func:`query` — SQL text or a lazy zero-arg composer."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in STAGED_QUERIES or name in QUERIES:
@@ -121,23 +143,35 @@ def load_all() -> None:
     incremental-ingest path, now with the band index maintained
     across waves (round-10 work). 49 + 1 = 50.
 
-    Round 11 plan (mechanical -- execute, don't re-derive): after
-    CORRECTNESS_r10 lands, the oldest stamps are the 41 r6 names
-    (floor binding at r11). The r11 window = those 41 + the SEVEN
-    remaining staged promotions -- ``lm_bigram_doc_scores``
+    Round 11 plan (mechanical -- execute, don't re-derive; the
+    arithmetic below was SIMULATED in r10 and lands exactly on 50):
+    after CORRECTNESS_r10 lands, the oldest stamps are the 41 r6
+    names (floor binding at r11), spread over 21 modules each
+    registering nothing else -- curation (5), text (8), scd (6),
+    multimodal (2), python_udfs (2), etl (2), sequences (2), and
+    singles chunking / lm_score / multimodal_ext / quality_model /
+    resample_weighted / text_boilerplate / text_dupngrams /
+    contribution / intervals / profiling / skyline / stats_robust /
+    zorder / streaming.wordcount_stream. The r11 window = those 41
+    + the SEVEN remaining staged promotions -- ``lm_bigram_doc_scores``
     (functions/lm_bigram.py), ``corpus_shard_manifest``
     (functions/shard_export.py), ``embedding_gramian``
     (functions/embedding_pca.py), ``text_winnow_match_pairs`` +
-    ``text_winnow_decontaminate`` (functions/text_winnow.py -- MIXED
-    module: its existing @query entries ride into the window, count
-    them in the arithmetic), ``curation_funnel``
-    (functions/curation_funnel.py), ``multimodal_image_resize``
-    (functions/multimodal_image.py -- mixed module, same note) --
-    41 + 7 = 48 before riders; trim or add a small module to land
-    exactly on 50. Then r12 re-stamps the 48 r7 names (floor r8) and
-    r13 the 50 r9 names -- steady-state four-round cadence restored.
-    The authoritative staleness list is derivable from the evidence
-    files, which is what tests/test_registry.py checks.
+    ``text_winnow_decontaminate`` (functions/text_winnow.py),
+    ``multimodal_image_resize`` (functions/multimodal_image.py),
+    ``curation_funnel`` (functions/curation_funnel.py) -- + the TWO
+    riders the mixed modules drag in (``text_winnow_fingerprints``
+    r9, ``multimodal_image_features`` r7): 41 + 7 + 2 = 50 exactly.
+    This only works because curation_funnel's oracle went LAZY in
+    r10 (a zero-arg composer -- see the Oracle note above): with the
+    old module-level component imports the funnel dragged 12+ extra
+    rider registrations (dedup, clustering, semdedup, curation_ext)
+    into the window and the plan overflowed to 63. Do NOT reintroduce
+    module-scope imports of registering modules there. Then r12
+    re-stamps the 48 r7 names (floor r8) and r13 the 50 r9 names --
+    steady-state four-round cadence restored. The authoritative
+    staleness list is derivable from the evidence files, which is
+    what tests/test_registry.py checks.
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first

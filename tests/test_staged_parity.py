@@ -17,7 +17,9 @@ def test_staged_oracle_parity(spark, duck, name):
     sdf = registry.STAGED_QUERIES[name](spark, SF_ORACLE)
     spdf = sdf.toPandas()
     duck_views(duck, SF_ORACLE)
-    opdf = duck.execute(registry.STAGED_ORACLES[name]).fetchdf()
+    opdf = duck.execute(
+        registry.resolve_oracle(registry.STAGED_ORACLES[name])
+    ).fetchdf()
 
     assert sorted(spdf.columns) == sorted(opdf.columns), (
         f"{name}: column mismatch spark={sorted(spdf.columns)} "

@@ -47,6 +47,11 @@ PROBES = [
     "text_bpe_encode_docs",
     "similarity_lsh_buckets",
     "semdedup_prune_list",
+    # promoted r10: the full streaming ingest replay (3 micro-batches,
+    # growing band index) — documents-only, so the synth corpus
+    # covers it; wall time carries the streaming harness's fixed
+    # checkpoint/trigger overhead on top of the data-dependent work
+    "streaming_ingest_dedup",
 ]
 
 # staged r9 queries (registry.STAGED_QUERIES) probed the same way —
@@ -125,6 +130,22 @@ def main() -> None:
         f"{'semdedup prune_list_scaled(k=64)':34s} {'-':>8s}"
         f" {time.perf_counter() - t0:8.2f}   ({n} rows)"
     )
+
+    # per-cell IVFADC (r10): embeddings-only library search — the
+    # synth corpus perturbs one coordinate per replica, so the 10×
+    # embedding table is a genuine (near-dup-heavy) harder corpus
+    from dist_map_reduce_spark.functions.similarity_ivfpq import (
+        ivfadc_residual_topk,
+    )
+
+    for tag, d in (("sf0.1", BASE), (f"x{replicas}", big)):
+        caching.clear()
+        t0 = time.perf_counter()
+        n = ivfadc_residual_topk(spark, d).count()
+        print(
+            f"{'ivfadc_residual_topk (' + tag + ')':34s} {'-':>8s}"
+            f" {time.perf_counter() - t0:8.2f}   ({n} rows)"
+        )
 
 
 if __name__ == "__main__":

@@ -98,7 +98,9 @@ def main() -> int:
         t0 = time.perf_counter()
         sp = registry.STAGED_QUERIES[name](spark, sf_dir).toPandas()
         times[f"staged:{name}"] = time.perf_counter() - t0
-        od = con.execute(registry.STAGED_ORACLES[name]).fetchdf()
+        od = con.execute(
+            registry.resolve_oracle(registry.STAGED_ORACLES[name])
+        ).fetchdf()
         n_staged += 1
         a = (
             sp[sorted(sp.columns)].astype(str)
