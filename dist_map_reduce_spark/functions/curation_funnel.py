@@ -98,7 +98,7 @@ def _ensure_components() -> None:
     funnel's module import must register ONLY the funnel, or the six
     component modules' registrations ride into the driver's
     first-WINDOW correctness window ahead of it and break the
-    rotation arithmetic (12+ rider slots — see registry.Oracle).
+    rotation arithmetic (12+ rider slots — see the lazy-oracle note in registry.py).
     Idempotent and cheap after the first call (sys.modules hits)."""
     from dist_map_reduce_spark.functions import clustering  # noqa: F401
     from dist_map_reduce_spark.functions import curation  # noqa: F401

@@ -28,7 +28,6 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rotation arithmetic (the funnel's components alone are 12+ rider
 # slots). A callable defers both the imports and the composition to
 # first use, when load_all has long finished.
-Oracle = "str | Callable[[], str]"
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, object] = {}

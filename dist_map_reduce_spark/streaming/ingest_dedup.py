@@ -55,6 +55,16 @@ reads it, flags, then appends the batch keepers' distinct bands
 duplicate for a membership semi-join; a production compaction would
 anti-join before appending, which costs an extra scan per delivery
 for storage only — semantics are identical).
+
+Restart posture: the SINK is exactly-once under retry (a replayed
+batch's fingerprints anti-join against its own prior append and drop
+out). The index append sits after the sink write, so a crash in
+between leaves that batch's bands unindexed — acceptance is
+unaffected, only near-dup flags against that one delivery weaken; a
+production hardening would derive the index append from the sink
+itself (bands of sink rows not yet indexed), making it idempotent
+too. The replay harness is single-process and never retries
+mid-batch, so the oracle's semantics are exact here.
 """
 
 from __future__ import annotations
