@@ -89,6 +89,58 @@ def test_every_query_has_unique_name_and_callable():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
 
 
+def test_every_oracle_resolves_to_sql_text():
+    """Lazy (callable) oracles must resolve to non-empty SQL once
+    everything is loaded — this is exactly what the driver's
+    oracle_sql() contract does, so a lazy composer that throws or
+    returns junk fails here instead of at stamp time."""
+    registry.load_staged()
+    for name in registry.ORACLES:
+        sql = registry.oracle_for(name)
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+    for name, v in registry.STAGED_ORACLES.items():
+        sql = registry.resolve_oracle(v)
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+    assert registry.oracle_for("no_such_query") is None
+
+
+def test_staged_modules_register_no_unexpected_riders():
+    """The r11 promotion arithmetic (registry.load_all docstring)
+    assumes each staged-holding module drags at most its KNOWN
+    riders into the window — curation_funnel none (lazy oracle),
+    text_winnow and multimodal_image exactly one each. A reintroduced
+    module-scope import of a registering module breaks the next
+    round's rotation; catch it here, not at stamp time."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from dist_map_reduce_spark import registry\n"
+        "from dist_map_reduce_spark.functions import curation_funnel\n"
+        "a = set(registry.QUERIES)\n"
+        "from dist_map_reduce_spark.functions import text_winnow\n"
+        "b = set(registry.QUERIES) - a\n"
+        "from dist_map_reduce_spark.functions import multimodal_image\n"
+        "c = set(registry.QUERIES) - a - b\n"
+        "print(sorted(a), '|', sorted(b), '|', sorted(c))\n" % REPO_ROOT
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    funnel_riders, winnow, mm = out.stdout.strip().splitlines()[-1].split("|")
+    assert funnel_riders.strip() == "[]", (
+        f"curation_funnel's import registers riders: {funnel_riders} — "
+        "its component imports must stay inside _ensure_components()"
+    )
+    assert winnow.strip() == "['text_winnow_fingerprints']", winnow
+    assert mm.strip() == "['multimodal_image_features']", mm
+
+
 def test_window_count_pins_in_fresh_subprocess():
     """The load_all cut-line guard (RuntimeError) only fires in a
     pristine process; run one to prove the window imports register

@@ -238,6 +238,52 @@ def test_semdedup_scaled_k_shrinks_cells(spark):
         assert m.action == "keep"
 
 
+def test_pq_fit_percell_structure(spark):
+    """Per-cell PQ fit invariants on a crafted table: every
+    (vec_id, m) gets exactly one code from ITS OWN cell's codebook,
+    codes stay in [0, k_codes), codebook keys are unique with
+    SUBDIM-length centroids, and a cell smaller than k_codes trains
+    a correspondingly smaller book."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.functions.similarity_ivfpq import (
+        _pq_fit_percell,
+    )
+    from dist_map_reduce_spark.functions.similarity_pq import (
+        M_SUB,
+        SUBDIM,
+        subvector_rows,
+    )
+
+    # 12 vectors in cell 0, 3 in cell 1 (< k_codes) — deterministic
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(M_SUB * SUBDIM)])
+        for i in range(15)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    homes = spark.createDataFrame(
+        [(i, 0 if i < 12 else 1) for i in range(15)], ["vec_id", "cell"]
+    )
+    sub = subvector_rows(emb).join(homes, "vec_id")
+    codes, cb = _pq_fit_percell(sub, k_codes=4, rounds=2)
+    crows = codes.collect()
+    assert len(crows) == 15 * M_SUB
+    assert len({(r.vec_id, r.m) for r in crows}) == 15 * M_SUB
+    home_of = {i: (0 if i < 12 else 1) for i in range(15)}
+    for r in crows:
+        assert 0 <= r.code < 4
+        assert r.cell == home_of[r.vec_id]
+    brows = cb.collect()
+    keys = {(r.cell, r.m, r.code) for r in brows}
+    assert len(keys) == len(brows)
+    assert all(len(r.cent) == SUBDIM for r in brows)
+    # the 3-vector cell can seed at most 3 codes per subspace
+    for m in range(M_SUB):
+        assert len([r for r in brows if r.cell == 1 and r.m == m]) <= 3
+    # every assigned code exists in the matching cell's book
+    assert {(r.cell, r.m, r.code) for r in crows} <= keys
+
+
 def test_ivfadc_residual_search_shape_and_beats_pq_adc(spark):
     """The IVFADC library variant returns exactly top-5 per query
     with positive ADC distances, its Lloyd assignment stays a
