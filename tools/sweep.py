@@ -124,7 +124,43 @@ def main() -> int:
         f"\nchecked {n} oracles + {n_staged} staged at {sf_dir}; "
         f"mismatches: {bad}"
     )
-    return 1 if bad else 0
+    untracked = _untracked_evidence()
+    if untracked:
+        print(
+            f"EVIDENCE UNTRACKED (git add + commit them): {untracked}"
+        )
+    return 1 if (bad or untracked) else 0
+
+
+def _untracked_evidence() -> list[str]:
+    """Round evidence files on disk but missing from the git index
+    (the four-rounds-running slip VERDICT r9 #7 asked to make
+    mechanical; tests/test_evidence_tracked.py is the pytest arm).
+    The driver writes BENCH_r{N}/CORRECTNESS_r{N}.json after the
+    builder's last commit, so the FIRST sweep of the next round is
+    exactly where this fires."""
+    import glob
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pats = ("BENCH_r*.json", "CORRECTNESS_r*.json")
+    on_disk = {
+        os.path.basename(p)
+        for pat in pats
+        for p in glob.glob(os.path.join(repo, pat))
+    }
+    try:
+        ls = subprocess.run(
+            ["git", "ls-files", *pats],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        tracked = set(ls.stdout.split()) if ls.returncode == 0 else on_disk
+    except Exception:
+        return []  # no git available — the pytest arm still covers it
+    return sorted(on_disk - tracked)
 
 
 if __name__ == "__main__":
