@@ -36,7 +36,7 @@ from dist_map_reduce_spark.functions import (  # noqa: F401
     similarity_ivfpq,
     similarity_pq,
 )
-from dist_map_reduce_spark.registry import ORACLES, query
+from dist_map_reduce_spark.registry import ORACLES, query, resolve_oracle
 
 # variant label -> (registered query name, callable)
 _VARIANTS: dict[str, str] = {
@@ -56,7 +56,7 @@ def _recall_oracle() -> str:
     inside a FROM subquery)."""
     union = "\n      UNION ALL ".join(
         f"SELECT '{label}' AS variant, query_id, vec_id\n"
-        f"      FROM ({ORACLES[name]}) AS {label}_t"
+        f"      FROM ({resolve_oracle(ORACLES[name])}) AS {label}_t"
         for label, name in _VARIANTS.items()
     )
     return f"""
@@ -66,7 +66,7 @@ def _recall_oracle() -> str:
                row_number() OVER (
                  PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
                ) AS rn
-        FROM ({ORACLES[_EXACT]}) AS exact_t
+        FROM ({resolve_oracle(ORACLES[_EXACT])}) AS exact_t
       ) r WHERE rn <= 5
     ),
     variants AS (

@@ -83,7 +83,12 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import ORACLES, QUERIES, staged_query
+from dist_map_reduce_spark.registry import (
+    ORACLES,
+    QUERIES,
+    resolve_oracle,
+    staged_query,
+)
 
 SAMPLE_K = 100  # final-stage A-ES sample size (= weighted_sample_aes)
 _POW32 = float(2**32)
@@ -133,7 +138,7 @@ def _funnel_oracle() -> str:
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
     nd AS (
-      SELECT doc_id FROM ({ORACLES["dedup_keep_drop_list"]}) nd_t
+      SELECT doc_id FROM ({resolve_oracle(ORACLES["dedup_keep_drop_list"])}) nd_t
       WHERE action = 'keep'
     ),
     -- SemDeDup stage gated on doc-alignment: every document has a
@@ -145,15 +150,15 @@ def _funnel_oracle() -> str:
            = (SELECT count(*) FROM documents) AS ok
     ),
     sd AS (
-      SELECT vec_id AS doc_id FROM ({ORACLES["semdedup_prune_list"]}) sd_t
+      SELECT vec_id AS doc_id FROM ({resolve_oracle(ORACLES["semdedup_prune_list"])}) sd_t
       WHERE action = 'keep'
     ),
     ql AS (
-      SELECT doc_id FROM ({ORACLES["quality_logreg_scores"]}) ql_t
+      SELECT doc_id FROM ({resolve_oracle(ORACLES["quality_logreg_scores"])}) ql_t
       WHERE keep
     ),
     dc AS (
-      SELECT doc_id FROM ({ORACLES["decontaminate_against_eval"]}) dc_t
+      SELECT doc_id FROM ({resolve_oracle(ORACLES["decontaminate_against_eval"])}) dc_t
       WHERE NOT contaminated
     ),
     flags AS (
@@ -236,6 +241,15 @@ def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     over survivors, not per-doc facts, so they live in the funnel
     body, not here."""
     import logging
+
+    from dist_map_reduce_spark import caching
+
+    # slot lookup FIRST: on a repeat invocation the cached flags
+    # table answers everything — without this peek each call still
+    # paid the two alignment-check jobs below (the _learn pattern)
+    hit = caching.peek("curation_funnel_flags", sf_dir)
+    if hit is not None:
+        return hit
 
     _ensure_components()
     docs = load_table(spark, sf_dir, "documents")

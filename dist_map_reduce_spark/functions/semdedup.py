@@ -81,15 +81,19 @@ def prune_list_scaled(
     tracked slot — a bare ``.persist()`` here leaked one
     corpus-sized cache per call in a long session (ADVICE r8,
     fixed r10): the slot keeps at most ONE live entry, re-keyed by
-    (fixture, k, tau, cap) so a parameter change releases the old
-    assignment instead of stacking a new one beside it."""
+    (fixture, k) — exactly what the cached subtree depends on — so a
+    clustering change releases the old assignment instead of stacking
+    a new one beside it, while tau/cap sweeps reuse it."""
     from dist_map_reduce_spark import caching
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned = caching.persist_tracked(
         kmeans_fit(emb, k=k_cells)[0],
         "semdedup_scaled_assigned",
-        f"{sf_dir}:{k_cells}:{tau}:{max_cell_vecs}",
+        # key = what the cached subtree DEPENDS ON: (fixture, k).
+        # tau/cap only parameterize _decide downstream — keying on
+        # them would re-run the whole Lloyd fit per threshold sweep
+        f"{sf_dir}:{k_cells}",
     )
     return _decide(assigned, tau, max_cell_vecs)
 

@@ -202,10 +202,10 @@ def test_semdedup_scaled_assignment_is_slot_tracked(spark):
     prune_list_scaled(spark, SF_SMOKE, k_cells=8).count()
     slot = caching._SLOTS["semdedup_scaled_assigned"]
     first_key, first_df = slot
-    assert ":8:" in first_key
+    assert first_key.endswith(":8")
     prune_list_scaled(spark, SF_SMOKE, k_cells=16).count()
     second_key, second_df = caching._SLOTS["semdedup_scaled_assigned"]
-    assert ":16:" in second_key
+    assert second_key.endswith(":16")
     # the k=8 assignment was unpersisted on re-key, not leaked
     assert first_df.storageLevel == StorageLevel.NONE
     assert second_df.storageLevel != StorageLevel.NONE

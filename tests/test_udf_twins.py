@@ -35,6 +35,10 @@ def test_window_twin_equals_grouped_map_zscore(spark):
             # single-order customers: pandas NaN arrives as NULL via
             # Arrow, SQL stddev_samp of one row is NULL — both None
             assert a is None and b is None, (k, a, b)
+        elif math.isnan(a) or math.isnan(b):
+            # zero-variance multi-order customers: 0/0 is NaN on both
+            # arms (isclose(NaN, NaN) is False, so test explicitly)
+            assert math.isnan(a) and math.isnan(b), (k, a, b)
         else:
             # both sides round JVM-side at 4 dp; the unrounded means
             # differ only by float sum order, so post-round values
