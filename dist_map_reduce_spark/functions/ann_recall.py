@@ -1,14 +1,15 @@
 """ANN recall@k harness: grade every ANN variant against exact top-k.
 
 A production ANN operator is judged on recall/latency, not just
-reproducibility — the five ANN variants in this repo (sign-LSH,
-label-centroid IVF, k-means IVF, PQ-ADC, IVF-PQ) are deterministic
-and individually oracle-checked, and this query closes the loop by
+reproducibility — the six ANN variants in this repo (sign-LSH,
+label-centroid IVF, k-means IVF, PQ-ADC, IVF-PQ, per-cell-residual
+IVFADC) are deterministic and individually oracle-checked, and this
+query closes the loop by
 measuring, per variant, how many of its returned neighbors fall in
 the EXACT cosine top-5 (recall@5 over the shared N_QUERIES query
 set).
 
-Everything is deterministic (all five indexes are md5-derived /
+Everything is deterministic (all six indexes are md5-derived /
 round-6dp, no RNG), so recall itself is a stable, hash-checkable
 number. The DuckDB oracle is composed from the variants' own
 registered oracle SQL — the oracle side re-derives every index and
@@ -30,13 +31,21 @@ from pyspark.sql import functions as F
 
 # importing the variant modules registers their queries AND their
 # oracle SQL, which this module composes into the recall oracle
+# (similarity_ivfadc_query is @staged_query until the r12 window —
+# its oracle lives in STAGED_ORACLES until the promotion flips it)
 from dist_map_reduce_spark.functions import (  # noqa: F401
     similarity,
+    similarity_ivfadc_query,
     similarity_ivf_kmeans,
     similarity_ivfpq,
     similarity_pq,
 )
-from dist_map_reduce_spark.registry import ORACLES, query, resolve_oracle
+from dist_map_reduce_spark.registry import (
+    ORACLES,
+    STAGED_ORACLES,
+    query,
+    resolve_oracle,
+)
 
 # variant label -> (registered query name, callable)
 _VARIANTS: dict[str, str] = {
@@ -45,6 +54,7 @@ _VARIANTS: dict[str, str] = {
     "ivf_kmeans": "similarity_ann_ivf_kmeans_topk",
     "pq_adc": "similarity_ann_pq_adc_topk",
     "ivfpq": "similarity_ann_ivfpq_topk",
+    "ivfadc": "similarity_ann_ivfadc_topk",
 }
 
 _EXACT = "similarity_topk_cosine"
@@ -56,7 +66,8 @@ def _recall_oracle() -> str:
     inside a FROM subquery)."""
     union = "\n      UNION ALL ".join(
         f"SELECT '{label}' AS variant, query_id, vec_id\n"
-        f"      FROM ({resolve_oracle(ORACLES[name])}) AS {label}_t"
+        f"      FROM ({resolve_oracle((ORACLES | STAGED_ORACLES)[name])})"
+        f" AS {label}_t"
         for label, name in _VARIANTS.items()
     )
     return f"""
@@ -133,16 +144,17 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of each ANN variant vs exact cosine top-5.
 
     Runs the exact search once, truncates to top-5 per query, runs
-    all five variant searches, and counts the overlap. The
+    all six variant searches, and counts the overlap. The
     exact-pair set feeds BOTH the overlap join and the denominator,
     so it is persisted through the bounded cache slot — otherwise
     the full exact scan runs twice per invocation."""
-    from dist_map_reduce_spark.registry import QUERIES
+    from dist_map_reduce_spark.registry import QUERIES, STAGED_QUERIES
 
     exact5 = exact_top5(spark, sf_dir)
     variants = None
     for label, name in _VARIANTS.items():
-        v = QUERIES[name](spark, sf_dir).select(
+        fn = QUERIES.get(name) or STAGED_QUERIES[name]
+        v = fn(spark, sf_dir).select(
             F.lit(label).alias("variant"), "query_id", "vec_id"
         )
         variants = v if variants is None else variants.unionAll(v)

@@ -86,8 +86,8 @@ from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import (
     ORACLES,
     QUERIES,
+    query,
     resolve_oracle,
-    staged_query,
 )
 
 SAMPLE_K = 100  # final-stage A-ES sample size (= weighted_sample_aes)
@@ -247,7 +247,7 @@ def funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slot lookup FIRST: on a repeat invocation the cached flags
     # table answers everything — without this peek each call still
     # paid the two alignment-check jobs below (the _learn pattern)
-    hit = caching.peek("curation_funnel_flags", sf_dir)
+    hit = caching.peek("curation_funnel_flags", sf_dir, session=spark)
     if hit is not None:
         return hit
 
@@ -402,7 +402,7 @@ def export_curated_corpus(
     )
 
 
-@staged_query("curation_funnel", oracle=_funnel_oracle)
+@query("curation_funnel", oracle=_funnel_oracle)
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(stage_no, stage, docs_out, tokens_out): the curation cascade
     funnel — seven conditional aggregates plus one survivor-relative

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 
 D = 64  # embedding dimensionality of the fixture corpus
 
@@ -102,7 +102,7 @@ def _rounded(g: DataFrame) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "embedding_gramian",
     # the (i, j) index pairs come from an UNCORRELATED pairs table
     # (DuckDB's generate_series table function rejects lateral

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 
 # Jelinek-Mercer interpolation weight on the bigram MLE. 0.75 is the
 # textbook default for bigram/unigram mixes; exact binary fraction
@@ -82,7 +82,7 @@ def doc_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "lm_bigram_doc_scores",
     oracle=f"""
     WITH t AS (

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import query, staged_query
+from dist_map_reduce_spark.registry import query
 
 IMAGE_PAYLOAD_SCHEMA = "doc_id long, payload binary"
 IMAGE_FEATURE_SCHEMA = (
@@ -236,7 +236,7 @@ def box_downsample(px, fy: int, fx: int):
     )
 
 
-@staged_query(
+@query(
     "multimodal_image_resize",
     oracle=f"""
     WITH params AS (

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 from dist_map_reduce_spark.scratch import scratch_path as _scratch
 
 N_SHARDS = 8
@@ -126,7 +126,7 @@ _MANIFEST_SQL_BODY = f"""
 """
 
 
-@staged_query("corpus_shard_manifest", oracle=_MANIFEST_SQL_BODY)
+@query("corpus_shard_manifest", oracle=_MANIFEST_SQL_BODY)
 def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end shard export + manifest: write the
     deterministic-shuffle shards to scratch, re-read them through the

@@ -208,14 +208,19 @@ def kmeans_fit(
     return assigned, cent
 
 
-def kmeans_ctes() -> tuple[list[str], str]:
+def kmeans_ctes(with_e: bool = True) -> tuple[list[str], str]:
     """The unrolled Lloyd iterations as DuckDB CTEs — same
     deterministic init/assignment/means as ``kmeans_fit``. Returns
     ``(ctes, final_centroid_cte)`` where the final centroid CTE
     (c{KMEANS_ROUNDS-1}) is the table the last assignment round
-    a{KMEANS_ROUNDS} ran against."""
-    ctes = [
+    a{KMEANS_ROUNDS} ran against. ``with_e=False`` omits the leading
+    raw-embeddings ``e`` CTE so a caller can supply its own (the
+    IVFADC oracle trains over L2-NORMALIZED embeddings — see
+    similarity_ivfadc_query.py)."""
+    ctes = [] if not with_e else [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    ]
+    ctes += [
         f"""c0 AS (
           SELECT vec_id AS cell, list_transform(emb, x -> round(x, 6)) AS cent
           FROM e WHERE vec_id < {K_CELLS}

@@ -256,7 +256,16 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine order (cos = 1 − ‖q̂−x̂‖²/2), so the ADC ranking targets
     # the same metric the exact top-5 uses — without this the PQ
     # codebook wastes codes modeling norm variation the cosine
-    # ground truth ignores
+    # ground truth ignores. The normalized components are NOT rounded
+    # — deliberately (r11, learned the hard way attaching the oracle
+    # in similarity_ivfadc_query.py): every cross-engine-compared
+    # quantity downstream passes through a round-6 of a GENERIC
+    # double, which absorbs the ±ULP the two engines' norm sums can
+    # differ by; rounding here instead makes all inputs decimal-
+    # aligned, so small-group averages in the per-cell codebook
+    # training land EXACTLY on .5e-6 round boundaries where that same
+    # ULP noise flips the round (observed: one adist off by 1e-6 at
+    # sf0.001).
     raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     nrm = F.sqrt(
         F.expr(

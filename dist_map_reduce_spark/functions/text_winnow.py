@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import query, staged_query
+from dist_map_reduce_spark.registry import query
 
 K_GRAM = 16  # char k-gram length
 W_WIN = 8  # winnowing window (guarantee threshold = K_GRAM + W_WIN - 1)
@@ -331,7 +331,7 @@ def _winnow_fp_sql(src: str) -> str:
     """
 
 
-@staged_query(
+@query(
     "text_winnow_match_pairs",
     oracle=f"""
     WITH fpd AS ({_winnow_fp_sql(_PLANT_PAIRS_SQL)}),
@@ -370,7 +370,7 @@ def text_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_SOURCE = "src0"  # the curation.py decontamination split
 
 
-@staged_query(
+@query(
     "text_winnow_decontaminate",
     oracle=f"""
     WITH planted AS ({_PLANT_DECON_SQL}),

@@ -108,12 +108,8 @@ def load_staged() -> None:
     the call order irrelevant."""
     if not QUERIES:
         load_all()
-    from dist_map_reduce_spark.functions import lm_bigram  # noqa: F401
-    from dist_map_reduce_spark.functions import shard_export  # noqa: F401
-    from dist_map_reduce_spark.functions import embedding_pca  # noqa: F401
-    from dist_map_reduce_spark.functions import text_winnow  # noqa: F401
-    from dist_map_reduce_spark.functions import curation_funnel  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity_ivfadc_query  # noqa: F401
+    from dist_map_reduce_spark.streaming import ingest_index_compaction  # noqa: F401
 
 
 def load_all() -> None:
@@ -127,64 +123,77 @@ def load_all() -> None:
     window imports is the rotation bookkeeping — if adding a query
     to a window module silently changed the cut line, it fires.
 
-    Round 10 (forced recovery — round 9 was a zero-commit no-op, so
-    the window never rotated and the 49 r5-stamped names sit exactly
-    at the staleness floor, which becomes binding at r10:
-    floor = newest - ceil(189/50) = r10 - 4 = r6). The r10 window is
-    therefore fully determined: ALL 49 r5 names + exactly ONE staged
-    promotion. The 49 live in ten modules that register nothing
-    else -- relational (17), tpch_more (6), arrays_maps (6),
-    subqueries (5), streaming/pipelines (10), dedup_simhash,
-    bucketing, cohorts, skew, sources_sinks_orc (1 each) = 49 -- and
-    the free slot promotes ``streaming_ingest_dedup``
-    (streaming/ingest_dedup_query.py, @staged_query -> @query this
-    round), the highest-value staged query: it certifies the whole
-    incremental-ingest path, now with the band index maintained
-    across waves (round-10 work). 49 + 1 = 50.
+    Round 11 (EXECUTED this round — the plan simulated in r10 landed
+    exactly as written): after CORRECTNESS_r10, the oldest stamps
+    are the 41 r6 names (floor = newest - ceil(191/50) = r11 - 4 =
+    r7 becomes binding at r12, so the r6 cohort must clear NOW),
+    spread over 21 modules each registering nothing else --
+    curation (5), text (8), scd (6), multimodal (2), python_udfs
+    (2), etl (2), sequences (2), and singles chunking / lm_score /
+    multimodal_ext / quality_model / resample_weighted /
+    text_boilerplate / text_dupngrams / contribution / intervals /
+    profiling / skyline / stats_robust / zorder /
+    streaming.wordcount_stream. The r11 window = those 41 + the
+    SEVEN staged promotions (all flipped @staged_query -> @query
+    this round) -- ``lm_bigram_doc_scores`` (functions/lm_bigram.py),
+    ``corpus_shard_manifest`` (functions/shard_export.py),
+    ``embedding_gramian`` (functions/embedding_pca.py),
+    ``text_winnow_match_pairs`` + ``text_winnow_decontaminate``
+    (functions/text_winnow.py), ``multimodal_image_resize``
+    (functions/multimodal_image.py), ``curation_funnel``
+    (functions/curation_funnel.py) -- + the TWO riders the mixed
+    modules drag in (``text_winnow_fingerprints`` r9,
+    ``multimodal_image_features`` r7): 41 + 7 + 2 = 50 exactly.
+    This only works because curation_funnel's oracle is LAZY (a
+    zero-arg composer -- see the Oracle note above): module-level
+    component imports would drag 12+ extra rider registrations
+    (dedup, clustering, semdedup, curation_ext) into the window and
+    overflow the plan to 63. Do NOT reintroduce module-scope imports
+    of registering modules there.
 
-    Round 11 plan (mechanical -- execute, don't re-derive; the
-    arithmetic below was SIMULATED in r10 and lands exactly on 50):
-    after CORRECTNESS_r10 lands, the oldest stamps are the 41 r6
-    names (floor binding at r11), spread over 21 modules each
-    registering nothing else -- curation (5), text (8), scd (6),
-    multimodal (2), python_udfs (2), etl (2), sequences (2), and
-    singles chunking / lm_score / multimodal_ext / quality_model /
-    resample_weighted / text_boilerplate / text_dupngrams /
-    contribution / intervals / profiling / skyline / stats_robust /
-    zorder / streaming.wordcount_stream. The r11 window = those 41
-    + the SEVEN remaining staged promotions -- ``lm_bigram_doc_scores``
-    (functions/lm_bigram.py), ``corpus_shard_manifest``
-    (functions/shard_export.py), ``embedding_gramian``
-    (functions/embedding_pca.py), ``text_winnow_match_pairs`` +
-    ``text_winnow_decontaminate`` (functions/text_winnow.py),
-    ``multimodal_image_resize`` (functions/multimodal_image.py),
-    ``curation_funnel`` (functions/curation_funnel.py) -- + the TWO
-    riders the mixed modules drag in (``text_winnow_fingerprints``
-    r9, ``multimodal_image_features`` r7): 41 + 7 + 2 = 50 exactly.
-    This only works because curation_funnel's oracle went LAZY in
-    r10 (a zero-arg composer -- see the Oracle note above): with the
-    old module-level component imports the funnel dragged 12+ extra
-    rider registrations (dedup, clustering, semdedup, curation_ext)
-    into the window and the plan overflowed to 63. Do NOT reintroduce
-    module-scope imports of registering modules there. Then r12
-    re-stamps the 48 r7 names (floor r8) and r13 the 50 r9 names --
-    steady-state four-round cadence restored. The authoritative
-    staleness list is derivable from the evidence files, which is
-    what tests/test_registry.py checks.
+    Round 12 plan (mechanical): window = the 48 r7 names (floor r8
+    binding) + the TWO r11-staged promotions
+    (``similarity_ann_ivfadc_topk`` in
+    functions/similarity_ivfadc_query.py and
+    ``streaming_ingest_index_compaction`` in
+    streaming/ingest_index_compaction.py, both single-query modules
+    with no riders) = 50 exactly. Round 13 re-stamps the 50 r9
+    names; r14 the r10 cohort -- steady-state four-round cadence.
+    The authoritative staleness list is derivable from the evidence
+    files, which is what tests/test_registry.py checks.
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
-    from dist_map_reduce_spark.operators import relational  # noqa: F401
-    from dist_map_reduce_spark.operators import tpch_more  # noqa: F401
-    from dist_map_reduce_spark.operators import arrays_maps  # noqa: F401
-    from dist_map_reduce_spark.operators import subqueries  # noqa: F401
-    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
-    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401
-    from dist_map_reduce_spark.operators import bucketing  # noqa: F401
-    from dist_map_reduce_spark.operators import cohorts  # noqa: F401
-    from dist_map_reduce_spark.operators import skew  # noqa: F401
-    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401
-    from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
+    # 21 modules holding the 41 r6-stamped names (nothing else)
+    from dist_map_reduce_spark.functions import curation  # noqa: F401
+    from dist_map_reduce_spark.functions import text  # noqa: F401
+    from dist_map_reduce_spark.operators import scd  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal  # noqa: F401
+    from dist_map_reduce_spark.functions import python_udfs  # noqa: F401
+    from dist_map_reduce_spark.operators import etl  # noqa: F401
+    from dist_map_reduce_spark.operators import sequences  # noqa: F401
+    from dist_map_reduce_spark.functions import chunking  # noqa: F401
+    from dist_map_reduce_spark.functions import lm_score  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401
+    from dist_map_reduce_spark.functions import quality_model  # noqa: F401
+    from dist_map_reduce_spark.functions import resample_weighted  # noqa: F401
+    from dist_map_reduce_spark.functions import text_boilerplate  # noqa: F401
+    from dist_map_reduce_spark.functions import text_dupngrams  # noqa: F401
+    from dist_map_reduce_spark.operators import contribution  # noqa: F401
+    from dist_map_reduce_spark.operators import intervals  # noqa: F401
+    from dist_map_reduce_spark.operators import profiling  # noqa: F401
+    from dist_map_reduce_spark.operators import skyline  # noqa: F401
+    from dist_map_reduce_spark.operators import stats_robust  # noqa: F401
+    from dist_map_reduce_spark.operators import zorder  # noqa: F401
+    from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401
+
+    # the 7 r11 promotions (+ 2 riders from the mixed modules)
+    from dist_map_reduce_spark.functions import lm_bigram  # noqa: F401
+    from dist_map_reduce_spark.functions import shard_export  # noqa: F401
+    from dist_map_reduce_spark.functions import embedding_pca  # noqa: F401
+    from dist_map_reduce_spark.functions import text_winnow  # noqa: F401
+    from dist_map_reduce_spark.functions import curation_funnel  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -197,62 +206,50 @@ def load_all() -> None:
             f"register {len(QUERIES)} queries, expected {WINDOW}"
         )
 
-    # --- outside the window: driver-green in r6-r9, unchanged ---
+    # --- outside the window: driver-green in r7-r10, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
         ann_recall,
-        chunking,
         clustering,
-        curation,
         curation_ext,
         dedup,
+        dedup_simhash,
         graph,
-        lm_score,
-        multimodal,
         multimodal_audio,
-        multimodal_ext,
-        multimodal_image,
         packing,
-        python_udfs,
-        quality_model,
-        resample_weighted,
         sampling_aes,
         semdedup,
         similarity,
         similarity_ivf_kmeans,
         similarity_ivfpq,
         similarity_pq,
-        text,
-        text_boilerplate,
         text_bpe,
         text_bpe_encode,
-        text_dupngrams,
         text_entropy,
-        text_winnow,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
         approx,
-        contribution,
-        etl,
+        arrays_maps,
+        bucketing,
+        cohorts,
         histogram,
-        intervals,
         json_ops,
         linkage,
-        profiling,
+        relational,
         scalar_fns,
-        scd,
-        sequences,
         setops,
-        skyline,
+        skew,
         snapshot_diff,
         sources_sinks,
+        sources_sinks_orc,
         stats,
-        stats_robust,
+        subqueries,
         timeseries,
         timeseries_fill,
         tpch_full,
+        tpch_more,
         tpch_partsupp,
         windows,
         wordcount,
-        zorder,
     )
-    from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401
+    from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
+    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401

@@ -105,4 +105,9 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream) and return the final accepted table."""
     work = _scratch(sf_dir, "ingest_dedup_q")
     shutil.rmtree(work, ignore_errors=True)
-    return run_ingest_dedup(spark, sf_dir, work)
+    # the sink carries text since the r11 sink-derived index catch-up
+    # (bands must be re-derivable from the sink alone); project it
+    # away to keep the r10-stamped result schema
+    return run_ingest_dedup(spark, sf_dir, work).select(
+        "doc_id", "fp", "corpus_neardup"
+    )

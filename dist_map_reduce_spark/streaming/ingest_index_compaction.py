@@ -1,0 +1,127 @@
+"""Offline band-index compaction — the operational maintenance query
+for the growing ingestion near-dup index (streaming/ingest_dedup.py).
+
+The index is append-only by design: each delivery's catch-up appends
+its keepers' delivery-distinct bands without anti-joining the index
+(an extra corpus-sized scan per delivery for what is only storage),
+and crash replays may append a delivery's bands twice. Both leave
+semantically-harmless duplicate rows behind — a membership semi-join
+ignores them — that an offline compaction reclaims:
+``compact_band_index`` rewrites the index as its DISTINCT band set
+(staged write + swap; production flips a versioned manifest pointer).
+
+This query certifies the whole maintenance story end-to-end: run the
+3-wave ingestion replay, snapshot the RAW per-band row counts
+(materialized to parquet BEFORE the swap — a lazy aggregate read
+after the rewrite would silently re-list the compacted files: the
+parquet re-listing trap), compact, and report per band_id the
+compacted key count next to the raw row count. The DuckDB oracle
+re-derives both numbers relationally: raw = corpus-distinct bands
+plus each wave's keeper-distinct bands (exactly what the catch-ups
+append across the run — per-delivery distinct, duplicates across
+deliveries kept), compacted = the global distinct. A missed or
+doubled catch-up, a compaction that drops or invents a band, or a
+keeper-set drift all break the value hash.
+
+Scale posture: the compaction is one distinct (hash-aggregate
+shuffle) over the index — a table of short strings orders of
+magnitude smaller than the corpus — run offline at whatever cadence
+storage growth warrants; the reporting overlay is a 4-row-per-side
+join. Window discipline: module scope imports only registration-free
+modules (registry, scratch, ingest_dedup, dedup_common), so when
+this module enters the r12 correctness window it registers exactly
+ONE query, no riders (registry.load_all docstring).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark.functions.dedup_common import _minhash_bands_sql
+from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.scratch import scratch_path as _scratch
+from dist_map_reduce_spark.streaming.ingest_dedup import (
+    N_INGEST_BATCHES,
+    compact_band_index,
+    run_ingest_dedup,
+)
+
+_N_SPLIT = N_INGEST_BATCHES + 1
+
+
+@staged_query(
+    "streaming_ingest_index_compaction",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             ('0x' || substring(md5('ingest:' || doc_id::VARCHAR), 1, 8))
+               ::BIGINT % {_N_SPLIT} AS bucket
+      FROM documents
+    ),
+    arr AS (
+      SELECT doc_id, text, bucket, md5(text) AS fp
+      FROM d WHERE bucket > 0
+    ),
+    first_wave AS (SELECT fp, min(bucket) AS w FROM arr GROUP BY 1),
+    keeper AS (
+      SELECT arr.fp, min(arr.doc_id) AS doc_id, fw.w
+      FROM arr JOIN first_wave fw ON arr.fp = fw.fp AND arr.bucket = fw.w
+      GROUP BY arr.fp, fw.w
+    ),
+    all_bands AS ({_minhash_bands_sql()}),
+    -- what the run's catch-ups append: the corpus seed (distinct)
+    -- plus each wave's keeper bands, DISTINCT WITHIN the delivery
+    -- but kept across deliveries (append-only index)
+    corpus_b AS (
+      SELECT DISTINCT ab.band_id, ab.band_key
+      FROM all_bands ab JOIN d USING (doc_id)
+      WHERE d.bucket = 0
+    ),
+    wave_b AS (
+      SELECT DISTINCT k.w, ab.band_id, ab.band_key
+      FROM all_bands ab JOIN keeper k ON ab.doc_id = k.doc_id
+    ),
+    raw AS (
+      SELECT band_id, band_key FROM corpus_b
+      UNION ALL
+      SELECT band_id, band_key FROM wave_b
+    )
+    SELECT band_id,
+           count(DISTINCT band_key) AS n_keys,
+           count(*) AS n_raw
+    FROM raw
+    GROUP BY band_id
+    """,
+)
+def streaming_ingest_index_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(band_id, n_keys, n_raw): run the 3-wave ingestion replay,
+    compact its band index, and report per band the compacted
+    distinct-key count against the raw (append-only) row count."""
+    work = _scratch(sf_dir, "ingest_compact_q")
+    shutil.rmtree(work, ignore_errors=True)
+    run_ingest_dedup(spark, sf_dir, work)
+    index_dir = os.path.join(work, "band_index")
+    raw_counts_dir = os.path.join(work, "raw_counts")
+
+    def by_band(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(
+            F.substring_index("band", ":", 1).alias("band_id")
+        ).agg(F.count("*").alias(out))
+
+    # materialize the raw counts BEFORE the swap: the aggregate is
+    # lazy and a post-swap execution would re-list the compacted
+    # files (parquet re-listing trap — see module docstring)
+    by_band(spark.read.parquet(index_dir), "n_raw").write.mode(
+        "overwrite"
+    ).parquet(raw_counts_dir)
+    compact_band_index(spark, index_dir)
+    comp = by_band(spark.read.parquet(index_dir), "n_keys")
+    return comp.join(spark.read.parquet(raw_counts_dir), "band_id").select(
+        "band_id", "n_keys", "n_raw"
+    )

@@ -18,7 +18,7 @@ registry.load_staged()
 
 def test_funnel_monotone_and_named(spark):
     rows = sorted(
-        registry.STAGED_QUERIES["curation_funnel"](spark, SF_SMOKE).collect(),
+        registry.QUERIES["curation_funnel"](spark, SF_SMOKE).collect(),
         key=lambda r: r.stage_no,
     )
     assert [r.stage for r in rows] == list(_STAGES)
@@ -64,7 +64,7 @@ def test_export_matches_funnel_counts(spark, tmp_path):
 
     funnel = {
         r.stage: r
-        for r in registry.STAGED_QUERIES["curation_funnel"](
+        for r in registry.QUERIES["curation_funnel"](
             spark, SF_SMOKE
         ).collect()
     }

@@ -252,6 +252,112 @@ def test_ingest_matches_batch_answer(spark, tmp_path):
     assert any(not r.corpus_neardup for r in accepted)
 
 
+def test_ingest_crash_replay_selfheals(spark, tmp_path):
+    """The r11 hardening contract: index maintenance is derived from
+    the sink (``_index_catchup``), so a crash anywhere between a
+    delivery's sink write and its bands reaching the index self-heals
+    on replay — the final state is content-identical to a crash-free
+    run. Three scenarios against the same crafted corpus (the
+    cross-wave near-dup texts, so flag semantics are load-bearing):
+
+    1. clean: waves 1,2,3;
+    2. crash-after-sink-write: the stream dies right after wave 2's
+       sink append (before anything indexes it) and replays wave 2 —
+       emulated by delivering wave 2 twice;
+    3. lost marker: the indexed-docs marker is deleted mid-run — the
+       catch-up re-pends already-indexed rows and re-appends their
+       bands, which must change nothing semantically (duplicates the
+       compaction reclaims).
+    """
+    import os
+    import shutil as sh
+
+    from dist_map_reduce_spark.streaming.ingest_dedup import (
+        _accept_batch,
+        _index_catchup,
+        compact_band_index,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango"
+    )
+    corpus_text = (
+        "the existing corpus document speaks about entirely different "
+        "topics like cooking baking roasting grilling frying steaming "
+        "boiling"
+    )
+    docs = spark.createDataFrame(
+        [
+            (7, corpus_text),  # bucket 0: existing corpus
+            (3, base),  # bucket 1 (wave 1)
+            (0, base + " extra"),  # bucket 2: near-dup of wave-1 keeper
+            (6, base + " uniform"),  # bucket 3: near-dup of wave-1 keeper
+        ],
+        ["doc_id", "text"],
+    )
+    corpus, arrivals = split_corpus_arrivals(docs)
+    arrivals = arrivals.persist()
+
+    def run(tag, wave_seq, drop_marker_before=None):
+        work = str(tmp_path / tag)
+        target = os.path.join(work, "accepted")
+        index_dir = os.path.join(work, "band_index")
+        marker = os.path.join(work, "indexed_docs")
+        corpus_band_index(corpus).write.mode("overwrite").parquet(index_dir)
+        for i, w in enumerate(wave_seq):
+            if drop_marker_before == i:
+                sh.rmtree(marker)
+            _accept_batch(
+                arrivals.filter(F.col("bucket") == w).drop("bucket"),
+                index_dir,
+                target,
+                os.path.join(work, "batch_stage"),
+                marker,
+                os.path.join(work, "catchup_stage"),
+            )
+        _index_catchup(
+            spark, target, index_dir, marker,
+            os.path.join(work, "catchup_stage"),
+        )
+        return work, target, index_dir
+
+    def state(target, index_dir, raw=False):
+        accepted = {
+            (r.doc_id, r.fp, r.corpus_neardup, r.text)
+            for r in spark.read.parquet(target).collect()
+        }
+        bands = [r.band for r in spark.read.parquet(index_dir).collect()]
+        return accepted, (sorted(bands) if raw else set(bands))
+
+    try:
+        _, t1, i1 = run("clean", [1, 2, 3])
+        _, t2, i2 = run("crash", [1, 2, 2, 3])  # wave-2 replay
+        _, t3, i3 = run("marker_loss", [1, 2, 3], drop_marker_before=2)
+    finally:
+        arrivals.unpersist()
+
+    clean_acc, clean_raw = state(t1, i1, raw=True)
+    crash_acc, crash_raw = state(t2, i2, raw=True)
+    # replay self-heals to the SAME raw state: the redelivered wave's
+    # keepers all anti-join out, and its catch-up appends exactly the
+    # bands the crashed run lost — no duplicates anywhere
+    assert crash_acc == clean_acc
+    assert crash_raw == clean_raw
+    # flag semantics survived the crash: the wave-3 near-dup of the
+    # wave-1 keeper is still flagged
+    assert any(d == 6 and nd for d, _, nd, _ in crash_acc)
+    # marker loss re-appends bands (raw duplicates) but never changes
+    # membership or acceptance; compaction restores row-for-row parity
+    loss_acc, loss_bands = state(t3, i3)
+    assert loss_acc == clean_acc
+    assert loss_bands == set(clean_raw)
+    assert len(state(t3, i3, raw=True)[1]) > len(set(clean_raw))
+    compact_band_index(spark, i3)
+    assert state(t3, i3, raw=True)[1] == sorted(set(clean_raw))
+
+
 def test_band_index_plan_no_inlined_signature_under_foreign_rules(spark):
     """The driver runs a PLAIN session where InferFiltersFromGenerate
     is active; plan_audit's foreign pass skips streaming_ingest_dedup

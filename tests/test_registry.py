@@ -105,12 +105,16 @@ def test_every_oracle_resolves_to_sql_text():
 
 
 def test_staged_modules_register_no_unexpected_riders():
-    """The r11 promotion arithmetic (registry.load_all docstring)
-    assumes each staged-holding module drags at most its KNOWN
-    riders into the window — curation_funnel none (lazy oracle),
-    text_winnow and multimodal_image exactly one each. A reintroduced
-    module-scope import of a registering module breaks the next
-    round's rotation; catch it here, not at stamp time."""
+    """The r12 window arithmetic (registry.load_all docstring)
+    assumes each module registers exactly its KNOWN queries when
+    imported in the driver's pristine order: curation_funnel exactly
+    itself (its composed oracle stays LAZY — a reintroduced
+    module-scope import of a registering component module breaks the
+    rotation), and the two r11-staged single-query modules exactly
+    ZERO @query entries now / one each after the r12 promotion flips
+    their decorator (their heavyweight deps — similarity_pq,
+    similarity_ivfpq, ingest_dedup_query — must stay inside the
+    callables). Catch drift here, not at stamp time."""
     import subprocess
     import sys
 
@@ -119,11 +123,13 @@ def test_staged_modules_register_no_unexpected_riders():
         "from dist_map_reduce_spark import registry\n"
         "from dist_map_reduce_spark.functions import curation_funnel\n"
         "a = set(registry.QUERIES)\n"
-        "from dist_map_reduce_spark.functions import text_winnow\n"
+        "from dist_map_reduce_spark.functions import similarity_ivfadc_query\n"
         "b = set(registry.QUERIES) - a\n"
-        "from dist_map_reduce_spark.functions import multimodal_image\n"
+        "from dist_map_reduce_spark.streaming import ingest_index_compaction\n"
         "c = set(registry.QUERIES) - a - b\n"
-        "print(sorted(a), '|', sorted(b), '|', sorted(c))\n" % REPO_ROOT
+        "s = set(registry.STAGED_QUERIES)\n"
+        "print(sorted(a), '|', sorted(b), '|', sorted(c), '|', sorted(s))\n"
+        % REPO_ROOT
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -132,13 +138,19 @@ def test_staged_modules_register_no_unexpected_riders():
         timeout=120,
     )
     assert out.returncode == 0, out.stderr
-    funnel_riders, winnow, mm = out.stdout.strip().splitlines()[-1].split("|")
-    assert funnel_riders.strip() == "[]", (
-        f"curation_funnel's import registers riders: {funnel_riders} — "
+    funnel, ivfadc, compaction, staged = (
+        out.stdout.strip().splitlines()[-1].split("|")
+    )
+    assert funnel.strip() == "['curation_funnel']", (
+        f"curation_funnel's import registers riders: {funnel} — "
         "its component imports must stay inside _ensure_components()"
     )
-    assert winnow.strip() == "['text_winnow_fingerprints']", winnow
-    assert mm.strip() == "['multimodal_image_features']", mm
+    assert ivfadc.strip() == "[]", ivfadc
+    assert compaction.strip() == "[]", compaction
+    assert staged.strip() == (
+        "['similarity_ann_ivfadc_topk', "
+        "'streaming_ingest_index_compaction']"
+    ), staged
 
 
 def test_window_count_pins_in_fresh_subprocess():
