@@ -71,21 +71,25 @@ def persist_tracked(df: DataFrame, slot: str, key: str) -> DataFrame:
     return df
 
 
-def peek(slot: str, key: str) -> DataFrame | None:
+def peek(slot: str, key: str, session=None) -> DataFrame | None:
     """Return the live cached DataFrame for ``slot`` if its key
-    matches and its session is still the active, running one, else
+    matches and its session is still the caller's running one, else
     None — lets an operator whose CONSTRUCTION is expensive
     (iterative loops that run jobs while building the plan) skip the
-    rebuild entirely on a repeat invocation. Stale entries (stopped
-    or replaced session) are dropped rather than returned."""
+    rebuild entirely on a repeat invocation. Callers holding a
+    SparkSession pass it as ``session`` so a cache built on a
+    DIFFERENT live session is never returned to them (ADVICE r10 —
+    two sessions in one process); without it the active session is
+    the reference. Stale entries (stopped or replaced session) are
+    dropped rather than returned."""
     from pyspark.sql import SparkSession
 
     prev = _SLOTS.get(slot)
     if prev is None or prev[0] != key:
         return None
     df = prev[1]
-    active = SparkSession.getActiveSession()
-    if df.sparkSession is not active or not _is_live(df):
+    ref = session if session is not None else SparkSession.getActiveSession()
+    if df.sparkSession is not ref or not _is_live(df):
         del _SLOTS[slot]
         return None
     return df

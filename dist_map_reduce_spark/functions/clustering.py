@@ -269,7 +269,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dist_map_reduce_spark import caching
     from dist_map_reduce_spark.functions.dedup import minhash_band_candidates
 
-    hit = caching.peek("dedup_clusters_out", sf_dir)
+    hit = caching.peek("dedup_clusters_out", sf_dir, session=spark)
     if hit is not None:
         return hit
 
@@ -400,7 +400,7 @@ def dedup_clusters_logn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dist_map_reduce_spark import caching
     from dist_map_reduce_spark.functions.dedup import minhash_band_candidates
 
-    hit = caching.peek("dedup_clusters_logn_out", sf_dir)
+    hit = caching.peek("dedup_clusters_logn_out", sf_dir, session=spark)
     if hit is not None:
         return hit
 

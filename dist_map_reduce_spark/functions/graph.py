@@ -101,7 +101,7 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dist_map_reduce_spark import caching
     from dist_map_reduce_spark.functions.dedup import minhash_band_candidates
 
-    hit = caching.peek("pagerank_out", sf_dir)
+    hit = caching.peek("pagerank_out", sf_dir, session=spark)
     if hit is not None:
         return hit
 

@@ -107,7 +107,7 @@ def _prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cached per fixture dir — both registered queries consume it."""
     from dist_map_reduce_spark import caching
 
-    hit = caching.peek("semdedup_prune", sf_dir)
+    hit = caching.peek("semdedup_prune", sf_dir, session=spark)
     if hit is not None:
         return hit
 

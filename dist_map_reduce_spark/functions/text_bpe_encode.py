@@ -92,8 +92,8 @@ def _learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     could not skip the rebuild on a second query."""
     from dist_map_reduce_spark import caching
 
-    hit_m = caching.peek("bpe_merges", sf_dir)
-    hit_v = caching.peek("bpe_vocab_enc", sf_dir)
+    hit_m = caching.peek("bpe_merges", sf_dir, session=spark)
+    hit_v = caching.peek("bpe_vocab_enc", sf_dir, session=spark)
     if hit_m is not None and hit_v is not None:
         return hit_m, hit_v
 
