@@ -72,8 +72,8 @@ is one TakeOrderedAndProject over the cascade filter. Nothing in the
 funnel adds a shuffle beyond what its component queries already
 proved out.
 
-Promotion state: STAGED; scheduled for the r11 correctness window
-(registry.load_all's rotation plan).
+Promotion state: PROMOTED to @query in the r11 window
+(registry.load_all's rotation arithmetic).
 """
 
 from __future__ import annotations
@@ -129,7 +129,7 @@ _STAGES = (
 
 def _funnel_oracle() -> str:
     """LAZY oracle composer (passed as the callable itself to
-    @staged_query): resolves at first use, after load_all, so the
+    @query): resolves at first use, after load_all, so the
     component oracles it embeds are registered without this module
     having to import them at module scope."""
     _ensure_components()

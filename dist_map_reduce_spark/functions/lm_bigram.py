@@ -38,9 +38,9 @@ bit-identical ln inputs, and the 6-dp round absorbs association-order
 ULPs in the per-doc sum — the discipline proven by
 lm_unigram_doc_scores across five driver rounds.
 
-Promotion state: STAGED for the r9 correctness window (r8's 50 slots
-re-stamp the r4 backlog; registry.py:staged_query explains why a new
-@query cannot earn a driver stamp this round).
+Promotion state: PROMOTED to @query in the r11 window (staged since
+r8 with every-run parity coverage; registry.load_all has the
+rotation arithmetic).
 """
 
 from __future__ import annotations

@@ -36,8 +36,8 @@ identical in JVM and DuckDB; the sort key is the hex string itself
 and conv()'s 32-bit slice parses to the same BIGINT both sides — the
 dedup_common discipline.
 
-Promotion state: STAGED for the r9 correctness window (see
-registry.py:staged_query).
+Promotion state: PROMOTED to @query in the r11 window (see
+registry.load_all's rotation arithmetic).
 """
 
 from __future__ import annotations

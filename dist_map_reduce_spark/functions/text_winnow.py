@@ -269,10 +269,9 @@ def winnow_decontaminate(
 
 
 # ---------------------------------------------------------------------------
-# STAGED r9 queries over the library functions above (registry.py:
-# staged_query — the r8 window re-stamps the r4 backlog, so these
-# wait one round for driver visibility while being oracle-parity-
-# tested every run). The fixture corpus is synthetic word soup with
+# Queries over the library functions above (staged r9, PROMOTED to
+# @query in the r11 window after every-run parity coverage — see
+# registry.load_all). The fixture corpus is synthetic word soup with
 # essentially no organic >=23-char verbatim overlaps, so each query
 # deterministically PLANTS a shared passage into a doc_id-keyed
 # subset before detection — the pii_redact_docs discipline: the

@@ -100,12 +100,14 @@ def load_staged() -> None:
     OUT of load_all() so the driver's first-WINDOW registration
     bookkeeping is untouched; tests call this explicitly.
 
-    Some staged queries live in MIXED modules that also register
-    @query entries (text_winnow, multimodal_image). Calling this in
-    a pristine process before load_all() would land those @query
-    registrations at early QUERIES positions and silently shift the
-    first-WINDOW cut line — so load_all() runs first here, making
-    the call order irrelevant."""
+    A staged query living in a MIXED module that also registers
+    @query entries (the r9-r11 text_winnow / multimodal_image case)
+    would, if imported in a pristine process before load_all(), land
+    those @query registrations at early QUERIES positions and
+    silently shift the first-WINDOW cut line — so load_all() runs
+    first here, making the call order irrelevant. The current two
+    staged modules are single-query and registration-free at import,
+    but the ordering guard stays."""
     if not QUERIES:
         load_all()
     from dist_map_reduce_spark.functions import similarity_ivfadc_query  # noqa: F401

@@ -54,14 +54,19 @@ PROBES = [
     "streaming_ingest_dedup",
 ]
 
-# staged r9 queries (registry.STAGED_QUERIES) probed the same way —
-# documents/embeddings-only, so the synth corpus covers them
+# once-staged queries probed the same way (all promoted to @query by
+# r11; the run() lookup merges both registries so promotions don't
+# break the list) — documents/embeddings-only, so the synth corpus
+# covers them
 STAGED_PROBES = [
     "lm_bigram_doc_scores",
     "corpus_shard_manifest",
     "embedding_gramian",
     "text_winnow_match_pairs",
     "multimodal_image_resize",
+    # staged r11 → r12 window:
+    "similarity_ann_ivfadc_topk",
+    "streaming_ingest_index_compaction",
 ]
 
 
