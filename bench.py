@@ -123,6 +123,11 @@ HEADLINE = [
     "streaming_ingest_dedup",
     "curation_funnel",
     "multimodal_image_resize",
+    # r11 STAGED additions (the r12 promotion set, perf-tracked a
+    # round early): the oracle-checked IVFADC search and the
+    # band-index compaction maintenance query
+    "similarity_ann_ivfadc_topk",
+    "streaming_ingest_index_compaction",
 ]
 
 

@@ -279,7 +279,14 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: x.cast("double") / F.col("nrm")
         ).alias("embedding"),
     )
-    _, cent = kmeans_fit(emb)  # (cell, cent) — 6-dp-rounded doubles
+    # (cell, cent) — 6-dp-rounded doubles. PERSISTED: the K×DIM table
+    # is tiny but its lineage is the full 3-round Lloyd, and cent
+    # feeds three consumers here (ranking, corpus residuals, query
+    # residuals) — only the first two sit behind persisted slots, so
+    # without this the query-side residual join re-trains k-means on
+    # every invocation
+    _, cent = kmeans_fit(emb)
+    cent = persist_tracked(cent, "ivfadc_centroids", sf_dir)
     ranked = ivf_ranked_cells(
         emb,
         cent.select(
@@ -311,7 +318,11 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
     )
     codes, cb = _pq_fit_percell(sub_res)
+    # persist BOTH training outputs (the pq_index policy): the LUT
+    # side joins cb, and an unpersisted codebook re-runs the whole
+    # per-cell Lloyd a second time when the LUT materializes
     codes = persist_tracked(codes, "ivfadc_codes", sf_dir)
+    cb = persist_tracked(cb, "ivfadc_codebook", sf_dir)
     # query-side: one residual PER PROBE CELL, so the LUT is keyed by
     # (query_id, qcell) — a candidate scores against the LUT of the
     # cell it was found in

@@ -91,22 +91,11 @@ def main() -> None:
             .orderBy("variant")
             .collect()
         )
+        # ivfadc now rides in the graded panel above (r11 — its
+        # staged query gave it an oracle and a recall-panel row)
         for r in rows:
             print(f"  {r.variant:<12} hits={r.hits:>3}  recall@5={r.recall:.4f}")
-        from dist_map_reduce_spark.functions.similarity_ivfpq import (
-            ivfadc_residual_topk,
-        )
-
         exact = _exact5(spark, sf_dir)
-        adc = {
-            (r.query_id, r.vec_id)
-            for r in ivfadc_residual_topk(spark, sf_dir).collect()
-        }
-        hits = len(adc & exact)
-        print(
-            f"  {'ivfadc':<12} hits={hits:>3}"
-            f"  recall@5={hits / len(exact):.4f}  (library fn)"
-        )
         from dist_map_reduce_spark.functions.similarity_opq import (
             opq_pq_topk,
         )
