@@ -88,9 +88,15 @@ def peek(slot: str, key: str, session=None) -> DataFrame | None:
     if prev is None or prev[0] != key:
         return None
     df = prev[1]
-    ref = session if session is not None else SparkSession.getActiveSession()
-    if df.sparkSession is not ref or not _is_live(df):
+    if not _is_live(df):
         del _SLOTS[slot]
+        return None
+    ref = session if session is not None else SparkSession.getActiveSession()
+    if df.sparkSession is not ref:
+        # a LIVE entry owned by a different session: miss for this
+        # caller, but keep (and keep tracking) the owner's cache —
+        # deleting the slot here would orphan a persisted DataFrame
+        # the CacheManager still holds, beyond clear()'s reach
         return None
     return df
 

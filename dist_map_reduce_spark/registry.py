@@ -127,7 +127,7 @@ def load_all() -> None:
 
     Round 11 (EXECUTED this round — the plan simulated in r10 landed
     exactly as written): after CORRECTNESS_r10, the oldest stamps
-    are the 41 r6 names (floor = newest - ceil(191/50) = r11 - 4 =
+    are the 41 r6 names (floor = newest - ceil(196/50) = r11 - 4 =
     r7 becomes binding at r12, so the r6 cohort must clear NOW),
     spread over 21 modules each registering nothing else --
     curation (5), text (8), scd (6), multimodal (2), python_udfs

@@ -19,10 +19,12 @@ def test_peek_rejects_foreign_session(spark):
         assert caching.peek("t_peek_slot", "k2", session=spark) is None
         assert caching.peek("t_peek_slot", "k1", session=spark) is df
         # a SECOND live session in the same process must not see the
-        # first session's cache — and the mismatch drops the entry
+        # first session's cache — but the owner's LIVE entry stays
+        # tracked (dropping it would orphan the persisted DataFrame
+        # beyond clear()'s reach — the r11 self-review finding)
         other = spark.newSession()
         assert caching.peek("t_peek_slot", "k1", session=other) is None
-        assert caching.peek("t_peek_slot", "k1", session=spark) is None
+        assert caching.peek("t_peek_slot", "k1", session=spark) is df
     finally:
         caching.clear()
 

@@ -334,3 +334,29 @@ def test_ivfadc_residual_search_shape_and_beats_pq_adc(spark):
         f"ivfadc {len(got & exact)} hits < pq_adc {len(pq & exact)} — "
         "beat-or-delete gate failed"
     )
+
+
+def test_ann_recall_panel_values_pinned(spark):
+    """The six-variant recall@5 panel at sf0.001, pinned to its
+    measured constants (every index is md5-derived / round-6dp
+    deterministic, so these ARE constants). similarity_ann_recall's
+    output grew the ivfadc row in r11 while the query sits outside
+    the r11 driver window (re-stamp lands in r12 — the planned
+    rotation); until then this pin is the executable evidence that
+    neither the panel composition nor any index build drifted — a
+    sweep parity check alone would pass if engine and oracle drifted
+    TOGETHER (r11 self-review finding)."""
+    got = {
+        r.variant: (r.hits, float(r.recall))
+        for r in registry.QUERIES["similarity_ann_recall"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == {
+        "ivf": (11, 0.44),
+        "ivf_kmeans": (23, 0.92),
+        "ivfadc": (7, 0.28),
+        "ivfpq": (6, 0.24),
+        "lsh": (3, 0.12),
+        "pq_adc": (5, 0.2),
+    }
