@@ -31,6 +31,11 @@ join. Window discipline: module scope imports only registration-free
 modules (registry, scratch, ingest_dedup, dedup_common), so when
 this module enters the r12 correctness window it registers exactly
 ONE query, no riders (registry.load_all docstring).
+
+Reference parity: the reference engine has no streaming or index
+surface (its dataflow is the batch word-count ops,
+/root/reference/src/worker/worker.go:131-218); this query belongs to
+the training-data-pipeline extension surface.
 """
 
 from __future__ import annotations
