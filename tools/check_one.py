@@ -37,8 +37,16 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    sp = e.queries()[name](spark, sf_dir).toPandas()
+    # registered via the driver surface; staged via the registry
+    # (same reach as tools/sweep.py)
+    from dist_map_reduce_spark import registry
+
+    registry.load_staged()
+    fn = e.queries().get(name) or registry.STAGED_QUERIES[name]
+    sp = fn(spark, sf_dir).toPandas()
     osql = e.oracle_sql().get(name)
+    if osql is None and name in registry.STAGED_ORACLES:
+        osql = registry.resolve_oracle(registry.STAGED_ORACLES[name])
     if osql is None:
         print(f"{name}: rows-only ({len(sp)} rows)")
         return 0
