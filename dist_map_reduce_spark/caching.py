@@ -25,6 +25,16 @@ to unpersist) a dead DataFrame.
 Staleness contract: reuse assumes the data under ``key`` is
 immutable between invocations (true for the fixture parquet). Call
 ``clear()`` after mutating source data in place.
+
+Cross-session contention (ADVICE r11): when TWO live sessions use
+the same slot, ``peek`` misses for the non-owner (never hands out a
+foreign cache) but the non-owner's subsequent rebuild +
+``persist_tracked`` evicts the owner's entry — the owner degrades to
+recompute (Spark recomputes from lineage; correctness unaffected).
+That is the accepted trade: slots are keyed by name, not
+(session, slot), because coexisting live sessions occur only in
+tests — a long-lived process has one engine session, and the
+driver's foreign session runs in its own process.
 """
 
 from __future__ import annotations

@@ -47,7 +47,7 @@ from dist_map_reduce_spark.functions.similarity_common import (
     NPROBE,
     kmeans_ctes,
 )
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 
 # per-cell Lloyd rounds — MUST equal similarity_ivfpq._pq_fit_percell's
 # default (pinned by the parity test; imported lazily there)
@@ -202,7 +202,7 @@ def ivfadc_oracle_sql() -> str:
     )
 
 
-@staged_query("similarity_ann_ivfadc_topk", oracle=ivfadc_oracle_sql)
+@query("similarity_ann_ivfadc_topk", oracle=ivfadc_oracle_sql)
 def similarity_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC top-5 (query_id, vec_id, adist): per-cell residual-PQ
     compressed-domain search — normalize, probe the NPROBE nearest

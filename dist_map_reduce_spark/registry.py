@@ -110,8 +110,10 @@ def load_staged() -> None:
     but the ordering guard stays."""
     if not QUERIES:
         load_all()
-    from dist_map_reduce_spark.functions import similarity_ivfadc_query  # noqa: F401
-    from dist_map_reduce_spark.streaming import ingest_index_compaction  # noqa: F401
+    # r12 state: both r11-staged queries (similarity_ann_ivfadc_topk,
+    # streaming_ingest_index_compaction) were PROMOTED into the r12
+    # window — their imports live in load_all() now. New r12-staged
+    # modules (r13 has exactly TWO free window slots) import here.
 
 
 def load_all() -> None:
@@ -125,77 +127,69 @@ def load_all() -> None:
     window imports is the rotation bookkeeping — if adding a query
     to a window module silently changed the cut line, it fires.
 
-    Round 11 (EXECUTED this round — the plan simulated in r10 landed
-    exactly as written): after CORRECTNESS_r10, the oldest stamps
-    are the 41 r6 names (floor = newest - ceil(196/50) = r11 - 4 =
-    r7 becomes binding at r12, so the r6 cohort must clear NOW),
-    spread over 21 modules each registering nothing else --
-    curation (5), text (8), scd (6), multimodal (2), python_udfs
-    (2), etl (2), sequences (2), and singles chunking / lm_score /
-    multimodal_ext / quality_model / resample_weighted /
-    text_boilerplate / text_dupngrams / contribution / intervals /
-    profiling / skyline / stats_robust / zorder /
-    streaming.wordcount_stream. The r11 window = those 41 + the
-    SEVEN staged promotions (all flipped @staged_query -> @query
-    this round) -- ``lm_bigram_doc_scores`` (functions/lm_bigram.py),
-    ``corpus_shard_manifest`` (functions/shard_export.py),
-    ``embedding_gramian`` (functions/embedding_pca.py),
-    ``text_winnow_match_pairs`` + ``text_winnow_decontaminate``
-    (functions/text_winnow.py), ``multimodal_image_resize``
-    (functions/multimodal_image.py), ``curation_funnel``
-    (functions/curation_funnel.py) -- + the TWO riders the mixed
-    modules drag in (``text_winnow_fingerprints`` r9,
-    ``multimodal_image_features`` r7): 41 + 7 + 2 = 50 exactly.
-    This only works because curation_funnel's oracle is LAZY (a
-    zero-arg composer -- see the Oracle note above): module-level
-    component imports would drag 12+ extra rider registrations
-    (dedup, clustering, semdedup, curation_ext) into the window and
-    overflow the plan to 63. Do NOT reintroduce module-scope imports
-    of registering modules there.
-
-    Round 12 plan (mechanical): window = the 48 r7 names (floor r8
-    binding) + the TWO r11-staged promotions
+    Round 12 (EXECUTED this round): after CORRECTNESS_r11 the stamp
+    ages are r7=47, r9=49, r10=50, r11=50 (verified programmatically
+    from the evidence files; the r10-era plan said "48 r7 names" but
+    ``multimodal_image_features`` was re-stamped in r11 as a mixed-
+    module rider, shrinking the r7 cohort to 47 — the r11 VERDICT's
+    off-by-one finding). The r12 window = the 47 r7 names, spread
+    over 18 modules each registering nothing else — similarity (7),
+    tpch_full (7), tpch_partsupp (5), curation_ext (4), approx (4),
+    json_ops (4), wordcount (3), packing (2), timeseries_fill (2),
+    and singles ann_recall / graph / multimodal_audio / sampling_aes
+    / similarity_ivf_kmeans / similarity_ivfpq / similarity_pq /
+    linkage / snapshot_diff — + the TWO r11-staged promotions
     (``similarity_ann_ivfadc_topk`` in
     functions/similarity_ivfadc_query.py and
     ``streaming_ingest_index_compaction`` in
-    streaming/ingest_index_compaction.py, both single-query modules
-    with no riders) = 50 exactly. Round 13 re-stamps the 50 r9
-    names; r14 the r10 cohort -- steady-state four-round cadence.
-    The authoritative staleness list is derivable from the evidence
-    files, which is what tests/test_registry.py checks.
+    streaming/ingest_index_compaction.py, both single-query, no
+    riders, flipped @staged_query -> @query this round) + ONE
+    deliberately chosen filler, ``text_char_entropy``
+    (functions/text_entropy.py, single-query, the only r9 name
+    living alone in its module — chosen so the 50th slot is not an
+    accidental import-order rider): 47 + 2 + 1 = 50 exactly.
+    similarity_ivfpq imports similarity_pq at module scope — both
+    in-window, so no rider leak (verified this round).
+
+    Round 13 plan (mechanical): window = the 48 remaining r9 names
+    (49 minus text_char_entropy, which re-stamps now; they must
+    clear at r13 because the floor reaches r10 at r14 with cadence
+    ceil(198/50) = 4) + TWO free slots for r12-staged promotions. The 48 live in 13 pure-r9
+    modules: dedup (4), text_bpe_encode (4), scalar_fns (4), setops
+    (4), sources_sinks (5), stats (5), timeseries (6), windows (6),
+    clustering (3), histogram (3), semdedup (2), text_bpe (2),
+    plus riders NONE. r14 re-stamps the r10 cohort; r15 the r11
+    cohort — steady-state four-round cadence. The authoritative
+    staleness list is derivable from the evidence files, which is
+    what tests/test_registry.py checks.
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
-    # 21 modules holding the 41 r6-stamped names (nothing else)
-    from dist_map_reduce_spark.functions import curation  # noqa: F401
-    from dist_map_reduce_spark.functions import text  # noqa: F401
-    from dist_map_reduce_spark.operators import scd  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal  # noqa: F401
-    from dist_map_reduce_spark.functions import python_udfs  # noqa: F401
-    from dist_map_reduce_spark.operators import etl  # noqa: F401
-    from dist_map_reduce_spark.operators import sequences  # noqa: F401
-    from dist_map_reduce_spark.functions import chunking  # noqa: F401
-    from dist_map_reduce_spark.functions import lm_score  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401
-    from dist_map_reduce_spark.functions import quality_model  # noqa: F401
-    from dist_map_reduce_spark.functions import resample_weighted  # noqa: F401
-    from dist_map_reduce_spark.functions import text_boilerplate  # noqa: F401
-    from dist_map_reduce_spark.functions import text_dupngrams  # noqa: F401
-    from dist_map_reduce_spark.operators import contribution  # noqa: F401
-    from dist_map_reduce_spark.operators import intervals  # noqa: F401
-    from dist_map_reduce_spark.operators import profiling  # noqa: F401
-    from dist_map_reduce_spark.operators import skyline  # noqa: F401
-    from dist_map_reduce_spark.operators import stats_robust  # noqa: F401
-    from dist_map_reduce_spark.operators import zorder  # noqa: F401
-    from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401
+    # 18 modules holding the 47 r7-stamped names (nothing else)
+    from dist_map_reduce_spark.functions import ann_recall  # noqa: F401
+    from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
+    from dist_map_reduce_spark.functions import graph  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal_audio  # noqa: F401
+    from dist_map_reduce_spark.functions import packing  # noqa: F401
+    from dist_map_reduce_spark.functions import sampling_aes  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity_ivfpq  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity_pq  # noqa: F401
+    from dist_map_reduce_spark.operators import approx  # noqa: F401
+    from dist_map_reduce_spark.operators import json_ops  # noqa: F401
+    from dist_map_reduce_spark.operators import linkage  # noqa: F401
+    from dist_map_reduce_spark.operators import snapshot_diff  # noqa: F401
+    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401
+    from dist_map_reduce_spark.operators import tpch_partsupp  # noqa: F401
+    from dist_map_reduce_spark.operators import wordcount  # noqa: F401
 
-    # the 7 r11 promotions (+ 2 riders from the mixed modules)
-    from dist_map_reduce_spark.functions import lm_bigram  # noqa: F401
-    from dist_map_reduce_spark.functions import shard_export  # noqa: F401
-    from dist_map_reduce_spark.functions import embedding_pca  # noqa: F401
-    from dist_map_reduce_spark.functions import text_winnow  # noqa: F401
-    from dist_map_reduce_spark.functions import curation_funnel  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
+    # the 2 r12 promotions + the deliberate 50th slot (stalest
+    # single-module r9 name — see the rotation docstring above)
+    from dist_map_reduce_spark.functions import similarity_ivfadc_query  # noqa: F401
+    from dist_map_reduce_spark.streaming import ingest_index_compaction  # noqa: F401
+    from dist_map_reduce_spark.functions import text_entropy  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -208,50 +202,58 @@ def load_all() -> None:
             f"register {len(QUERIES)} queries, expected {WINDOW}"
         )
 
-    # --- outside the window: driver-green in r7-r10, unchanged ---
+    # --- outside the window: driver-green in r9-r11, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
-        ann_recall,
+        chunking,
         clustering,
-        curation_ext,
+        curation,
+        curation_funnel,
         dedup,
         dedup_simhash,
-        graph,
-        multimodal_audio,
-        packing,
-        sampling_aes,
+        embedding_pca,
+        lm_bigram,
+        lm_score,
+        multimodal,
+        multimodal_ext,
+        multimodal_image,
+        python_udfs,
+        quality_model,
+        resample_weighted,
         semdedup,
-        similarity,
-        similarity_ivf_kmeans,
-        similarity_ivfpq,
-        similarity_pq,
+        shard_export,
+        text,
+        text_boilerplate,
         text_bpe,
         text_bpe_encode,
-        text_entropy,
+        text_dupngrams,
+        text_winnow,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
-        approx,
         arrays_maps,
         bucketing,
         cohorts,
+        contribution,
+        etl,
         histogram,
-        json_ops,
-        linkage,
+        intervals,
+        profiling,
         relational,
         scalar_fns,
+        scd,
+        sequences,
         setops,
         skew,
-        snapshot_diff,
+        skyline,
         sources_sinks,
         sources_sinks_orc,
         stats,
+        stats_robust,
         subqueries,
         timeseries,
-        timeseries_fill,
-        tpch_full,
         tpch_more,
-        tpch_partsupp,
         windows,
-        wordcount,
+        zorder,
     )
     from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
+    from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.functions.dedup_common import _minhash_bands_sql
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 from dist_map_reduce_spark.scratch import scratch_path as _scratch
 from dist_map_reduce_spark.streaming.ingest_dedup import (
     N_INGEST_BATCHES,
@@ -58,7 +58,7 @@ from dist_map_reduce_spark.streaming.ingest_dedup import (
 _N_SPLIT = N_INGEST_BATCHES + 1
 
 
-@staged_query(
+@query(
     "streaming_ingest_index_compaction",
     oracle=f"""
     WITH d AS (

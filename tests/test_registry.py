@@ -105,14 +105,13 @@ def test_every_oracle_resolves_to_sql_text():
 
 
 def test_staged_modules_register_no_unexpected_riders():
-    """The r12 window arithmetic (registry.load_all docstring)
+    """The r12/r13 window arithmetic (registry.load_all docstring)
     assumes each module registers exactly its KNOWN queries when
     imported in the driver's pristine order: curation_funnel exactly
     itself (its composed oracle stays LAZY — a reintroduced
     module-scope import of a registering component module breaks the
-    rotation), and the two r11-staged single-query modules exactly
-    ZERO @query entries now / one each after the r12 promotion flips
-    their decorator (their heavyweight deps — similarity_pq,
+    rotation), and the two r12-PROMOTED single-query modules exactly
+    ONE @query entry each (their heavyweight deps — similarity_pq,
     similarity_ivfpq, ingest_dedup_query — must stay inside the
     callables). Catch drift here, not at stamp time."""
     import subprocess
@@ -145,12 +144,12 @@ def test_staged_modules_register_no_unexpected_riders():
         f"curation_funnel's import registers riders: {funnel} — "
         "its component imports must stay inside _ensure_components()"
     )
-    assert ivfadc.strip() == "[]", ivfadc
-    assert compaction.strip() == "[]", compaction
-    assert staged.strip() == (
-        "['similarity_ann_ivfadc_topk', "
-        "'streaming_ingest_index_compaction']"
-    ), staged
+    assert ivfadc.strip() == "['similarity_ann_ivfadc_topk']", ivfadc
+    assert compaction.strip() == "['streaming_ingest_index_compaction']", (
+        compaction
+    )
+    # r12-staged set — extend when new staged modules land
+    assert staged.strip() == "[]", staged
 
 
 def test_window_count_pins_in_fresh_subprocess():

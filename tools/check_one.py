@@ -42,7 +42,15 @@ def main() -> int:
     from dist_map_reduce_spark import registry
 
     registry.load_staged()
-    fn = e.queries().get(name) or registry.STAGED_QUERIES[name]
+    fn = e.queries().get(name) or registry.STAGED_QUERIES.get(name)
+    if fn is None:
+        known = sorted(e.queries()) + [
+            f"{n} (staged)" for n in sorted(registry.STAGED_QUERIES)
+        ]
+        print(f"unknown query name: {name!r}. Known names:")
+        for n in known:
+            print(f"  {n}")
+        return 2
     sp = fn(spark, sf_dir).toPandas()
     osql = e.oracle_sql().get(name)
     if osql is None and name in registry.STAGED_ORACLES:
