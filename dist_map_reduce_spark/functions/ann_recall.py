@@ -102,9 +102,12 @@ def exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     report tool — reads the same cached set."""
     from pyspark.sql import Window as W
 
-    from dist_map_reduce_spark.caching import persist_tracked
+    from dist_map_reduce_spark.caching import peek, persist_tracked
     from dist_map_reduce_spark.registry import QUERIES
 
+    hit = peek("ann_recall_exact5", sf_dir, session=spark)
+    if hit is not None:
+        return hit
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )

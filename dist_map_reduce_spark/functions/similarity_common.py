@@ -252,6 +252,39 @@ def kmeans_ctes(with_e: bool = True) -> tuple[list[str], str]:
     return ctes, f"c{KMEANS_ROUNDS - 1}"
 
 
+# one slot name for the raw-embedding k-means IVF ranking: the
+# ivf_kmeans and ivfpq searches rank the IDENTICAL (emb, cent,
+# NPROBE) triple, so separate per-variant slots (pre-r12) computed —
+# and cached — the same table twice per recall-panel run (VERDICT
+# r11 #5). Consumers that rank a DIFFERENT space (ivfadc's
+# normalized embeddings, the label-centroid IVF) keep their own slots.
+KMEANS_IVF_RANKED_SLOT = "kmeans_ivf_ranked_cells"
+
+
+def kmeans_centroids_shared(emb: DataFrame, sf_dir: str) -> DataFrame:
+    """The default-parameter raw-embedding coarse quantizer
+    (``kmeans_fit(emb)``'s centroid table), persisted once per
+    fixture dir so the ivf_kmeans / ivfpq variants — and the recall
+    panel running both — train the 3-round Lloyd ONCE instead of
+    per consumer. K×DIM rows: negligible footprint, full-Lloyd
+    lineage (the similarity_ivfpq.py:ivfadc 'persist the tiny table
+    with the expensive lineage' precedent). Peek-first: on a warm
+    slot the Lloyd PLAN is never even constructed — building the
+    fixed-depth iterative plan costs ~0.5 s of driver-side analysis
+    per invocation, which persist_tracked alone would rebuild only
+    to discard (measured r12; caching.peek exists for exactly this).
+    Callers needing the ASSIGNMENT (kmeans_embedding_cells,
+    semdedup) or a non-default k keep calling ``kmeans_fit``
+    directly."""
+    from dist_map_reduce_spark.caching import peek, persist_tracked
+
+    hit = peek("kmeans_centroids_raw", sf_dir, session=emb.sparkSession)
+    if hit is not None:
+        return hit
+    _, cent = kmeans_fit(emb)
+    return persist_tracked(cent, "kmeans_centroids_raw", sf_dir)
+
+
 def ivf_ranked_cells(
     emb: DataFrame,
     cent: DataFrame,
@@ -268,13 +301,23 @@ def ivf_ranked_cells(
     re-join the vector columns they need (the round-5 cache-footprint
     lesson). Non-default ``nprobe`` (the recall/latency sweep in
     tools/ann_recall_report.py) gets its own cache slot so the
-    fixture-pinned queries never read a sweep-sized ranking."""
+    fixture-pinned queries never read a sweep-sized ranking.
+
+    Slot discipline: the ranking is a pure function of (emb, cent,
+    nprobe) but the CACHE is keyed only by (slot, sf_dir) — callers
+    must use one slot name per centroid SPACE ('ivf_ranked_cells'
+    label-centroid, KMEANS_IVF_RANKED_SLOT raw k-means,
+    'ivfadc_ranked_cells' normalized k-means). Peek-first so a warm
+    slot skips constructing the ranking plan entirely."""
     from pyspark.sql import Window as W
 
-    from dist_map_reduce_spark.caching import persist_tracked
+    from dist_map_reduce_spark.caching import peek, persist_tracked
 
     if nprobe != NPROBE:
         slot = f"{slot}_np{nprobe}"
+    hit = peek(slot, sf_dir, session=emb.sparkSession)
+    if hit is not None:
+        return hit
     return persist_tracked(
         emb.join(F.broadcast(cent))
         .select(

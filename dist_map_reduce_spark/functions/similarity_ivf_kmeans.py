@@ -33,10 +33,11 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.functions.similarity_common import (
+    KMEANS_IVF_RANKED_SLOT,
     ivf_oracle_sql,
     ivf_search,
+    kmeans_centroids_shared,
     kmeans_ctes,
-    kmeans_fit,
 )
 from dist_map_reduce_spark.registry import query
 
@@ -53,6 +54,10 @@ def similarity_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFram
     kmeans_fit, then run the shared cell-restricted multi-probe
     search against them."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _, cent = kmeans_fit(emb)
-    cent = cent.select(F.col("cell").alias("cand_cell"), F.col("cent").alias("centroid"))
-    return ivf_search(emb, cent, "ivf_kmeans_ranked_cells", sf_dir)
+    # shared quantizer + shared ranking slot: the ivfpq variant ranks
+    # the identical (emb, cent, NPROBE) triple, so the recall panel
+    # trains the Lloyd and ranks the corpus once for both arms
+    cent = kmeans_centroids_shared(emb, sf_dir).select(
+        F.col("cell").alias("cand_cell"), F.col("cent").alias("centroid")
+    )
+    return ivf_search(emb, cent, KMEANS_IVF_RANKED_SLOT, sf_dir)

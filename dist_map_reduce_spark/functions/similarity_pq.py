@@ -73,13 +73,36 @@ def subvector_rows(emb: DataFrame) -> DataFrame:
     )
 
 
+def pq_subrows_shared(emb: DataFrame, sf_dir: str) -> DataFrame:
+    """The persisted (vec_id, m, sub) exploded corpus shared by the
+    PQ-ADC and IVF-PQ variants — every training round and LUT reads
+    it, so the corpus is scanned once. Peek-first (the pq_index
+    rationale)."""
+    from dist_map_reduce_spark.caching import peek
+
+    hit = peek("pq_subrows", sf_dir, session=emb.sparkSession)
+    if hit is not None:
+        return hit
+    return persist_tracked(subvector_rows(emb), "pq_subrows", sf_dir)
+
+
 def pq_index(sub: DataFrame, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The persisted PQ index: ``pq_fit`` with both outputs in
     tracked cache slots — codes are (vec_id, m, code) ints (the 32×-
     compressed corpus, the whole point of PQ) and the codebook is
     M·K rows, so the footprint is trivial while repeat searches skip
     the Lloyd training entirely (production builds once and serves
-    many queries; the IVF ranking slot follows the same policy)."""
+    many queries; the IVF ranking slot follows the same policy).
+    Peek-first: warm slots skip constructing the 2-round Lloyd plan
+    (driver-side analysis cost — the kmeans_centroids_shared
+    rationale)."""
+    from dist_map_reduce_spark.caching import peek
+
+    session = sub.sparkSession
+    codes = peek("pq_codes", sf_dir, session=session)
+    cb = peek("pq_codebook", sf_dir, session=session)
+    if codes is not None and cb is not None:
+        return codes, cb
     codes, cb = pq_fit(sub)
     return (
         persist_tracked(codes, "pq_codes", sf_dir),
@@ -247,9 +270,7 @@ def similarity_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's M·K lookup table, and rank candidates by the summed
     table lookups (squared L2 in the compressed domain)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # every training round and the LUT read this table: persist the
-    # narrow exploded form so the corpus is scanned once
-    sub = persist_tracked(subvector_rows(emb), "pq_subrows", sf_dir)
+    sub = pq_subrows_shared(emb, sf_dir)
     codes, cb = pq_index(sub, sf_dir)
     lut = pq_lut(sub, cb)
     adc = (

@@ -50,26 +50,26 @@ def nprobe_sweep(spark, sf_dir: str) -> list[tuple[int, int, float, float]]:
     default NPROBE."""
     from dist_map_reduce_spark.catalog import load_table
     from dist_map_reduce_spark.functions.similarity_common import (
+        KMEANS_IVF_RANKED_SLOT,
         ivf_search,
-        kmeans_fit,
+        kmeans_centroids_shared,
     )
 
     exact = _exact5(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _, cent = kmeans_fit(emb)
-    cent = cent.select(
+    cent = kmeans_centroids_shared(emb, sf_dir).select(
         F.col("cell").alias("cand_cell"), F.col("cent").alias("centroid")
     )
     # warm-up: materialize the quantizer-build lineage once so the
     # sweep times the SEARCH, not the shared build
-    ivf_search(emb, cent, "ivf_kmeans_ranked_cells", sf_dir).collect()
+    ivf_search(emb, cent, KMEANS_IVF_RANKED_SLOT, sf_dir).collect()
     out = []
     for np_ in SWEEP_NPROBES:
         t0 = time.time()
         got = {
             (r.query_id, r.vec_id)
             for r in ivf_search(
-                emb, cent, "ivf_kmeans_ranked_cells", sf_dir, nprobe=np_
+                emb, cent, KMEANS_IVF_RANKED_SLOT, sf_dir, nprobe=np_
             ).collect()
         }
         dt = time.time() - t0
