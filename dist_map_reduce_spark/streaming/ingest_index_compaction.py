@@ -52,7 +52,7 @@ from dist_map_reduce_spark.scratch import scratch_path as _scratch
 from dist_map_reduce_spark.streaming.ingest_dedup import (
     N_INGEST_BATCHES,
     compact_band_index,
-    run_ingest_dedup,
+    ensure_shared_replay,
 )
 
 _N_SPLIT = N_INGEST_BATCHES + 1
@@ -105,13 +105,23 @@ _N_SPLIT = N_INGEST_BATCHES + 1
 def streaming_ingest_index_compaction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """(band_id, n_keys, n_raw): run the 3-wave ingestion replay,
-    compact its band index, and report per band the compacted
-    distinct-key count against the raw (append-only) row count."""
+    """(band_id, n_keys, n_raw): run (or reuse) the 3-wave ingestion
+    replay, compact A COPY of its band index, and report per band the
+    compacted distinct-key count against the raw (append-only) row
+    count. The replay comes from the shared deterministic artifact
+    (``ensure_shared_replay`` — VERDICT r11 #6: this query's 13 s
+    bench cost was ~95% re-running a replay the ingest query had
+    already run); the index is copied into this query's own scratch
+    dir because compaction MUTATES it and the shared artifact is
+    read-only by contract — copying also guarantees every invocation
+    compacts the pristine post-replay index (raw counts stay
+    reproducible), not the output of a previous compaction."""
+    shared = ensure_shared_replay(spark, sf_dir)
     work = _scratch(sf_dir, "ingest_compact_q")
     shutil.rmtree(work, ignore_errors=True)
-    run_ingest_dedup(spark, sf_dir, work)
+    os.makedirs(work, exist_ok=True)
     index_dir = os.path.join(work, "band_index")
+    shutil.copytree(os.path.join(shared, "band_index"), index_dir)
     raw_counts_dir = os.path.join(work, "raw_counts")
 
     def by_band(df: DataFrame, out: str) -> DataFrame:

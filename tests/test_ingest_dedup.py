@@ -396,3 +396,66 @@ def test_band_index_plan_no_inlined_signature_under_foreign_rules(spark):
             spark.conf.unset("spark.sql.optimizer.excludedRules")
         else:
             spark.conf.set("spark.sql.optimizer.excludedRules", saved)
+
+
+def test_compact_swap_recovers_from_parked_index(spark, tmp_path):
+    """The park-aside swap's only crash window leaves the live index
+    at ``__old`` with index_dir missing (ADVICE r11: the old rm-first
+    swap LOST the index there, unrecoverable because the marker
+    blocks catch-up re-derivation). compact_band_index must restore
+    the parked copy before compacting."""
+    import os
+    import shutil
+
+    from dist_map_reduce_spark.streaming.ingest_dedup import (
+        compact_band_index,
+    )
+
+    index_dir = str(tmp_path / "band_index")
+    df = spark.createDataFrame(
+        [("0:aa",), ("0:aa",), ("1:bb",)], ["band"]
+    )
+    df.write.mode("overwrite").parquet(index_dir)
+    # simulate the crash: live index parked aside, target missing
+    os.rename(index_dir, index_dir + "__old")
+    # and a half-written stage left behind for good measure
+    shutil.copytree(index_dir + "__old", index_dir + "__compact")
+    compact_band_index(spark, index_dir)
+    got = {r.band for r in spark.read.parquet(index_dir).collect()}
+    assert got == {"0:aa", "1:bb"}
+    assert spark.read.parquet(index_dir).count() == 2  # distinct
+    assert not os.path.isdir(index_dir + "__old")
+
+
+def test_shared_replay_marker_gates_reuse(spark, tmp_path, monkeypatch):
+    """ensure_shared_replay reuses ONLY a marker-complete artifact
+    whose fingerprint matches the current code: no marker -> rebuild,
+    stale fingerprint -> rebuild, matching marker -> reuse (no new
+    replay run)."""
+    import os
+
+    from dist_map_reduce_spark.streaming import ingest_dedup as mod
+
+    calls = []
+    real_run = mod.run_ingest_dedup
+
+    def counting_run(spark_, sf_dir_, work_dir_, n_batches=3, docs=None):
+        calls.append(work_dir_)
+        return real_run(spark_, sf_dir_, work_dir_, n_batches, docs)
+
+    monkeypatch.setattr(mod, "run_ingest_dedup", counting_run)
+    monkeypatch.setattr(
+        mod, "scratch_path", lambda sf, name: str(tmp_path / name)
+    )
+    work = mod.ensure_shared_replay(spark, SF_SMOKE)
+    assert len(calls) == 1
+    assert os.path.isfile(os.path.join(work, mod.REPLAY_MARKER))
+    # matching marker: reused, no second replay
+    assert mod.ensure_shared_replay(spark, SF_SMOKE) == work
+    assert len(calls) == 1
+    # stale fingerprint (code changed since the artifact was built):
+    # rebuilt from scratch
+    with open(os.path.join(work, mod.REPLAY_MARKER), "w") as f:
+        f.write("n_batches=3 src=stale")
+    mod.ensure_shared_replay(spark, SF_SMOKE)
+    assert len(calls) == 2
