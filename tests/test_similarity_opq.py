@@ -84,3 +84,38 @@ def test_opq_topk_shape_and_recall_bounds(spark):
     assert set(rec) == {"pq_adc", "opq_pq"}
     for v in rec.values():
         assert 0.0 <= v <= 1.0
+
+
+def test_opq_gate_serves_measured_winner_per_scale(spark):
+    """The executable A/B gate (VERDICT r11 #7): at sf0.001 the
+    rotation wins the measured recall A/B (0.28 vs 0.20 — SCALE.md
+    §ANN) so the gate serves the OPQ index; at sf0.1 the rotation
+    collapses (0.04 vs 0.32, the root-caused MP-noise-edge
+    degeneracy) so the gate serves plain PQ. This pins the
+    per-scale CHOICE, not just the mechanism — if a fixture or
+    codebook change flips a measured winner, this fails instead of
+    silently shipping the losing pre-transform."""
+    from dist_map_reduce_spark.functions.similarity_opq import (
+        opq_gated_topk,
+    )
+    from dist_map_reduce_spark.registry import QUERIES
+
+    gated = {
+        (r.query_id, r.vec_id)
+        for r in opq_gated_topk(spark, SF_SMOKE).collect()
+    }
+    opq = {
+        (r.query_id, r.vec_id) for r in opq_pq_topk(spark, SF_SMOKE).collect()
+    }
+    assert gated == opq, "sf0.001: measured winner is the OPQ rotation"
+
+    sf01 = "/root/testdata/sf0.1"
+    gated01 = {
+        (r.query_id, r.vec_id)
+        for r in opq_gated_topk(spark, sf01).collect()
+    }
+    plain01 = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["similarity_ann_pq_adc_topk"](spark, sf01).collect()
+    }
+    assert gated01 == plain01, "sf0.1: measured winner is plain PQ"
