@@ -123,11 +123,15 @@ HEADLINE = [
     "streaming_ingest_dedup",
     "curation_funnel",
     "multimodal_image_resize",
-    # r11 STAGED additions (the r12 promotion set, perf-tracked a
-    # round early): the oracle-checked IVFADC search and the
-    # band-index compaction maintenance query
+    # r11 STAGED additions (promoted to @query in r12): the
+    # oracle-checked IVFADC search and the band-index compaction
+    # maintenance query
     "similarity_ann_ivfadc_topk",
     "streaming_ingest_index_compaction",
+    # r12 STAGED additions (the r13 promotion set, perf-tracked a
+    # round early): CCNet perplexity bucketing and the CDC MERGE
+    "quality_ccnet_buckets",
+    "cdc_merge_upsert_orders",
 ]
 
 

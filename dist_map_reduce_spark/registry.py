@@ -112,8 +112,10 @@ def load_staged() -> None:
         load_all()
     # r12 state: both r11-staged queries (similarity_ann_ivfadc_topk,
     # streaming_ingest_index_compaction) were PROMOTED into the r12
-    # window — their imports live in load_all() now. New r12-staged
-    # modules (r13 has exactly TWO free window slots) import here.
+    # window — their imports live in load_all() now. The two r12-
+    # staged modules below fill r13's exactly-two free window slots.
+    from dist_map_reduce_spark.functions import quality_ccnet_buckets  # noqa: F401
+    from dist_map_reduce_spark.operators import delta_merge  # noqa: F401
 
 
 def load_all() -> None:

@@ -126,6 +126,13 @@ def test_staged_modules_register_no_unexpected_riders():
         "b = set(registry.QUERIES) - a\n"
         "from dist_map_reduce_spark.streaming import ingest_index_compaction\n"
         "c = set(registry.QUERIES) - a - b\n"
+        # the r12-staged modules must register ZERO @query entries at
+        # import, even in a pristine pre-load_all process (their heavy
+        # deps — lm_bigram — stay inside the callables/lazy oracle)
+        "from dist_map_reduce_spark.functions import quality_ccnet_buckets\n"
+        "from dist_map_reduce_spark.operators import delta_merge\n"
+        "d = set(registry.QUERIES) - a - b - c\n"
+        "assert not d, f'staged modules registered @query riders: {d}'\n"
         "s = set(registry.STAGED_QUERIES)\n"
         "print(sorted(a), '|', sorted(b), '|', sorted(c), '|', sorted(s))\n"
         % REPO_ROOT
@@ -148,8 +155,10 @@ def test_staged_modules_register_no_unexpected_riders():
     assert compaction.strip() == "['streaming_ingest_index_compaction']", (
         compaction
     )
-    # r12-staged set — extend when new staged modules land
-    assert staged.strip() == "[]", staged
+    # the r12-staged set (the r13 promotion candidates)
+    assert staged.strip() == (
+        "['cdc_merge_upsert_orders', 'quality_ccnet_buckets']"
+    ), staged
 
 
 def test_window_count_pins_in_fresh_subprocess():
