@@ -78,10 +78,16 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bucket, n_docs, total_bigrams, avg_bpt, min_bpt, max_bpt):
     CCNet head/middle/tail partition of the corpus by bits-per-token
     terciles of the interpolated-bigram LM score."""
+    from dist_map_reduce_spark.caching import persist_tracked
     from dist_map_reduce_spark.functions.lm_bigram import bigram_scores
 
     docs = load_table(spark, sf_dir, "documents")
-    s = bigram_scores(docs, cache_key=sf_dir)
+    # the per-doc score table feeds TWO consumers (the threshold
+    # aggregate and the bucket assignment) — persist it so the LM
+    # scoring joins run once per invocation instead of twice
+    s = persist_tracked(
+        bigram_scores(docs, cache_key=sf_dir), "ccnet_scores", sf_dir
+    )
     thr = s.agg(
         F.expr("percentile(bits_per_token, array(1D/3, 2D/3))").alias("q")
     )
