@@ -111,6 +111,22 @@ def peek(slot: str, key: str, session=None) -> DataFrame | None:
     return df
 
 
+def get_or_build(slot: str, key: str, builder, session=None) -> DataFrame:
+    """Peek-first slot access: return the live cached entry for
+    (slot, key) if this session owns it, else call ``builder()`` and
+    persist its result under the slot. The one spelling of the
+    peek → build → persist_tracked sequence (r12 self-review: six
+    hand-copied instances risked slot/key drift between the peek and
+    the persist). ``builder`` is a zero-arg callable so a cache hit
+    skips not just recompute but PLAN CONSTRUCTION — for iterative
+    builds (Lloyd loops) the construction alone costs ~0.5 s of
+    driver-side analysis per invocation."""
+    hit = peek(slot, key, session=session)
+    if hit is not None:
+        return hit
+    return persist_tracked(builder(), slot, key)
+
+
 def clear() -> None:
     """Unpersist every tracked entry (e.g. after source data
     changed in place)."""

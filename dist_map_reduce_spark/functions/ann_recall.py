@@ -102,23 +102,21 @@ def exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     report tool — reads the same cached set."""
     from pyspark.sql import Window as W
 
-    from dist_map_reduce_spark.caching import peek, persist_tracked
+    from dist_map_reduce_spark.caching import get_or_build
     from dist_map_reduce_spark.registry import QUERIES
 
-    hit = peek("ann_recall_exact5", sf_dir, session=spark)
-    if hit is not None:
-        return hit
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    return persist_tracked(
-        QUERIES[_EXACT](spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "vec_id", F.lit(1).alias("hit")),
-        "ann_recall_exact5",
-        sf_dir,
-    )
+    def build() -> DataFrame:
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc()
+        )
+        return (
+            QUERIES[_EXACT](spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "vec_id", F.lit(1).alias("hit"))
+        )
+
+    return get_or_build("ann_recall_exact5", sf_dir, build, session=spark)
 
 
 def grade_recall(variants: DataFrame, exact5: DataFrame) -> DataFrame:

@@ -276,13 +276,14 @@ def kmeans_centroids_shared(emb: DataFrame, sf_dir: str) -> DataFrame:
     Callers needing the ASSIGNMENT (kmeans_embedding_cells,
     semdedup) or a non-default k keep calling ``kmeans_fit``
     directly."""
-    from dist_map_reduce_spark.caching import peek, persist_tracked
+    from dist_map_reduce_spark.caching import get_or_build
 
-    hit = peek("kmeans_centroids_raw", sf_dir, session=emb.sparkSession)
-    if hit is not None:
-        return hit
-    _, cent = kmeans_fit(emb)
-    return persist_tracked(cent, "kmeans_centroids_raw", sf_dir)
+    return get_or_build(
+        "kmeans_centroids_raw",
+        sf_dir,
+        lambda: kmeans_fit(emb)[1],
+        session=emb.sparkSession,
+    )
 
 
 def ivf_ranked_cells(
@@ -311,33 +312,32 @@ def ivf_ranked_cells(
     slot skips constructing the ranking plan entirely."""
     from pyspark.sql import Window as W
 
-    from dist_map_reduce_spark.caching import peek, persist_tracked
+    from dist_map_reduce_spark.caching import get_or_build
 
     if nprobe != NPROBE:
         slot = f"{slot}_np{nprobe}"
-    hit = peek(slot, sf_dir, session=emb.sparkSession)
-    if hit is not None:
-        return hit
-    return persist_tracked(
-        emb.join(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "cand_cell",
-            F.round(cosine_expr("embedding", "centroid"), 6).alias("ccos"),
+
+    def build() -> DataFrame:
+        return (
+            emb.join(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "cand_cell",
+                F.round(cosine_expr("embedding", "centroid"), 6).alias("ccos"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(
+                        F.col("ccos").desc(), F.col("cand_cell").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= nprobe)
+            .select("vec_id", "cand_cell", "rn")
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(
-                    F.col("ccos").desc(), F.col("cand_cell").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select("vec_id", "cand_cell", "rn"),
-        slot,
-        sf_dir,
-    )
+
+    return get_or_build(slot, sf_dir, build, session=emb.sparkSession)
 
 
 def ivf_search(

@@ -255,12 +255,6 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — still broadcast-sized. Candidates reach the ADC sum through
     their home cell only, so each (query, candidate) scores exactly
     once against the matching probe-cell LUT."""
-    def _qprobes(ranked: DataFrame) -> DataFrame:
-        return ranked.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cand_cell").alias("qcell"),
-        )
-
     # warm fast path: with the ranking, the codes and the per-cell
     # LUT all in cache slots, a repeat invocation constructs nothing
     # below the candidate join — not even the normalization plan.
@@ -271,8 +265,8 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = peek("ivfadc_codes", sf_dir, session=spark)
     lut = peek("ivfadc_lut", sf_dir, session=spark)
     if ranked is None or codes is None or lut is None:
-        ranked, codes, lut = _ivfadc_build(spark, sf_dir, _qprobes)
-    qprobes = _qprobes(ranked)
+        ranked, codes, lut = _ivfadc_build(spark, sf_dir)
+    qprobes = _ivfadc_qprobes(ranked)
     candidates = codes.join(
         F.broadcast(qprobes),
         (F.col("cell") == F.col("qcell"))
@@ -293,8 +287,17 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfadc_qprobes(ranked: DataFrame) -> DataFrame:
+    """(query_id, qcell): the query set's probe list off the cached
+    normalized-space ranking."""
+    return ranked.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cand_cell").alias("qcell"),
+    )
+
+
 def _ivfadc_build(
-    spark: SparkSession, sf_dir: str, _qprobes
+    spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Cold-path IVFADC index construction: returns (ranked, codes,
     lut), each landed in its cache slot. See ivfadc_residual_topk's
@@ -337,10 +340,14 @@ def _ivfadc_build(
     # every invocation. Peek-first so a warm slot also skips
     # CONSTRUCTING the Lloyd plan (the kmeans_centroids_shared
     # rationale — ~0.5 s of per-invocation driver-side analysis)
-    cent = peek("ivfadc_centroids", sf_dir, session=spark)
-    if cent is None:
-        _, cent = kmeans_fit(emb)
-        cent = persist_tracked(cent, "ivfadc_centroids", sf_dir)
+    from dist_map_reduce_spark.caching import get_or_build
+
+    cent = get_or_build(
+        "ivfadc_centroids",
+        sf_dir,
+        lambda: kmeans_fit(emb)[1],
+        session=spark,
+    )
     ranked = ivf_ranked_cells(
         emb,
         cent.select(
@@ -385,7 +392,7 @@ def _ivfadc_build(
     # query-side: one residual PER PROBE CELL, so the LUT is keyed by
     # (query_id, qcell) — a candidate scores against the LUT of the
     # cell it was found in
-    qprobes = _qprobes(ranked)
+    qprobes = _ivfadc_qprobes(ranked)
     q_res = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .withColumnRenamed("vec_id", "query_id")

@@ -78,12 +78,14 @@ def pq_subrows_shared(emb: DataFrame, sf_dir: str) -> DataFrame:
     PQ-ADC and IVF-PQ variants — every training round and LUT reads
     it, so the corpus is scanned once. Peek-first (the pq_index
     rationale)."""
-    from dist_map_reduce_spark.caching import peek
+    from dist_map_reduce_spark.caching import get_or_build
 
-    hit = peek("pq_subrows", sf_dir, session=emb.sparkSession)
-    if hit is not None:
-        return hit
-    return persist_tracked(subvector_rows(emb), "pq_subrows", sf_dir)
+    return get_or_build(
+        "pq_subrows",
+        sf_dir,
+        lambda: subvector_rows(emb),
+        session=emb.sparkSession,
+    )
 
 
 def pq_index(sub: DataFrame, sf_dir: str) -> tuple[DataFrame, DataFrame]:

@@ -156,11 +156,14 @@ def load_all() -> None:
     Round 13 plan (mechanical): window = the 48 remaining r9 names
     (49 minus text_char_entropy, which re-stamps now; they must
     clear at r13 because the floor reaches r10 at r14 with cadence
-    ceil(198/50) = 4) + TWO free slots for r12-staged promotions. The 48 live in 13 pure-r9
-    modules: dedup (4), text_bpe_encode (4), scalar_fns (4), setops
-    (4), sources_sinks (5), stats (5), timeseries (6), windows (6),
-    clustering (3), histogram (3), semdedup (2), text_bpe (2),
-    plus riders NONE. r14 re-stamps the r10 cohort; r15 the r11
+    ceil(198/50) = 4) + TWO free slots for r12-staged promotions
+    (``quality_ccnet_buckets`` in functions/quality_ccnet_buckets.py
+    and ``cdc_merge_upsert_orders`` in operators/delta_merge.py, both
+    single-query, registration-free deps). The 48 live in 12 pure-r9
+    modules (4+4+4+4+5+5+6+6+3+3+2+2 = 48): dedup (4),
+    text_bpe_encode (4), scalar_fns (4), setops (4), sources_sinks
+    (5), stats (5), timeseries (6), windows (6), clustering (3),
+    histogram (3), semdedup (2), text_bpe (2); riders NONE. r14 re-stamps the r10 cohort; r15 the r11
     cohort — steady-state four-round cadence. The authoritative
     staleness list is derivable from the evidence files, which is
     what tests/test_registry.py checks.

@@ -144,25 +144,60 @@ def ensure_shared_replay(
     the replay inputs (see ``_replay_fingerprint``): a crash mid-
     replay leaves no marker (next caller rebuilds from scratch), and
     a code change to the pipeline or the band math invalidates the
-    artifact automatically. The marker write is atomic (os.replace).
-    Callers must treat the returned dir as READ-ONLY — mutating
-    consumers (the compaction query) copy what they mutate."""
+    artifact automatically. Callers must treat the returned dir as
+    READ-ONLY — mutating consumers (the compaction query) copy what
+    they mutate.
+
+    Concurrency (r12 self-review): two processes building into one
+    shared dir could interleave their streaming state and then
+    marker-certify the corruption durably. So each builder replays
+    into its OWN pid-suffixed build dir (marker written inside,
+    atomically) and publishes by renaming the completed dir into
+    place; os.rename refuses to clobber, so exactly one publisher
+    wins — the loser validates the winner's marker and reuses it,
+    falling back to its own private build dir (correct, just
+    unshared) if the published artifact doesn't match its
+    fingerprint."""
     work = scratch_path(sf_dir, "ingest_replay_shared")
     marker = os.path.join(work, REPLAY_MARKER)
     fp = _replay_fingerprint(n_batches)
-    try:
-        with open(marker) as f:
-            if f.read() == fp:
-                return work
-    except OSError:
-        pass
-    shutil.rmtree(work, ignore_errors=True)
-    run_ingest_dedup(spark, sf_dir, work, n_batches)
-    tmp = marker + ".tmp"
+
+    def _published_ok() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read() == fp
+        except OSError:
+            return False
+
+    if _published_ok():
+        return work
+    build = f"{work}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    run_ingest_dedup(spark, sf_dir, build, n_batches)
+    tmp = os.path.join(build, REPLAY_MARKER + ".tmp")
     with open(tmp, "w") as f:
         f.write(fp)
-    os.replace(tmp, marker)
-    return work
+    os.replace(tmp, os.path.join(build, REPLAY_MARKER))
+    # publish: never clobber a live dir — a stale (fingerprint-
+    # mismatched) artifact is swept aside first, then the rename
+    # either wins or loses to a concurrent publisher
+    if os.path.isdir(work) and not _published_ok():
+        stale = f"{work}.stale-{os.getpid()}"
+        try:
+            os.rename(work, stale)
+        except OSError:
+            pass  # another process already moved/replaced it
+        shutil.rmtree(stale, ignore_errors=True)
+    try:
+        os.rename(build, work)
+        return work
+    except OSError:
+        # lost the publish race: reuse the winner's artifact if it
+        # matches, else fall back to this process's private build
+        if _published_ok():
+            shutil.rmtree(build, ignore_errors=True)
+            return work
+        return build
 
 
 def minhash_bands_rowwise(docs: DataFrame) -> DataFrame:

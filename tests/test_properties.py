@@ -901,3 +901,88 @@ def test_bigram_lm_matches_naive(spark, texts):
         assert math.isclose(
             got[i].avg_logprob, round(lp / n, 6), abs_tol=2e-6
         ), (i, got[i].avg_logprob, lp / n)
+
+
+def test_cdc_merge_invariants(spark):
+    """MERGE algebra over the derived change set: result keys =
+    (base − deletes) ∪ inserts; every updated row carries exactly
+    +100.0; kept rows are untouched; inserted keys are the reserved
+    negatives."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.operators.delta_merge import (
+        _N_CDC_BUCKETS,
+        cdc_merge_upsert_orders,
+    )
+
+    sf = SF_SMOKE
+    merged = {
+        r.o_orderkey: r for r in cdc_merge_upsert_orders(spark, sf).collect()
+    }
+    base = {
+        r.o_orderkey: r
+        for r in load_table(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cdc:"),
+                                F.col("o_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _N_CDC_BUCKETS
+            ).alias("bucket"),
+        )
+        .collect()
+    }
+    expect_deleted = {k for k, r in base.items() if r.bucket == 2}
+    expect_updated = {k for k, r in base.items() if r.bucket in (0, 1)}
+    expect_inserted = {-k for k, r in base.items() if r.bucket == 3}
+    assert set(merged) == (set(base) - expect_deleted) | expect_inserted
+    for k, r in merged.items():
+        if k < 0:
+            assert r.src == "inserted"
+            assert r.o_totalprice == base[-k].o_totalprice
+        elif k in expect_updated:
+            assert r.src == "updated"
+            assert r.o_totalprice == base[k].o_totalprice + 100.0
+        else:
+            assert r.src == "kept"
+            assert r.o_totalprice == base[k].o_totalprice
+
+
+def test_ccnet_buckets_partition_and_order(spark):
+    """The three buckets partition the scored corpus, tercile sizes
+    are balanced to within interpolation ties, and mean
+    bits-per-token is monotone head < middle < tail (the whole point
+    of the partition)."""
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.functions.lm_bigram import bigram_scores
+    from dist_map_reduce_spark.functions.quality_ccnet_buckets import (
+        quality_ccnet_buckets,
+    )
+
+    sf = SF_SMOKE
+    rows = {r.bucket: r for r in quality_ccnet_buckets(spark, sf).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    n_scored = bigram_scores(
+        load_table(spark, sf, "documents"), cache_key=sf
+    ).count()
+    assert sum(r.n_docs for r in rows.values()) == n_scored
+    third = n_scored / 3
+    for r in rows.values():
+        assert abs(r.n_docs - third) <= max(2, 0.02 * n_scored), rows
+    assert rows["head"].avg_bpt < rows["middle"].avg_bpt < rows["tail"].avg_bpt
+    assert rows["head"].max_bpt <= rows["middle"].min_bpt
+    assert rows["middle"].max_bpt <= rows["tail"].min_bpt

@@ -109,13 +109,24 @@ def test_opq_gate_serves_measured_winner_per_scale(spark):
     }
     assert gated == opq, "sf0.001: measured winner is the OPQ rotation"
 
-    sf01 = "/root/testdata/sf0.1"
-    gated01 = {
-        (r.query_id, r.vec_id)
-        for r in opq_gated_topk(spark, sf01).collect()
-    }
-    plain01 = {
-        (r.query_id, r.vec_id)
-        for r in QUERIES["similarity_ann_pq_adc_topk"](spark, sf01).collect()
-    }
-    assert gated01 == plain01, "sf0.1: measured winner is plain PQ"
+    # the sf0.1 half is the one test computing at that scale: it
+    # re-keys the shared slots (pq_subrows/pq_codes/exact5/...) to
+    # sf0.1 — clear afterwards so later SF_SMOKE tests pay ONE
+    # deterministic rebuild instead of holding sf0.1-sized cache
+    from dist_map_reduce_spark import caching
+
+    try:
+        sf01 = "/root/testdata/sf0.1"
+        gated01 = {
+            (r.query_id, r.vec_id)
+            for r in opq_gated_topk(spark, sf01).collect()
+        }
+        plain01 = {
+            (r.query_id, r.vec_id)
+            for r in QUERIES["similarity_ann_pq_adc_topk"](
+                spark, sf01
+            ).collect()
+        }
+        assert gated01 == plain01, "sf0.1: measured winner is plain PQ"
+    finally:
+        caching.clear()
