@@ -163,10 +163,14 @@ def load_all() -> None:
     modules (4+4+4+4+5+5+6+6+3+3+2+2 = 48): dedup (4),
     text_bpe_encode (4), scalar_fns (4), setops (4), sources_sinks
     (5), stats (5), timeseries (6), windows (6), clustering (3),
-    histogram (3), semdedup (2), text_bpe (2); riders NONE. r14 re-stamps the r10 cohort; r15 the r11
-    cohort — steady-state four-round cadence. The authoritative
-    staleness list is derivable from the evidence files, which is
-    what tests/test_registry.py checks.
+    histogram (3), semdedup (2), text_bpe (2); riders NONE. r14
+    re-stamps the r10 cohort (50 names, 11 modules) and r15 the r11
+    cohort (50 names, 27 modules) — BOTH verified module-pure in r12
+    (zero rider registrations, programmatic module-map over the
+    evidence files), so the steady-state four-round cadence is
+    mechanical with zero free slots in either round. The
+    authoritative staleness list is derivable from the evidence
+    files, which is what tests/test_registry.py checks.
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first

@@ -417,3 +417,44 @@ def test_semdedup_is_cell_bounded_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, "per-cell cap window missing"
     assert "BroadcastExchange" in plan  # K x DIM centroid table
+
+
+def test_cdc_merge_plan_pushes_bucket_filters(spark):
+    """The staged CDC MERGE is one join tree — LeftAnti deletes +
+    LeftOuter updates + union'd inserts — and every change-set scan
+    must carry its md5-bucket predicate in the scan's DataFilters
+    (derived columns can't reach PushedFilters, but they must at
+    least gate the scan, not a post-join Filter)."""
+    registry.load_staged()
+    plan = (
+        registry.STAGED_QUERIES["cdc_merge_upsert_orders"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    # the three change-set scans each filter on the conv(md5(...))
+    # bucket expression at the scan
+    assert plan.count("conv(substring(md5(") >= 3
+
+
+def test_ccnet_buckets_plan_shape(spark):
+    """The staged CCNet bucketing must stay aggregate-shaped: exact
+    percentile as ONE ObjectHashAggregate riding a 1-row broadcast
+    (BroadcastNestedLoopJoin Cross is the sanctioned scalar pattern),
+    a 3-key partial+final HashAggregate for the buckets, and no
+    global window or SortAggregate anywhere."""
+    registry.load_staged()
+    plan = (
+        registry.STAGED_QUERIES["quality_ccnet_buckets"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile(bits_per_token" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan  # no global ntile/rank fallback
+    assert "partial_count" in plan  # map-side combine on the buckets
