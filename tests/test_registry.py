@@ -185,3 +185,16 @@ def test_window_count_pins_in_fresh_subprocess():
         assert out.returncode == 0, out.stderr
         n_total = int(out.stdout.strip().splitlines()[-1])
         assert n_total == len(registry.QUERIES)
+
+
+def test_staged_queries_are_bench_tracked():
+    """Every staged query must be in bench.HEADLINE — the
+    perf-track-a-round-early discipline (r8/r11/r12 precedent), so a
+    promotion never lands with zero bench history."""
+    import bench
+
+    registry.load_staged()
+    missing = [
+        n for n in registry.STAGED_QUERIES if n not in bench.HEADLINE
+    ]
+    assert not missing, missing
