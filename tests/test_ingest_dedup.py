@@ -459,3 +459,76 @@ def test_shared_replay_marker_gates_reuse(spark, tmp_path, monkeypatch):
         f.write("n_batches=3 src=stale")
     mod.ensure_shared_replay(spark, SF_SMOKE)
     assert len(calls) == 2
+
+
+def test_shared_replay_publish_race_paths(spark, tmp_path, monkeypatch):
+    """The non-clobbering publish has two loser branches (r12
+    self-review): when os.rename into the shared location fails and a
+    VALID artifact was published by the winner, reuse it and clean up
+    the private build; when the published artifact does NOT match the
+    fingerprint, fall back to the private build dir (correct, just
+    unshared)."""
+    import os
+
+    from dist_map_reduce_spark.streaming import ingest_dedup as mod
+
+    monkeypatch.setattr(
+        mod, "scratch_path", lambda sf, name: str(tmp_path / name)
+    )
+    work = str(tmp_path / "ingest_replay_shared")
+    fp = mod._replay_fingerprint(mod.N_INGEST_BATCHES)
+
+    # one real replay to obtain a valid artifact, then park it so we
+    # can replay the race deterministically
+    first = mod.ensure_shared_replay(spark, SF_SMOKE)
+    assert first == work
+
+    real_rename = os.rename
+
+    def losing_rename(src, dst):
+        if dst == work and src.startswith(work + ".build-"):
+            raise OSError("simulated concurrent publisher")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(mod.os, "rename", losing_rename)
+
+    # loser branch 1: winner's artifact is valid -> reuse it, private
+    # build cleaned up
+    with open(os.path.join(work, mod.REPLAY_MARKER), "w") as f:
+        f.write("n_batches=3 src=stale")  # force a rebuild attempt
+    # restore validity from the loser's perspective AFTER its build:
+    # the "winner" publishes mid-race
+    orig_published_write = mod.run_ingest_dedup
+
+    def run_and_publish_winner(spark_, sf_dir_, work_dir_, n_batches=3,
+                               docs=None):
+        out = orig_published_write(spark_, sf_dir_, work_dir_, n_batches, docs)
+        with open(os.path.join(work, mod.REPLAY_MARKER), "w") as f:
+            f.write(fp)
+        return out
+
+    monkeypatch.setattr(mod, "run_ingest_dedup", run_and_publish_winner)
+    got = mod.ensure_shared_replay(spark, SF_SMOKE)
+    assert got == work
+    assert not any(
+        d.startswith("ingest_replay_shared.build-")
+        for d in os.listdir(tmp_path)
+    ), "loser must clean up its private build after reusing the winner's"
+
+    # loser branch 2: nothing valid published -> private build dir is
+    # returned and still usable
+    monkeypatch.setattr(mod, "run_ingest_dedup", orig_published_write)
+    with open(os.path.join(work, mod.REPLAY_MARKER), "w") as f:
+        f.write("n_batches=3 src=stale")
+
+    def stubborn_rename(src, dst):
+        if src.startswith(work + ".stale-") or dst == work:
+            raise OSError("simulated contention")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(mod.os, "rename", stubborn_rename)
+    got = mod.ensure_shared_replay(spark, SF_SMOKE)
+    assert got.startswith(work + ".build-")
+    assert os.path.isfile(os.path.join(got, mod.REPLAY_MARKER))
+    acc = spark.read.parquet(os.path.join(got, "accepted"))
+    assert acc.count() > 0
