@@ -98,8 +98,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding", bucket_col("embedding").alias("bucket"))
+        _lsh_bucketed(spark, sf_dir)
         .withColumn("n_in_bucket", F.count("*").over(W.partitionBy("bucket")))
         .filter(F.col("n_in_bucket") <= MAX_BUCKET_VECS)
         .drop("n_in_bucket")
@@ -147,6 +146,30 @@ _LSH_ORACLE = f"""
 """
 
 
+def _lsh_bucketed(
+    spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES
+) -> DataFrame:
+    """The sign-LSH index table (vec_id, embedding, bucket) shared by
+    all three LSH consumers (ANN search, bucket histogram, embedding
+    near-dup) — one slot per plane count (the slot-per-space
+    discipline), peek-first so a warm slot skips constructing the
+    n_planes × DIM dot-product expression tree (the r12
+    construction-cost lesson). Footprint is the corpus plus one int
+    per row — the index itself, not a per-consumer copy."""
+    from dist_map_reduce_spark.caching import get_or_build
+
+    return get_or_build(
+        f"lsh_bucketed_p{n_planes}",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            bucket_col("embedding", n_planes).alias("bucket"),
+        ),
+        session=spark,
+    )
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int) -> DataFrame:
     """Shared body of the multi-probe sign-LSH search, parameterized
     on plane count — the registered fixture query pins N_PLANES=8 (so
@@ -154,9 +177,7 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int) -> DataFrame:
     count from corpus size."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", bucket_col("embedding", n_planes)
-    )
+    emb = _lsh_bucketed(spark, sf_dir, n_planes)
     probes = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -320,9 +341,9 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket histogram — the partition layout the ANN path
     searches within. Deterministic hyperplanes ⇒ oracle-checkable."""
-    emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select(bucket_col("embedding").alias("bucket"), "vec_id")
+        _lsh_bucketed(spark, sf_dir)
+        .select("bucket", "vec_id")
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
