@@ -128,8 +128,8 @@ HEADLINE = [
     # maintenance query
     "similarity_ann_ivfadc_topk",
     "streaming_ingest_index_compaction",
-    # r12 STAGED additions (the r13 promotion set, perf-tracked a
-    # round early): CCNet perplexity bucketing and the CDC MERGE
+    # r12 STAGED additions (promoted to @query in r13): CCNet
+    # perplexity bucketing and the CDC MERGE
     "quality_ccnet_buckets",
     "cdc_merge_upsert_orders",
 ]

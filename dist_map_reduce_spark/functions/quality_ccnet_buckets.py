@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 
 
 def _oracle() -> str:
@@ -73,7 +73,7 @@ def _oracle() -> str:
     """
 
 
-@staged_query("quality_ccnet_buckets", oracle=_oracle)
+@query("quality_ccnet_buckets", oracle=_oracle)
 def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bucket, n_docs, total_bigrams, avg_bpt, min_bpt, max_bpt):
     CCNet head/middle/tail partition of the corpus by bits-per-token

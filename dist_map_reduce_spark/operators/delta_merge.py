@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 
 _N_CDC_BUCKETS = 10
 
@@ -69,7 +69,7 @@ FROM ins
 """
 
 
-@staged_query("cdc_merge_upsert_orders", oracle=_ORACLE)
+@query("cdc_merge_upsert_orders", oracle=_ORACLE)
 def cdc_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(o_orderkey, o_custkey, o_orderstatus, o_totalprice, src):
     orders after applying a deterministic CDC batch — updates

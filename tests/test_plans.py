@@ -420,40 +420,30 @@ def test_semdedup_is_cell_bounded_join(spark):
 
 
 def test_cdc_merge_plan_pushes_bucket_filters(spark):
-    """The staged CDC MERGE is one join tree — LeftAnti deletes +
-    LeftOuter updates + union'd inserts — and every change-set scan
-    must carry its md5-bucket predicate in the scan's DataFilters
-    (derived columns can't reach PushedFilters, but they must at
-    least gate the scan, not a post-join Filter)."""
-    registry.load_staged()
-    plan = (
-        registry.STAGED_QUERIES["cdc_merge_upsert_orders"](spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    """The CDC MERGE (promoted r13) is one join tree — LeftAnti
+    deletes + LeftOuter updates + union'd inserts — and every
+    change-set scan must carry its md5-bucket predicate in the scan's
+    DataFilters (derived columns can't reach PushedFilters, but they
+    must at least gate the scan, not a post-join Filter)."""
+    plan = _plan(spark, "cdc_merge_upsert_orders")
     assert "LeftAnti" in plan
     assert "LeftOuter" in plan
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    # the sf0.001 CDC sides always broadcast — a SortMergeJoin
+    # anywhere in this tree means a broadcast regressed
+    assert "SortMergeJoin" not in plan, plan
     # the three change-set scans each filter on the conv(md5(...))
     # bucket expression at the scan
     assert plan.count("conv(substring(md5(") >= 3
 
 
 def test_ccnet_buckets_plan_shape(spark):
-    """The staged CCNet bucketing must stay aggregate-shaped: exact
-    percentile as ONE ObjectHashAggregate riding a 1-row broadcast
-    (BroadcastNestedLoopJoin Cross is the sanctioned scalar pattern),
-    a 3-key partial+final HashAggregate for the buckets, and no
-    global window or SortAggregate anywhere."""
-    registry.load_staged()
-    plan = (
-        registry.STAGED_QUERIES["quality_ccnet_buckets"](spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    """The CCNet bucketing (promoted r13) must stay aggregate-shaped:
+    exact percentile as ONE ObjectHashAggregate riding a 1-row
+    broadcast (BroadcastNestedLoopJoin Cross is the sanctioned scalar
+    pattern), a 3-key partial+final HashAggregate for the buckets,
+    and no global window or SortAggregate anywhere."""
+    plan = _plan(spark, "quality_ccnet_buckets")
     assert "percentile(bits_per_token" in plan
     assert "SortAggregate" not in plan
     assert "Window" not in plan  # no global ntile/rank fallback

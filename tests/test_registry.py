@@ -105,15 +105,15 @@ def test_every_oracle_resolves_to_sql_text():
 
 
 def test_staged_modules_register_no_unexpected_riders():
-    """The r12/r13 window arithmetic (registry.load_all docstring)
+    """The r13 window arithmetic (registry.load_all docstring)
     assumes each module registers exactly its KNOWN queries when
     imported in the driver's pristine order: curation_funnel exactly
     itself (its composed oracle stays LAZY — a reintroduced
     module-scope import of a registering component module breaks the
-    rotation), and the two r12-PROMOTED single-query modules exactly
-    ONE @query entry each (their heavyweight deps — similarity_pq,
-    similarity_ivfpq, ingest_dedup_query — must stay inside the
-    callables). Catch drift here, not at stamp time."""
+    rotation), and the two r13-PROMOTED single-query modules exactly
+    ONE @query entry each (their heavyweight deps — lm_bigram — must
+    stay inside the callables/lazy oracle). Catch drift here, not at
+    stamp time."""
     import subprocess
     import sys
 
@@ -122,17 +122,10 @@ def test_staged_modules_register_no_unexpected_riders():
         "from dist_map_reduce_spark import registry\n"
         "from dist_map_reduce_spark.functions import curation_funnel\n"
         "a = set(registry.QUERIES)\n"
-        "from dist_map_reduce_spark.functions import similarity_ivfadc_query\n"
-        "b = set(registry.QUERIES) - a\n"
-        "from dist_map_reduce_spark.streaming import ingest_index_compaction\n"
-        "c = set(registry.QUERIES) - a - b\n"
-        # the r12-staged modules must register ZERO @query entries at
-        # import, even in a pristine pre-load_all process (their heavy
-        # deps — lm_bigram — stay inside the callables/lazy oracle)
         "from dist_map_reduce_spark.functions import quality_ccnet_buckets\n"
+        "b = set(registry.QUERIES) - a\n"
         "from dist_map_reduce_spark.operators import delta_merge\n"
-        "d = set(registry.QUERIES) - a - b - c\n"
-        "assert not d, f'staged modules registered @query riders: {d}'\n"
+        "c = set(registry.QUERIES) - a - b\n"
         "s = set(registry.STAGED_QUERIES)\n"
         "print(sorted(a), '|', sorted(b), '|', sorted(c), '|', sorted(s))\n"
         % REPO_ROOT
@@ -144,21 +137,31 @@ def test_staged_modules_register_no_unexpected_riders():
         timeout=120,
     )
     assert out.returncode == 0, out.stderr
-    funnel, ivfadc, compaction, staged = (
+    funnel, ccnet, merge, staged = (
         out.stdout.strip().splitlines()[-1].split("|")
     )
     assert funnel.strip() == "['curation_funnel']", (
         f"curation_funnel's import registers riders: {funnel} — "
         "its component imports must stay inside _ensure_components()"
     )
-    assert ivfadc.strip() == "['similarity_ann_ivfadc_topk']", ivfadc
-    assert compaction.strip() == "['streaming_ingest_index_compaction']", (
-        compaction
-    )
-    # the r12-staged set (the r13 promotion candidates)
-    assert staged.strip() == (
-        "['cdc_merge_upsert_orders', 'quality_ccnet_buckets']"
-    ), staged
+    assert ccnet.strip() == "['quality_ccnet_buckets']", ccnet
+    assert merge.strip() == "['cdc_merge_upsert_orders']", merge
+    # post-r13-promotion: nothing staged (saturation policy — new
+    # staged queries are staged-forever unless they displace)
+    assert staged.strip() == "[]", staged
+
+
+def test_registry_holds_at_saturation_ceiling():
+    """SATURATION POLICY pin (registry.load_all docstring): the
+    registered surface is capped at exactly 200 queries = 4 windows
+    x 50, keeping the staleness cadence at ceil(200/50) = 4 rounds
+    with module-pure cohorts. An unpaired 201st registration would
+    silently stretch the cadence to 5 and break the rotation — a new
+    operator must either DISPLACE a retired query (net zero, criteria
+    in the docstring) or ship as a staged-forever parity-tested
+    query. If you changed this number, you executed a displacement
+    wrong or bypassed the policy."""
+    assert len(registry.QUERIES) == 4 * WINDOW_SIZE, sorted(registry.QUERIES)
 
 
 def test_window_count_pins_in_fresh_subprocess():
