@@ -160,9 +160,15 @@ def opq_gated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     if rec["opq_pq"] > rec["pq_adc"]:
         return opq_pq_topk(spark, sf_dir)
-    from dist_map_reduce_spark.registry import QUERIES
+    # lazy direct import, not a registry lookup (ADVICE r12): this is
+    # a library helper and must work in a process that never ran
+    # registry.load_all; deferred to call time so importing this
+    # module stays registration-free
+    from dist_map_reduce_spark.functions.similarity_pq import (
+        similarity_ann_pq_adc_topk,
+    )
 
-    return QUERIES["similarity_ann_pq_adc_topk"](spark, sf_dir)
+    return similarity_ann_pq_adc_topk(spark, sf_dir)
 
 
 def opq_vs_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,9 +180,11 @@ def opq_vs_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_top5,
         grade_recall,
     )
-    from dist_map_reduce_spark.registry import QUERIES
+    from dist_map_reduce_spark.functions.similarity_pq import (
+        similarity_ann_pq_adc_topk,
+    )
 
-    variants = QUERIES["similarity_ann_pq_adc_topk"](spark, sf_dir).select(
+    variants = similarity_ann_pq_adc_topk(spark, sf_dir).select(
         F.lit("pq_adc").alias("variant"), "query_id", "vec_id"
     ).unionAll(
         opq_pq_topk(spark, sf_dir).select(

@@ -111,20 +111,69 @@ N_INGEST_BATCHES = 3  # arrival micro-batches in the replay harness
 REPLAY_MARKER = "_REPLAY_DONE"
 
 
-def _replay_fingerprint(n_batches: int) -> str:
+def _replay_fingerprint(sf_dir: str, n_batches: int) -> str:
     """Content fingerprint of everything that determines the replay's
-    output: the parameters plus the SOURCE of this module and
-    dedup_common (band keys). A code change invalidates the shared
-    artifact automatically — no manual version bump to forget."""
+    output: the parameters, the SOURCE of this module, dedup_common
+    (band keys) and catalog (table resolution), plus a cheap stat
+    stamp of the documents fixture itself (name/size/mtime of each
+    parquet file — ADVICE r12: a regenerated fixture or a catalog
+    change must trigger a rebuild, not a confusing downstream hash
+    mismatch against a silently stale artifact). A code or data
+    change invalidates the shared artifact automatically — no manual
+    version bump to forget."""
     import hashlib
 
+    from dist_map_reduce_spark import catalog
     from dist_map_reduce_spark.functions import dedup_common
 
     h = hashlib.md5()
-    for mod_file in (__file__, dedup_common.__file__):
+    for mod_file in (__file__, dedup_common.__file__, catalog.__file__):
         with open(mod_file, "rb") as f:
             h.update(f.read())
+    doc = catalog.table_path(sf_dir, "documents")
+    paths = (
+        sorted(os.path.join(doc, p) for p in os.listdir(doc))
+        if os.path.isdir(doc)
+        else [doc]
+    )
+    for p in paths:
+        st = os.stat(p)
+        h.update(
+            f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode()
+        )
     return f"n_batches={n_batches} src={h.hexdigest()}"
+
+
+def _sweep_dead_leftovers(work: str) -> None:
+    """Best-effort cleanup of sibling ``<work>.build-<pid>`` /
+    ``<work>.stale-<pid>`` dirs whose owning pid is no longer alive
+    (ADVICE r12: a crashed builder, or loser branch 2 below, leaves a
+    full private replay copy in scratch that nothing else deletes).
+    Live pids are left alone — a concurrent builder may still be
+    replaying into (or reading from) its private dir."""
+    parent, base = os.path.split(work)
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for d in entries:
+        for tag in (".build-", ".stale-"):
+            prefix = base + tag
+            if d.startswith(prefix):
+                try:
+                    pid = int(d[len(prefix):])
+                except ValueError:
+                    continue
+                if pid == os.getpid():
+                    continue
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    shutil.rmtree(
+                        os.path.join(parent, d), ignore_errors=True
+                    )
+                except OSError:
+                    pass  # e.g. EPERM: pid exists under another uid
 
 
 def ensure_shared_replay(
@@ -157,10 +206,22 @@ def ensure_shared_replay(
     wins — the loser validates the winner's marker and reuses it,
     falling back to its own private build dir (correct, just
     unshared) if the published artifact doesn't match its
-    fingerprint."""
+    fingerprint. Dead builders' leftover ``.build-*``/``.stale-*``
+    dirs are swept on entry (live pids untouched).
+
+    Known limit (ADVICE r12, accepted under the documented
+    one-process-per-scratch-version assumption): processes running
+    DIFFERENT code versions invalidate each other — the stale-sweep
+    below rm's a published artifact whose fingerprint mismatches the
+    caller's, so a concurrent OLD-code process holding an unexecuted
+    lazy DataFrame over ``work/accepted`` can hit parquet re-listing
+    FileNotFound when a NEW-code process republishes. Same-version
+    concurrency is race-safe (tested); cross-version concurrency is
+    not a supported deployment."""
     work = scratch_path(sf_dir, "ingest_replay_shared")
     marker = os.path.join(work, REPLAY_MARKER)
-    fp = _replay_fingerprint(n_batches)
+    fp = _replay_fingerprint(sf_dir, n_batches)
+    _sweep_dead_leftovers(work)
 
     def _published_ok() -> bool:
         try:

@@ -476,7 +476,7 @@ def test_shared_replay_publish_race_paths(spark, tmp_path, monkeypatch):
         mod, "scratch_path", lambda sf, name: str(tmp_path / name)
     )
     work = str(tmp_path / "ingest_replay_shared")
-    fp = mod._replay_fingerprint(mod.N_INGEST_BATCHES)
+    fp = mod._replay_fingerprint(SF_SMOKE, mod.N_INGEST_BATCHES)
 
     # one real replay to obtain a valid artifact, then park it so we
     # can replay the race deterministically
@@ -532,3 +532,34 @@ def test_shared_replay_publish_race_paths(spark, tmp_path, monkeypatch):
     assert os.path.isfile(os.path.join(got, mod.REPLAY_MARKER))
     acc = spark.read.parquet(os.path.join(got, "accepted"))
     assert acc.count() > 0
+
+
+def test_sweep_dead_leftovers_removes_only_dead_pids(tmp_path):
+    """The entry sweep (ADVICE r12) reclaims build/stale leftovers of
+    DEAD builders only: a live pid's dir (pid 1 — alive, other uid),
+    the caller's own dir, and malformed suffixes are all left
+    alone."""
+    import os
+    import subprocess
+
+    from dist_map_reduce_spark.streaming import ingest_dedup as mod
+
+    work = str(tmp_path / "ingest_replay_shared")
+    # a pid that certainly ran and is certainly reaped
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid
+    keep = [
+        f"{work}.build-1",           # live pid (init), other uid
+        f"{work}.build-{os.getpid()}",  # our own in-flight build
+        f"{work}.stale-notapid",     # malformed suffix
+        work,                        # the shared dir itself
+    ]
+    gone = [f"{work}.build-{dead_pid}", f"{work}.stale-{dead_pid}"]
+    for d in keep + gone:
+        os.makedirs(d, exist_ok=True)
+    mod._sweep_dead_leftovers(work)
+    for d in keep:
+        assert os.path.isdir(d), d
+    for d in gone:
+        assert not os.path.isdir(d), d
