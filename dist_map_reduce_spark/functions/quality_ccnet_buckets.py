@@ -27,8 +27,9 @@ interpolate identical doubles, and assignment is a pure comparison;
 per-bucket avg is rounded to 6 dp to absorb sum-order ULPs (the
 lm_score discipline).
 
-Staged for the r13 window (registry.load_all docstring has the
-arithmetic: 48 r9 re-stamps + 2 free slots). Module scope imports
+Promoted into the r13 correctness window (registry.load_all
+docstring has the arithmetic: 48 r9 re-stamps + 2 promotions =
+50). Module scope imports
 only registration-free modules; the lm_bigram dependency is imported
 lazily inside the callable and the oracle is a LAZY composer over the
 registered lm_bigram oracle (the curation_funnel pattern — a

@@ -27,9 +27,9 @@ fresh: fixture keys are positive). The merged result is fully
 checkable: every row carries ``src`` (kept/updated/inserted) and the
 oracle re-derives the whole merge relationally.
 
-Staged for the r13 window (48 r9 re-stamps + 2 free slots —
-registry.load_all docstring). Module scope imports only
-registration-free modules.
+Promoted into the r13 correctness window (48 r9 re-stamps + 2
+promotions — registry.load_all docstring). Module scope imports only
+registration-free modules. 100 TB posture: SCALE.md §CDC merge.
 """
 
 from __future__ import annotations

@@ -67,11 +67,11 @@ STAGED_PROBES = [
     # staged r11, promoted r12:
     "similarity_ann_ivfadc_topk",
     "streaming_ingest_index_compaction",
-    # staged r12 → r13 window (documents-only; cdc_merge_upsert_orders
-    # is orders-shaped, which the synth corpus does not replicate —
-    # its plan is one co-partitionable equi-join + union, argued in
-    # its docstring):
+    # staged r12, promoted r13:
     "quality_ccnet_buckets",
+    # orders-shaped (synth replicates orders too since r13): the full
+    # MERGE tree over a 10× base table with a 10× change set
+    "cdc_merge_upsert_orders",
 ]
 
 
@@ -103,6 +103,24 @@ def synth(spark, replicas: int) -> str:
         )
         reps = r if reps is None else reps.unionAll(r)
     reps.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    # orders for the CDC merge probe (r13): key-offset replicas keep
+    # every o_orderkey positive, so delta_merge's reserved negative
+    # insert keys stay fresh; the md5 change-set derivation re-buckets
+    # each replica independently (replicas land in different buckets —
+    # a realistic, not degenerate, 10× change feed)
+    orders = load_table(spark, BASE, "orders")
+    reps = None
+    for i in range(replicas):
+        r = orders.select(
+            (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        reps = r if reps is None else reps.unionAll(r)
+    reps.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
     return out
 
 
