@@ -132,6 +132,10 @@ HEADLINE = [
     # perplexity bucketing and the CDC MERGE
     "quality_ccnet_buckets",
     "cdc_merge_upsert_orders",
+    # r13 STAGED-FOREVER addition (saturation policy —
+    # registry.load_all docstring): the compacted-index flag
+    # certification, perf-tracked like every staged query
+    "streaming_postcompaction_neardup_flags",
 ]
 
 

@@ -30,7 +30,12 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     ).select("doc_id", F.explode_outer(shingle_array(k)).alias("shingle"))
 
 
-_SHINGLE_SQL = """
+def _shingle_sql(source: str = "documents") -> str:
+    """The shingle CTE over any (doc_id, text) relation — ``source``
+    is a table name or a parenthesizable subquery (the post-compaction
+    flag oracle probes a PERTURBED documents derivation, so the band
+    SQL must not hardwire the base table)."""
+    return f"""
     SELECT doc_id, unnest(list_distinct(sh)) AS shingle
     FROM (
       SELECT doc_id,
@@ -38,9 +43,13 @@ _SHINGLE_SQL = """
                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                 FOR i IN generate_series(1, len(ws) - 2)]
              ELSE [text] END AS sh
-      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+            FROM {source})
     )
 """
+
+
+_SHINGLE_SQL = _shingle_sql()
 
 
 N_HASHES = 16  # minhash signature length
@@ -129,16 +138,19 @@ def minhash_sig_rowwise(docs: DataFrame) -> DataFrame:
     return salted.select("doc_id", *min_exprs)
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(source: str = "documents") -> str:
     mins = ", ".join(
         f"min(('0x' || substring(md5('s{_slice(j)[0]}:' || shingle),"
         f" {_slice(j)[1]}, 8))::BIGINT) AS h{j}"
         for j in range(N_HASHES)
     )
-    return f"SELECT doc_id, {mins} FROM ({_SHINGLE_SQL}) GROUP BY doc_id"
+    return (
+        f"SELECT doc_id, {mins} FROM ({_shingle_sql(source)}) "
+        "GROUP BY doc_id"
+    )
 
 
-def _minhash_bands_sql() -> str:
+def _minhash_bands_sql(source: str = "documents") -> str:
     bands = ", ".join(
         "md5("
         + " || ':' || ".join(f"h{b * _R + i}::VARCHAR" for i in range(_R))
@@ -149,7 +161,10 @@ def _minhash_bands_sql() -> str:
         f"SELECT doc_id, '{b}' AS band_id, b{b} AS band_key FROM banded"
         for b in range(N_BANDS)
     )
-    return f"WITH sig AS ({_minhash_sig_sql()}), banded AS (SELECT doc_id, {bands} FROM sig) {arms}"
+    return (
+        f"WITH sig AS ({_minhash_sig_sql(source)}), "
+        f"banded AS (SELECT doc_id, {bands} FROM sig) {arms}"
+    )
 
 
 # Shared by minhash_band_candidates and the dedup_clusters /

@@ -117,8 +117,10 @@ def load_staged() -> None:
     tests/test_staged_parity.py just the same."""
     if not QUERIES:
         load_all()
-    # No staged modules at present (post-r13-promotion). Future
-    # staged-forever modules import here.
+    # STAGED-FOREVER (r13 saturation policy): post-compaction flag
+    # certification — parity-tested every run, bench-tracked, takes a
+    # window slot only if a future displacement opens one.
+    from dist_map_reduce_spark.streaming import postcompaction_flags  # noqa: F401
 
 
 def load_all() -> None:

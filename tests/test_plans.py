@@ -448,3 +448,25 @@ def test_ccnet_buckets_plan_shape(spark):
     assert "SortAggregate" not in plan
     assert "Window" not in plan  # no global ntile/rank fallback
     assert "partial_count" in plan  # map-side combine on the buckets
+
+
+def test_postcompaction_flags_plan_shape(spark):
+    """The staged-forever post-compaction flag query's read path:
+    zero-shuffle row-wise probe banding feeding ONE semi-join against
+    the compacted index (broadcast at fixture scale; a production
+    delivery would broadcast the index side too), a keyed distinct —
+    no Cartesian, no SortAggregate, and no Window (the flag is a
+    membership semi-join, not a ranked scan)."""
+    registry.load_staged()
+    plan = (
+        registry.STAGED_QUERIES["streaming_postcompaction_neardup_flags"](
+            spark, SF_SMOKE
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "LeftSemi" in plan  # the membership flag join

@@ -126,6 +126,11 @@ def test_staged_modules_register_no_unexpected_riders():
         "b = set(registry.QUERIES) - a\n"
         "from dist_map_reduce_spark.operators import delta_merge\n"
         "c = set(registry.QUERIES) - a - b\n"
+        # the staged-forever module must register ZERO @query entries
+        # at import, even in a pristine pre-load_all process
+        "from dist_map_reduce_spark.streaming import postcompaction_flags\n"
+        "d = set(registry.QUERIES) - a - b - c\n"
+        "assert not d, f'staged module registered @query riders: {d}'\n"
         "s = set(registry.STAGED_QUERIES)\n"
         "print(sorted(a), '|', sorted(b), '|', sorted(c), '|', sorted(s))\n"
         % REPO_ROOT
@@ -146,9 +151,10 @@ def test_staged_modules_register_no_unexpected_riders():
     )
     assert ccnet.strip() == "['quality_ccnet_buckets']", ccnet
     assert merge.strip() == "['cdc_merge_upsert_orders']", merge
-    # post-r13-promotion: nothing staged (saturation policy — new
-    # staged queries are staged-forever unless they displace)
-    assert staged.strip() == "[]", staged
+    # the staged-forever set (r13 saturation policy)
+    assert staged.strip() == (
+        "['streaming_postcompaction_neardup_flags']"
+    ), staged
 
 
 def test_registry_holds_at_saturation_ceiling():
