@@ -91,6 +91,13 @@ def test_plan_single_scalar_nested_loop(spark):
     """The only nested-loop join in the plan is the sanctioned 1-row
     broadcast scalar (corpus total); every data join is hash-based
     and the aggregates are partial+final HashAggregates."""
+    from dist_map_reduce_spark import caching
+
+    # an earlier test may have left LM slots cached (since r13,
+    # test_entry smoke-runs the registered quality_ccnet_buckets,
+    # which shares this query's subtrees) — the CacheManager would
+    # substitute InMemoryTableScan reprs carrying extra join nodes
+    caching.clear()
     plan = (
         lm_bigram_doc_scores(spark, SF_SMOKE)
         ._jdf.queryExecution()
