@@ -72,6 +72,13 @@ STAGED_PROBES = [
     # orders-shaped (synth replicates orders too since r13): the full
     # MERGE tree over a 10× base table with a 10× change set
     "cdc_merge_upsert_orders",
+    # staged-forever r13 (saturation policy): compact a copy of the
+    # replay-grown index + pre-flag the half-document probe delivery
+    # against it (runs after the two streaming rows, so the shared
+    # replay is already built and this measures the operator's
+    # marginal cost — copy, distinct rewrite, probe banding, one
+    # membership semi-join)
+    "streaming_postcompaction_neardup_flags",
 ]
 
 
