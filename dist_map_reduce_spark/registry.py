@@ -158,6 +158,15 @@ def load_all() -> None:
     (zero rider registrations). A NEW operator ships under
     displace-or-stage:
 
+    r14 plan (mechanical, re-verified module-pure against the
+    evidence files this round): window = the 50 r10-stamped names in
+    11 modules registering nothing else — relational (17),
+    streaming/pipelines (10), arrays_maps (6), tpch_more (6),
+    subqueries (5), and singles bucketing / cohorts / dedup_simhash /
+    sources_sinks_orc / skew / streaming/ingest_dedup_query — moved
+    to the top of load_all, with this round's window modules moved to
+    the outside-window section. Zero free slots.
+
     (a) DISPLACE — a new @query may take a slot only by retiring an
         existing registered query in the same round (net zero).
         Retirement criteria, any one of: (i) another registered query
