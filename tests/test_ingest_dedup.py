@@ -563,3 +563,46 @@ def test_sweep_dead_leftovers_removes_only_dead_pids(tmp_path):
         assert os.path.isdir(d), d
     for d in gone:
         assert not os.path.isdir(d), d
+
+
+def test_probe_halving_matches_oracle_on_crafted_edges(spark, duck):
+    """The post-compaction probe's half-document derivation must be
+    expression-for-expression identical between Spark (_probe_docs)
+    and the DuckDB oracle (_PROBE_SQL) on edges the fixture never
+    exercises: empty text, single word, two words, odd/even word
+    counts, and consecutive spaces (both engines split '' tokens)."""
+    import pandas as pd
+
+    from dist_map_reduce_spark.streaming.postcompaction_flags import (
+        _PROBE_SQL,
+        _probe_docs,
+    )
+
+    rows = [
+        (1, ""),
+        (2, "solo"),
+        (3, "two words"),
+        (4, "one two three"),
+        (5, "one two three four"),
+        (6, "a b c d e"),
+        (7, "double  space here"),
+        (8, " leading and trailing "),
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    duck.register("documents", docs)
+    want = {
+        (r[0], r[1])
+        for r in duck.execute(_PROBE_SQL).fetchall()
+    }
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    import unittest.mock as mock
+
+    from dist_map_reduce_spark.streaming import postcompaction_flags as pcf
+
+    with mock.patch.object(pcf, "load_table", lambda *_: sdf):
+        got = {
+            (r.doc_id, r.text)
+            for r in _probe_docs(spark, "unused").collect()
+        }
+    assert got == want, (sorted(got - want), sorted(want - got))
