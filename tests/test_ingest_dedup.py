@@ -565,12 +565,19 @@ def test_sweep_dead_leftovers_removes_only_dead_pids(tmp_path):
         assert not os.path.isdir(d), d
 
 
-def test_probe_halving_matches_oracle_on_crafted_edges(spark, duck):
+def test_probe_halving_matches_oracle_on_crafted_edges(spark):
     """The post-compaction probe's half-document derivation must be
     expression-for-expression identical between Spark (_probe_docs)
     and the DuckDB oracle (_PROBE_SQL) on edges the fixture never
     exercises: empty text, single word, two words, odd/even word
-    counts, and consecutive spaces (both engines split '' tokens)."""
+    counts, and consecutive spaces (both engines split '' tokens).
+
+    Uses a PRIVATE duckdb connection, never the session-scoped
+    ``duck`` fixture: registering a crafted ``documents`` relation on
+    the shared connection shadows the parquet view for every
+    later oracle-parity test in the session (learned the hard way —
+    68 downstream failures)."""
+    import duckdb
     import pandas as pd
 
     from dist_map_reduce_spark.streaming.postcompaction_flags import (
@@ -589,11 +596,15 @@ def test_probe_halving_matches_oracle_on_crafted_edges(spark, duck):
         (8, " leading and trailing "),
     ]
     docs = pd.DataFrame(rows, columns=["doc_id", "text"])
-    duck.register("documents", docs)
-    want = {
-        (r[0], r[1])
-        for r in duck.execute(_PROBE_SQL).fetchall()
-    }
+    con = duckdb.connect()
+    try:
+        con.register("documents", docs)
+        want = {
+            (r[0], r[1])
+            for r in con.execute(_PROBE_SQL).fetchall()
+        }
+    finally:
+        con.close()
     sdf = spark.createDataFrame(rows, ["doc_id", "text"])
 
     import unittest.mock as mock
