@@ -132,10 +132,12 @@ HEADLINE = [
     # perplexity bucketing and the CDC MERGE
     "quality_ccnet_buckets",
     "cdc_merge_upsert_orders",
-    # r13 STAGED-FOREVER addition (saturation policy —
+    # r13 STAGED-FOREVER additions (saturation policy —
     # registry.load_all docstring): the compacted-index flag
-    # certification, perf-tracked like every staged query
+    # certification and BM25 ranked retrieval, perf-tracked like
+    # every staged query
     "streaming_postcompaction_neardup_flags",
+    "text_bm25_topk",
 ]
 
 

@@ -118,8 +118,10 @@ def load_staged() -> None:
     if not QUERIES:
         load_all()
     # STAGED-FOREVER (r13 saturation policy): post-compaction flag
-    # certification — parity-tested every run, bench-tracked, takes a
-    # window slot only if a future displacement opens one.
+    # certification and BM25 ranked retrieval — parity-tested every
+    # run, bench-tracked, take a window slot only if a future
+    # displacement opens one.
+    from dist_map_reduce_spark.functions import text_bm25  # noqa: F401
     from dist_map_reduce_spark.streaming import postcompaction_flags  # noqa: F401
 
 

@@ -470,3 +470,22 @@ def test_postcompaction_flags_plan_shape(spark):
     assert "SortAggregate" not in plan
     assert "Window" not in plan
     assert "LeftSemi" in plan  # the membership flag join
+
+
+def test_bm25_plan_shape(spark):
+    """The staged-forever BM25 panel: probe selection is
+    TakeOrderedAndProject (never a global sort), the tiny query-term
+    table broadcasts onto the corpus tf table, scalars ride the
+    sanctioned 1-row cross, and nothing plans a CartesianProduct or
+    SortAggregate."""
+    registry.load_staged()
+    plan = (
+        registry.STAGED_QUERIES["text_bm25_topk"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan  # query-term × corpus-tf join

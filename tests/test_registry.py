@@ -126,11 +126,12 @@ def test_staged_modules_register_no_unexpected_riders():
         "b = set(registry.QUERIES) - a\n"
         "from dist_map_reduce_spark.operators import delta_merge\n"
         "c = set(registry.QUERIES) - a - b\n"
-        # the staged-forever module must register ZERO @query entries
+        # the staged-forever modules must register ZERO @query entries
         # at import, even in a pristine pre-load_all process
         "from dist_map_reduce_spark.streaming import postcompaction_flags\n"
+        "from dist_map_reduce_spark.functions import text_bm25\n"
         "d = set(registry.QUERIES) - a - b - c\n"
-        "assert not d, f'staged module registered @query riders: {d}'\n"
+        "assert not d, f'staged modules registered @query riders: {d}'\n"
         "s = set(registry.STAGED_QUERIES)\n"
         "print(sorted(a), '|', sorted(b), '|', sorted(c), '|', sorted(s))\n"
         % REPO_ROOT
@@ -153,7 +154,7 @@ def test_staged_modules_register_no_unexpected_riders():
     assert merge.strip() == "['cdc_merge_upsert_orders']", merge
     # the staged-forever set (r13 saturation policy)
     assert staged.strip() == (
-        "['streaming_postcompaction_neardup_flags']"
+        "['streaming_postcompaction_neardup_flags', 'text_bm25_topk']"
     ), staged
 
 
