@@ -136,38 +136,34 @@ def load_all() -> None:
     window imports is the rotation bookkeeping — if adding a query
     to a window module silently changed the cut line, it fires.
 
-    Round 13 (EXECUTED this round): after CORRECTNESS_r12 the stamp
-    ages are r9=48, r10=50, r11=50, r12=50 (verified programmatically
-    from the evidence files). The r13 window = the 48 r9 names in 12
-    pure-r9 modules (4+4+4+4+5+5+6+6+3+3+2+2 = 48, each verified to
-    register exactly its r9 names and nothing else): dedup (4),
-    text_bpe_encode (4), scalar_fns (4), setops (4), sources_sinks
-    (5), stats (5), timeseries (6), windows (6), clustering (3),
-    histogram (3), semdedup (2), text_bpe (2) — + the TWO r12-staged
-    promotions (``quality_ccnet_buckets`` in
-    functions/quality_ccnet_buckets.py and ``cdc_merge_upsert_orders``
-    in operators/delta_merge.py, both single-query with
-    registration-free imports, flipped @staged_query -> @query this
-    round): 48 + 2 = 50 exactly.
+    Round 14 (EXECUTED this round — the first fully mechanical
+    rotation under the saturation policy): window = the 50
+    r10-stamped names in 11 modules verified (fresh-process import
+    probe) to register exactly those names and nothing else —
+    relational (17), streaming/pipelines (10), arrays_maps (6),
+    tpch_more (6), subqueries (5), and singles bucketing / cohorts /
+    dedup_simhash / sources_sinks_orc / skew /
+    streaming/ingest_dedup_query. The r13 window modules (12 r9-pure
+    modules + the 2 r13 promotions quality_ccnet_buckets /
+    delta_merge) moved to the outside-window section. Zero free
+    slots, zero promotions.
 
-    SATURATION POLICY (in force from r14 — the registry now holds
-    exactly 200 queries = 4 windows x 50, so every future window is a
-    full cohort with zero free slots): the registered surface is
-    CAPPED at 200. The steady-state rotation is mechanical — r14
-    re-stamps the r10 cohort (50 names, 11 modules), r15 the r11
-    cohort (50 names, 27 modules), r16 the r12 cohort, r17 this r13
-    cohort, and so on with period 4; all cohorts verified module-pure
-    (zero rider registrations). A NEW operator ships under
-    displace-or-stage:
+    SATURATION POLICY (in force since r14 — the registry holds
+    exactly 200 queries = 4 windows x 50, so every window is a full
+    cohort with zero free slots): the registered surface is CAPPED
+    at 200. The steady-state rotation is mechanical — r15 re-stamps
+    the r11 cohort (50 names, 27 modules), r16 the r12 cohort, r17
+    the r13 cohort (the 12 r9-pure modules + quality_ccnet_buckets +
+    delta_merge), r18 this r10 cohort again, and so on with period 4;
+    all cohorts verified module-pure (zero rider registrations). A
+    NEW operator ships under displace-or-stage:
 
-    r14 plan (mechanical, re-verified module-pure against the
-    evidence files this round): window = the 50 r10-stamped names in
-    11 modules registering nothing else — relational (17),
-    streaming/pipelines (10), arrays_maps (6), tpch_more (6),
-    subqueries (5), and singles bucketing / cohorts / dedup_simhash /
-    sources_sinks_orc / skew / streaming/ingest_dedup_query — moved
-    to the top of load_all, with this round's window modules moved to
-    the outside-window section. Zero free slots.
+    r15 plan (mechanical): window = the 50 r11-stamped names in 27
+    modules — re-verify module-purity against the evidence files at
+    round open (the probe is three lines: import each module in a
+    fresh process and diff registry.QUERIES), then move those imports
+    to the top of load_all and this round's window modules to the
+    outside-window section. Zero free slots.
 
     (a) DISPLACE — a new @query may take a slot only by retiring an
         existing registered query in the same round (net zero).
@@ -201,23 +197,18 @@ def load_all() -> None:
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
-    # 12 modules holding the 48 r9-stamped names (nothing else)
-    from dist_map_reduce_spark.functions import clustering  # noqa: F401
-    from dist_map_reduce_spark.functions import dedup  # noqa: F401
-    from dist_map_reduce_spark.functions import semdedup  # noqa: F401
-    from dist_map_reduce_spark.functions import text_bpe  # noqa: F401
-    from dist_map_reduce_spark.functions import text_bpe_encode  # noqa: F401
-    from dist_map_reduce_spark.operators import histogram  # noqa: F401
-    from dist_map_reduce_spark.operators import scalar_fns  # noqa: F401
-    from dist_map_reduce_spark.operators import setops  # noqa: F401
-    from dist_map_reduce_spark.operators import sources_sinks  # noqa: F401
-    from dist_map_reduce_spark.operators import stats  # noqa: F401
-    from dist_map_reduce_spark.operators import timeseries  # noqa: F401
-    from dist_map_reduce_spark.operators import windows  # noqa: F401
-
-    # the 2 r13 promotions (single-query modules, no riders)
-    from dist_map_reduce_spark.functions import quality_ccnet_buckets  # noqa: F401
-    from dist_map_reduce_spark.operators import delta_merge  # noqa: F401
+    # 11 modules holding the 50 r10-stamped names (nothing else)
+    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401
+    from dist_map_reduce_spark.operators import arrays_maps  # noqa: F401
+    from dist_map_reduce_spark.operators import bucketing  # noqa: F401
+    from dist_map_reduce_spark.operators import cohorts  # noqa: F401
+    from dist_map_reduce_spark.operators import relational  # noqa: F401
+    from dist_map_reduce_spark.operators import skew  # noqa: F401
+    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401
+    from dist_map_reduce_spark.operators import subqueries  # noqa: F401
+    from dist_map_reduce_spark.operators import tpch_more  # noqa: F401
+    from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
+    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -230,14 +221,15 @@ def load_all() -> None:
             f"register {len(QUERIES)} queries, expected {WINDOW}"
         )
 
-    # --- outside the window: driver-green in r10-r12, unchanged ---
+    # --- outside the window: driver-green in r11-r13, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
         ann_recall,
         chunking,
+        clustering,
         curation,
         curation_ext,
         curation_funnel,
-        dedup_simhash,
+        dedup,
         embedding_pca,
         graph,
         lm_bigram,
@@ -248,9 +240,11 @@ def load_all() -> None:
         multimodal_image,
         packing,
         python_udfs,
+        quality_ccnet_buckets,
         quality_model,
         resample_weighted,
         sampling_aes,
+        semdedup,
         shard_export,
         similarity,
         similarity_ivf_kmeans,
@@ -259,38 +253,38 @@ def load_all() -> None:
         similarity_pq,
         text,
         text_boilerplate,
+        text_bpe,
+        text_bpe_encode,
         text_dupngrams,
         text_entropy,
         text_winnow,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
         approx,
-        arrays_maps,
-        bucketing,
-        cohorts,
         contribution,
+        delta_merge,
         etl,
+        histogram,
         intervals,
         json_ops,
         linkage,
         profiling,
-        relational,
+        scalar_fns,
         scd,
         sequences,
-        skew,
+        setops,
         skyline,
         snapshot_diff,
-        sources_sinks_orc,
+        sources_sinks,
+        stats,
         stats_robust,
-        subqueries,
+        timeseries,
         timeseries_fill,
         tpch_full,
-        tpch_more,
         tpch_partsupp,
+        windows,
         wordcount,
         zorder,
     )
-    from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
     from dist_map_reduce_spark.streaming import ingest_index_compaction  # noqa: F401
-    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
     from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401
