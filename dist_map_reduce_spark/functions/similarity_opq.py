@@ -164,6 +164,16 @@ def opq_gated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a library helper and must work in a process that never ran
     # registry.load_all; deferred to call time so importing this
     # module stays registration-free
+    from dist_map_reduce_spark import registry
+
+    # pristine-process hazard (ADVICE r13): in a process that never
+    # ran load_all, reaching this path leaves rider registrations in
+    # QUERIES; a LATER load_all would then skip its cut-line guard
+    # (QUERIES non-empty) and the first-WINDOW cut would shift
+    # silently. Running load_all here (idempotent — every module
+    # import is a no-op the second time) closes that door: after this
+    # call the registration set is complete and can never shift.
+    registry.load_all()
     from dist_map_reduce_spark.functions.similarity_pq import (
         similarity_ann_pq_adc_topk,
     )

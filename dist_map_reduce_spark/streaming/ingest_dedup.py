@@ -131,16 +131,22 @@ def _replay_fingerprint(sf_dir: str, n_batches: int) -> str:
         with open(mod_file, "rb") as f:
             h.update(f.read())
     doc = catalog.table_path(sf_dir, "documents")
-    paths = (
-        sorted(os.path.join(doc, p) for p in os.listdir(doc))
-        if os.path.isdir(doc)
-        else [doc]
-    )
+    # RECURSIVE walk (ADVICE r13): a nested/partitioned parquet dir
+    # rewritten in place changes only grandchild files — a top-level
+    # listdir stamp would miss that and silently reuse a stale replay
+    # artifact, the exact confusion this stamp exists to prevent.
+    if os.path.isdir(doc):
+        paths = sorted(
+            os.path.join(root, fn)
+            for root, _dirs, files in os.walk(doc)
+            for fn in files
+        )
+    else:
+        paths = [doc]
     for p in paths:
         st = os.stat(p)
-        h.update(
-            f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode()
-        )
+        rel = os.path.relpath(p, os.path.dirname(doc))
+        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
     return f"n_batches={n_batches} src={h.hexdigest()}"
 
 

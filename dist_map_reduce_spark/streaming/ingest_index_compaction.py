@@ -51,6 +51,7 @@ from dist_map_reduce_spark.registry import query
 from dist_map_reduce_spark.scratch import scratch_path as _scratch
 from dist_map_reduce_spark.streaming.ingest_dedup import (
     N_INGEST_BATCHES,
+    _sweep_dead_leftovers,
     compact_band_index,
     ensure_shared_replay,
 )
@@ -117,7 +118,14 @@ def streaming_ingest_index_compaction(
     compacts the pristine post-replay index (raw counts stay
     reproducible), not the output of a previous compaction."""
     shared = ensure_shared_replay(spark, sf_dir)
-    work = _scratch(sf_dir, "ingest_compact_q")
+    # pid-suffixed work dir (ADVICE r13, applied to both compaction
+    # queries): concurrent same-version processes must not rmtree each
+    # other's index copy mid-read; dead pids' leftovers are reaped by
+    # the shared-replay sweeper (same ``.build-<pid>`` convention).
+    base = _scratch(sf_dir, "ingest_compact_q")
+    _sweep_dead_leftovers(base)
+    shutil.rmtree(base, ignore_errors=True)  # pre-r14 un-suffixed dir
+    work = f"{base}.build-{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     index_dir = os.path.join(work, "band_index")

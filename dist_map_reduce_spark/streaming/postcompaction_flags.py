@@ -54,6 +54,7 @@ from dist_map_reduce_spark.registry import staged_query
 from dist_map_reduce_spark.scratch import scratch_path as _scratch
 from dist_map_reduce_spark.streaming.ingest_dedup import (
     N_INGEST_BATCHES,
+    _sweep_dead_leftovers,
     compact_band_index,
     ensure_shared_replay,
     minhash_bands_rowwise,
@@ -153,7 +154,16 @@ def streaming_postcompaction_neardup_flags(
     that compaction preserved the band-membership SET, not just the
     per-band counts."""
     shared = ensure_shared_replay(spark, sf_dir)
-    work = _scratch(sf_dir, "postcompact_flags_q")
+    # pid-suffixed work dir (ADVICE r13): two same-version processes
+    # (sweep + pytest) running this staged query concurrently must not
+    # rmtree each other's index copy mid-read. Same ``.build-<pid>``
+    # convention as the shared-replay builder, so the dead-pid sweeper
+    # reaps leftovers from crashed runs; our own dir from a previous
+    # call in THIS process is removed explicitly below.
+    base = _scratch(sf_dir, "postcompact_flags_q")
+    _sweep_dead_leftovers(base)
+    shutil.rmtree(base, ignore_errors=True)  # pre-r14 un-suffixed dir
+    work = f"{base}.build-{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     index_dir = os.path.join(work, "band_index")

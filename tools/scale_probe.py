@@ -79,6 +79,11 @@ STAGED_PROBES = [
     # marginal cost — copy, distinct rewrite, probe banding, one
     # membership semi-join)
     "streaming_postcompaction_neardup_flags",
+    # staged-forever r13, probed from r14 (VERDICT r13 #6): BM25
+    # top-k — documents-only; the claim under test is
+    # linear-in-corpus (broadcast ≤64-row query-term table onto the
+    # (doc, word, tf) corpus table, posting-bounded per term)
+    "text_bm25_topk",
 ]
 
 

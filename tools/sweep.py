@@ -117,6 +117,47 @@ def main() -> int:
             f"staged:{name}: {'MATCH' if ok else 'MISMATCH'}"
             f" ({len(sp)} rows) {times[f'staged:{name}']:.2f}s"
         )
+
+    # Staged-forever queries never get a driver stamp (saturation
+    # policy, registry.load_all docstring), so their ONLY correctness
+    # evidence at the driver's scale is in-repo. Re-run their parity
+    # at sf0.01 whenever this sweep targeted a different scale, so the
+    # evidence regenerates every round without a manual step
+    # (VERDICT r13 #4).
+    driver_sf = "/root/testdata/sf0.01"
+    if (
+        os.path.realpath(sf_dir) != os.path.realpath(driver_sf)
+        and os.path.isdir(driver_sf)
+        and registry.STAGED_ORACLES
+    ):
+        con2 = duckdb.connect()
+        for t in TABLES:
+            con2.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{driver_sf}/{t}.parquet'"
+            )
+        for name in sorted(registry.STAGED_ORACLES):
+            t0 = time.perf_counter()
+            sp = registry.STAGED_QUERIES[name](spark, driver_sf).toPandas()
+            dt = time.perf_counter() - t0
+            od = con2.execute(
+                registry.resolve_oracle(registry.STAGED_ORACLES[name])
+            ).fetchdf()
+            a = (
+                sp[sorted(sp.columns)].astype(str)
+                .apply(tuple, axis=1).sort_values().tolist()
+            )
+            b = (
+                od[sorted(od.columns)].astype(str)
+                .apply(tuple, axis=1).sort_values().tolist()
+            )
+            ok = a == b
+            if not ok:
+                bad.append(f"staged@sf0.01:{name}")
+            print(
+                f"staged@sf0.01:{name}: {'MATCH' if ok else 'MISMATCH'}"
+                f" ({len(sp)} rows) {dt:.2f}s"
+            )
+
     print("\nslowest under the foreign session:")
     for name, t in sorted(times.items(), key=lambda x: -x[1])[:10]:
         print(f"  {t:7.2f}s  {name}")
