@@ -138,6 +138,9 @@ HEADLINE = [
     # every staged query
     "streaming_postcompaction_neardup_flags",
     "text_bm25_topk",
+    # r14 STAGED-FOREVER addition: count-min-sketch heavy hitters
+    # (exact count vs CMS estimate + overcount for the top-10 words)
+    "text_cms_heavy_hitters",
 ]
 
 

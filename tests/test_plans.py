@@ -489,3 +489,31 @@ def test_bm25_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "SortAggregate" not in plan
     assert "BroadcastHashJoin" in plan  # query-term × corpus-tf join
+
+
+def test_cms_plan_shape(spark):
+    """The staged-forever count-min sketch: the corpus-scale word
+    aggregate is persisted and every CMS consumer reads the cache
+    (one FileScan worth of corpus I/O total), the seed fan-out is a
+    Generate-free union of narrow selects, the 256-cell grid
+    broadcasts back onto the word table, and top-k selection is
+    TakeOrderedAndProject — no Cartesian, SortAggregate, or Window
+    anywhere."""
+    from dist_map_reduce_spark import caching
+
+    registry.load_staged()
+    caching.clear()
+    plan = (
+        registry.STAGED_QUERIES["text_cms_heavy_hitters"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # 256-cell grid joins back
+    # all 8 consumers of the word-count subtree read the persisted
+    # cache — the corpus explode+groupBy plans exactly once
+    assert plan.count("InMemoryTableScan") == 8

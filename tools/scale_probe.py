@@ -84,6 +84,10 @@ STAGED_PROBES = [
     # linear-in-corpus (broadcast ≤64-row query-term table onto the
     # (doc, word, tf) corpus table, posting-bounded per term)
     "text_bm25_topk",
+    # staged-forever r14: count-min heavy hitters — documents-only;
+    # claim under test: wordcount-shaped (one explode + one combined
+    # groupBy), CMS overlay vocabulary-scale
+    "text_cms_heavy_hitters",
 ]
 
 
