@@ -138,9 +138,12 @@ HEADLINE = [
     # every staged query
     "streaming_postcompaction_neardup_flags",
     "text_bm25_topk",
-    # r14 STAGED-FOREVER addition: count-min-sketch heavy hitters
+    # r14 STAGED-FOREVER additions: count-min-sketch heavy hitters
     # (exact count vs CMS estimate + overcount for the top-10 words)
+    # and the Bloom decontamination pre-filter (no-false-negative
+    # contract + visible false positives)
     "text_cms_heavy_hitters",
+    "text_bloom_decontaminate",
 ]
 
 

@@ -517,3 +517,31 @@ def test_cms_plan_shape(spark):
     # all 8 consumers of the word-count subtree read the persisted
     # cache — the corpus explode+groupBy plans exactly once
     assert plan.count("InMemoryTableScan") == 8
+
+
+def test_bloom_plan_shape(spark):
+    """The staged-forever Bloom decontamination pre-filter: the eval
+    side (fingerprints, bit table, scalar) broadcasts everywhere, the
+    train side is one scan + one aggregate (fp rides through the
+    groupBy so there is NO corpus-corpus join-back), the k=3 bit
+    fan-out is a Generate-free union with map-side combine, and
+    nothing plans a Cartesian, SortAggregate, SortMergeJoin or
+    Window."""
+    from dist_map_reduce_spark import caching
+
+    registry.load_staged()
+    caching.clear()
+    plan = (
+        registry.STAGED_QUERIES["text_bloom_decontaminate"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    # exactly two hash joins: bit membership and exact membership,
+    # both broadcasting the benchmark-sized eval side
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "partial_count" in plan  # fan-out combines map-side

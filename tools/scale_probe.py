@@ -88,6 +88,10 @@ STAGED_PROBES = [
     # claim under test: wordcount-shaped (one explode + one combined
     # groupBy), CMS overlay vocabulary-scale
     "text_cms_heavy_hitters",
+    # staged-forever r14: Bloom decontamination pre-filter —
+    # documents-only; claim: one corpus scan + one aggregate, eval
+    # side broadcast (benchmark-sized)
+    "text_bloom_decontaminate",
 ]
 
 
