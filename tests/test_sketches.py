@@ -1,0 +1,87 @@
+"""Semantic contracts of the r14 sketch pair — properties the
+cross-engine parity tests can't state (parity proves Spark == DuckDB;
+these prove both compute a CORRECT sketch):
+
+- count-min: the estimate NEVER undercounts, for every word in the
+  vocabulary (the query's top-10 output window could hide a tail
+  undercount, so the full-vocabulary check runs on the library
+  internals);
+- Bloom: zero false negatives on the planted members, and a false-
+  positive rate in the rough band the m=8·n / k=3 construction
+  predicts (loose bounds — the point is "a real filter, neither
+  degenerate-empty nor degenerate-full")."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dist_map_reduce_spark import caching, registry
+from tests.conftest import SF_SMOKE
+
+registry.load_staged()
+
+
+def test_cms_never_undercounts_any_word(spark):
+    """min over CMS rows of non-negative cell sums that each include
+    the word's own count can never be below the exact count — checked
+    for EVERY vocabulary word, not just the query's top-10."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.functions.text_cms import (
+        CMS_DEPTH,
+        _bucket,
+    )
+
+    caching.clear()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", "[^a-zA-Z]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    cells = reduce(
+        DataFrame.unionAll,
+        [
+            counts.select(
+                "word", "n_exact",
+                F.lit(s).alias("seed"),
+                _bucket(F.col("word"), s).alias("bucket"),
+            )
+            for s in range(CMS_DEPTH)
+        ],
+    )
+    grid = cells.groupBy("seed", "bucket").agg(
+        F.sum("n_exact").alias("cell_sum")
+    )
+    est = (
+        cells.join(grid, ["seed", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("cell_sum").alias("n_cms"))
+    )
+    n_under = est.filter(F.col("n_cms") < F.col("n_exact")).count()
+    assert n_under == 0
+    # and the sketch is not vacuously exact: some word collides
+    n_over = est.filter(F.col("n_cms") > F.col("n_exact")).count()
+    assert n_over > 0, "W=64 over this vocabulary should collide"
+
+
+def test_bloom_contract_on_fixture(spark):
+    """Planted members are all flagged (no false negatives); false
+    positives exist but stay far below degenerate-full."""
+    caching.clear()
+    pdf = registry.STAGED_QUERIES["text_bloom_decontaminate"](
+        spark, SF_SMOKE
+    ).toPandas()
+    members = pdf[pdf.exact_member]
+    assert len(members) > 0, "the plant guarantees real members"
+    assert bool(members.bloom_hit.all()), "Bloom false negative"
+    nonmembers = pdf[~pdf.exact_member]
+    fp_rate = float(nonmembers.bloom_hit.mean())
+    assert 0.0 < fp_rate < 0.15, (
+        f"fp_rate={fp_rate}: the m=8n/k=3 construction should sit "
+        "around a few percent — 0 is degenerate, >15% is broken"
+    )

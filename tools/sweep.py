@@ -125,6 +125,7 @@ def main() -> int:
     # evidence regenerates every round without a manual step
     # (VERDICT r13 #4).
     driver_sf = "/root/testdata/sf0.01"
+    n_staged_driver_sf = 0
     if (
         os.path.realpath(sf_dir) != os.path.realpath(driver_sf)
         and os.path.isdir(driver_sf)
@@ -151,6 +152,7 @@ def main() -> int:
                 .apply(tuple, axis=1).sort_values().tolist()
             )
             ok = a == b
+            n_staged_driver_sf += 1
             if not ok:
                 bad.append(f"staged@sf0.01:{name}")
             print(
@@ -161,8 +163,13 @@ def main() -> int:
     print("\nslowest under the foreign session:")
     for name, t in sorted(times.items(), key=lambda x: -x[1])[:10]:
         print(f"  {t:7.2f}s  {name}")
+    extra = (
+        f" + {n_staged_driver_sf} staged re-checked at sf0.01"
+        if n_staged_driver_sf
+        else ""
+    )
     print(
-        f"\nchecked {n} oracles + {n_staged} staged at {sf_dir}; "
+        f"\nchecked {n} oracles + {n_staged} staged at {sf_dir}{extra}; "
         f"mismatches: {bad}"
     )
     untracked = _untracked_evidence()
