@@ -36,20 +36,16 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.functions.embedding_pca import (
-    D,
-    pca_fit,
-    pca_project,
-)
-from dist_map_reduce_spark.functions.similarity_pq import (
-    M_SUB,
-    pq_fit,
-    pq_lut,
-    subvector_rows,
-)
+
+# NOTE (review r14): embedding_pca and similarity_pq register @query
+# entries on import, so this module imports them LAZILY inside each
+# function — importing similarity_opq itself registers NOTHING, and
+# the two gate entry points run registry.load_all() before their
+# first rider import (_ensure_canonical_registry), so the driver's
+# first-WINDOW cut can never shift through this module.
 
 
-def eigenvalue_allocation(eigvals, m_sub: int = M_SUB) -> list[int]:
+def eigenvalue_allocation(eigvals, m_sub: int | None = None) -> list[int]:
     """Greedy OPQ-P dimension permutation: eigenvalues in DESCENDING
     order are assigned one at a time to the non-full subspace with
     the smallest current log-eigenvalue sum (balancing the per-
@@ -58,6 +54,10 @@ def eigenvalue_allocation(eigvals, m_sub: int = M_SUB) -> list[int]:
     with subspace s owning positions s*SUBDIM..(s+1)*SUBDIM-1."""
     import math
 
+    if m_sub is None:
+        from dist_map_reduce_spark.functions.similarity_pq import M_SUB
+
+        m_sub = M_SUB
     cap = len(eigvals) // m_sub
     # floor tiny/negative values (numerical noise around zero
     # variance) before the log
@@ -86,6 +86,8 @@ def opq_rotation(emb: DataFrame):
     """(mean, R): the OPQ-P rotation — full-d PCA eigenbasis with
     columns permuted by eigenvalue allocation. R is orthonormal
     (a permutation of an orthonormal basis)."""
+    from dist_map_reduce_spark.functions.embedding_pca import D, pca_fit
+
     mu, comps, ev = pca_fit(emb, D)
     perm = eigenvalue_allocation(ev)
     return mu, comps[:, perm]
@@ -95,6 +97,8 @@ def rotated_corpus(emb: DataFrame, mean, rot) -> DataFrame:
     """(vec_id, embedding): the corpus rotated into the OPQ basis —
     one BLAS matmul per Arrow batch (pca_project), column renamed so
     the whole similarity_pq machinery runs on it unchanged."""
+    from dist_map_reduce_spark.functions.embedding_pca import pca_project
+
     return pca_project(emb, mean, rot).select(
         "vec_id", F.col("pc").alias("embedding")
     )
@@ -105,6 +109,12 @@ def opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan on the rotated corpus (separate cache slots so the plain-PQ
     index is not clobbered)."""
     from pyspark.sql import Window
+
+    from dist_map_reduce_spark.functions.similarity_pq import (
+        pq_fit,
+        pq_lut,
+        subvector_rows,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -154,6 +164,7 @@ def opq_gated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the iterative-training loop scalars. Both candidate indexes
     hang off cache slots, so the winner's returned plan reuses the
     A/B's own build rather than training a third time."""
+    _ensure_canonical_registry()
     rec = {
         r.variant: r.hits
         for r in opq_vs_pq_recall(spark, sf_dir).collect()
@@ -164,16 +175,6 @@ def opq_gated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a library helper and must work in a process that never ran
     # registry.load_all; deferred to call time so importing this
     # module stays registration-free
-    from dist_map_reduce_spark import registry
-
-    # pristine-process hazard (ADVICE r13): in a process that never
-    # ran load_all, reaching this path leaves rider registrations in
-    # QUERIES; a LATER load_all would then skip its cut-line guard
-    # (QUERIES non-empty) and the first-WINDOW cut would shift
-    # silently. Running load_all here (idempotent — every module
-    # import is a no-op the second time) closes that door: after this
-    # call the registration set is complete and can never shift.
-    registry.load_all()
     from dist_map_reduce_spark.functions.similarity_pq import (
         similarity_ann_pq_adc_topk,
     )
@@ -181,11 +182,27 @@ def opq_gated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_ann_pq_adc_topk(spark, sf_dir)
 
 
+def _ensure_canonical_registry() -> None:
+    """Pristine-process hazard (ADVICE r13): both public gate entry
+    points lazily import @query-registering modules (ann_recall,
+    similarity_pq); if those riders landed in QUERIES before a LATER
+    load_all, the cut-line guard would be silently skipped (QUERIES
+    non-empty) and the first-WINDOW cut would shift. Running load_all
+    FIRST — before any rider import, on every branch — pins the
+    canonical registration order; it is idempotent (module imports
+    are no-ops the second time), so on the driver path this costs
+    nothing."""
+    from dist_map_reduce_spark import registry
+
+    registry.load_all()
+
+
 def opq_vs_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(variant, hits, recall): recall@5 of rotated-PQ vs plain PQ
     against the exact cosine top-5, via the shared ann_recall
     grading machinery (same exact-top5 cache slot, same recall
     definition — one source of truth)."""
+    _ensure_canonical_registry()
     from dist_map_reduce_spark.functions.ann_recall import (
         exact_top5,
         grade_recall,

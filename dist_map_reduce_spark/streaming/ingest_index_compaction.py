@@ -40,6 +40,7 @@ the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 
@@ -128,6 +129,11 @@ def streaming_ingest_index_compaction(
     work = f"{base}.build-{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
+    # normal exits clean their own copy (the returned plan is lazy,
+    # so deletion must wait until the process is done reading);
+    # crashed/killed processes are reaped by the dead-pid sweep above
+    # on the next invocation
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     index_dir = os.path.join(work, "band_index")
     shutil.copytree(os.path.join(shared, "band_index"), index_dir)
     raw_counts_dir = os.path.join(work, "raw_counts")

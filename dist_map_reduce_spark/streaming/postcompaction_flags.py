@@ -42,6 +42,7 @@ to the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 
@@ -166,6 +167,11 @@ def streaming_postcompaction_neardup_flags(
     work = f"{base}.build-{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
+    # normal exits clean their own copy (the returned plan is lazy,
+    # so deletion must wait until the process is done reading);
+    # crashed/killed processes are reaped by the dead-pid sweep above
+    # on the next invocation
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     index_dir = os.path.join(work, "band_index")
     shutil.copytree(os.path.join(shared, "band_index"), index_dir)
     compact_band_index(spark, index_dir)

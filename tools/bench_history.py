@@ -63,18 +63,15 @@ def salvage_driver_tail(rnd: int) -> dict:
         summary["value"] = parsed.get("value")
     else:
         # truncated: regex-scan every "name": number pair, then pull
-        # the summary fields out (they also match the pair pattern)
+        # the summary fields out (they also match the pair pattern).
+        # No truncated-name guard is needed: the driver keeps a
+        # SUFFIX of stdout, so a half-cut name lost its opening quote
+        # and can never match _PAIR — every match is a complete,
+        # valid entry.
         pairs = dict(
             (k, float(v)) for k, v in _PAIR.findall(tail)
         )
         summary = {k: pairs.pop(k) for k in list(pairs) if k in _SUMMARY_KEYS}
-        # the first salvaged pair may be a half-truncated name — drop
-        # it unless the tail happens to start exactly at a quote
-        first = next(iter(pairs), None)
-        if first is not None and not tail.lstrip().startswith('"'):
-            m = _PAIR.search(tail)
-            if m and m.start() > 0 and tail[m.start() - 1] != " ":
-                pairs.pop(first)
         queries = pairs
     return {
         "round": rnd,
@@ -98,6 +95,11 @@ def run_local(rnd: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=3600,
     )
+    if res.returncode != 0 or not res.stdout.strip():
+        raise RuntimeError(
+            f"bench.py failed (rc={res.returncode}); nothing appended."
+            f" stderr tail: {res.stderr[-2000:]}"
+        )
     line = res.stdout.strip().splitlines()[-1]
     parsed = json.loads(line)
     sf_env = env.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -37,6 +37,17 @@ TABLES = [
 ]
 
 
+
+def _canon(pdf) -> list[tuple]:
+    """Driver-style canonical rows: sorted columns, stringified cells,
+    sorted tuples — ONE implementation so a future canonicalization
+    fix (pandas half-even rounding, -0.0) lands everywhere at once."""
+    return (
+        pdf[sorted(pdf.columns)].astype(str)
+        .apply(tuple, axis=1).sort_values().tolist()
+    )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import duckdb
@@ -69,15 +80,7 @@ def main() -> int:
             continue
         n += 1
         od = con.execute(osql).fetchdf()
-        a = (
-            sp[sorted(sp.columns)].astype(str)
-            .apply(tuple, axis=1).sort_values().tolist()
-        )
-        b = (
-            od[sorted(od.columns)].astype(str)
-            .apply(tuple, axis=1).sort_values().tolist()
-        )
-        ok = a == b
+        ok = _canon(sp) == _canon(od)
         if not ok:
             bad.append(name)
         print(
@@ -102,15 +105,7 @@ def main() -> int:
             registry.resolve_oracle(registry.STAGED_ORACLES[name])
         ).fetchdf()
         n_staged += 1
-        a = (
-            sp[sorted(sp.columns)].astype(str)
-            .apply(tuple, axis=1).sort_values().tolist()
-        )
-        b = (
-            od[sorted(od.columns)].astype(str)
-            .apply(tuple, axis=1).sort_values().tolist()
-        )
-        ok = a == b
+        ok = _canon(sp) == _canon(od)
         if not ok:
             bad.append(f"staged:{name}")
         print(
@@ -140,18 +135,11 @@ def main() -> int:
             t0 = time.perf_counter()
             sp = registry.STAGED_QUERIES[name](spark, driver_sf).toPandas()
             dt = time.perf_counter() - t0
+            times[f"staged@sf0.01:{name}"] = dt
             od = con2.execute(
                 registry.resolve_oracle(registry.STAGED_ORACLES[name])
             ).fetchdf()
-            a = (
-                sp[sorted(sp.columns)].astype(str)
-                .apply(tuple, axis=1).sort_values().tolist()
-            )
-            b = (
-                od[sorted(od.columns)].astype(str)
-                .apply(tuple, axis=1).sort_values().tolist()
-            )
-            ok = a == b
+            ok = _canon(sp) == _canon(od)
             n_staged_driver_sf += 1
             if not ok:
                 bad.append(f"staged@sf0.01:{name}")
