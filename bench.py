@@ -144,6 +144,8 @@ HEADLINE = [
     # contract + visible false positives)
     "text_cms_heavy_hitters",
     "text_bloom_decontaminate",
+    # and KMV source-overlap, completing the r14 sketch trio
+    "text_kmv_source_jaccard",
 ]
 
 

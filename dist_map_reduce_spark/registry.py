@@ -123,11 +123,12 @@ def load_staged() -> None:
     # displacement opens one.
     from dist_map_reduce_spark.functions import text_bm25  # noqa: F401
     from dist_map_reduce_spark.streaming import postcompaction_flags  # noqa: F401
-    # STAGED-FOREVER (r14): count-min-sketch heavy hitters (the
-    # third classic streaming sketch for the approximate family) and
-    # the Bloom-filter decontamination pre-filter.
+    # STAGED-FOREVER (r14): the classic-sketch trio — count-min
+    # heavy hitters (frequency), the Bloom decontamination pre-filter
+    # (membership) and KMV source-overlap (cardinality/Jaccard).
     from dist_map_reduce_spark.functions import text_bloom  # noqa: F401
     from dist_map_reduce_spark.functions import text_cms  # noqa: F401
+    from dist_map_reduce_spark.functions import text_kmv  # noqa: F401
 
 
 def load_all() -> None:

@@ -545,3 +545,28 @@ def test_bloom_plan_shape(spark):
     # both broadcasting the benchmark-sized eval side
     assert plan.count("BroadcastHashJoin") == 2
     assert "partial_count" in plan  # fan-out combines map-side
+
+
+def test_kmv_plan_shape(spark):
+    """The staged-forever KMV source-overlap sketch: the per-source
+    shingle table persists once (every arm reads the cache), windows
+    are signature-scale ranks, the pair fan-out is a broadcast
+    non-equi join over the bounded source dimension, and nothing
+    plans a Cartesian or SortAggregate. The one SortMergeJoin — the
+    shared-shingle self-join of the exact grading arm — is the
+    intended corpus-scale exchange (both sides are the corpus's
+    shingle set at 100 TB)."""
+    from dist_map_reduce_spark import caching
+
+    registry.load_staged()
+    caching.clear()
+    plan = (
+        registry.STAGED_QUERIES["text_kmv_source_jaccard"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "Window" in plan  # the bottom-k signature ranks
+    assert "InMemoryTableScan" in plan  # shingle subtree persisted

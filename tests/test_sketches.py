@@ -85,3 +85,26 @@ def test_bloom_contract_on_fixture(spark):
         f"fp_rate={fp_rate}: the m=8n/k=3 construction should sit "
         "around a few percent — 0 is degenerate, >15% is broken"
     )
+
+
+def test_kmv_contract_on_fixture(spark):
+    """Self-pairs read exactly 1.0 on both arms (built-in
+    calibration), and the K=64 estimate tracks the exact Jaccard
+    within a loose-but-meaningful band on the off-diagonal pairs."""
+    caching.clear()
+    pdf = registry.STAGED_QUERIES["text_kmv_source_jaccard"](
+        spark, SF_SMOKE
+    ).toPandas()
+    selfp = pdf[pdf.source_a == pdf.source_b]
+    assert len(selfp) > 0
+    assert bool((selfp.exact_jacc == 1.0).all())
+    assert bool((selfp.kmv_jacc == 1.0).all())
+    offp = pdf[pdf.source_a != pdf.source_b]
+    assert len(offp) > 0
+    # estimates live in [0, 1] and are not degenerate-constant
+    assert float(offp.kmv_jacc.min()) >= 0.0
+    assert float(offp.kmv_jacc.max()) <= 1.0
+    assert offp.exact_jacc.nunique() > 1, "degenerate exact arm"
+    # sketch accuracy: loose band (observed MAE ~0.016 at K=64)
+    mae = float((offp.kmv_jacc - offp.exact_jacc).abs().mean())
+    assert mae < 0.1, f"KMV estimate off the rails: MAE={mae}"

@@ -92,6 +92,10 @@ STAGED_PROBES = [
     # documents-only; claim: one corpus scan + one aggregate, eval
     # side broadcast (benchmark-sized)
     "text_bloom_decontaminate",
+    # staged-forever r14: KMV source-overlap — documents-only;
+    # claim: one shingle distinct at corpus scale, everything after
+    # signature-scale (|sources| x K rows)
+    "text_kmv_source_jaccard",
 ]
 
 
