@@ -164,12 +164,20 @@ def load_all() -> None:
     all cohorts verified module-pure (zero rider registrations). A
     NEW operator ships under displace-or-stage:
 
-    r15 plan (mechanical): window = the 50 r11-stamped names in 27
-    modules — re-verify module-purity against the evidence files at
-    round open (the probe is three lines: import each module in a
-    fresh process and diff registry.QUERIES), then move those imports
-    to the top of load_all and this round's window modules to the
-    outside-window section. Zero free slots.
+    r15 plan (mechanical, PRE-VERIFIED at r14 close by a fresh-
+    process import probe over every operator module): window = the
+    50 r11-stamped names in 26 module-pure imports — functions:
+    text (8), curation (5), text_winnow (3), multimodal (2),
+    multimodal_image (2), python_udfs (2), text_boilerplate (2), and
+    singles chunking / curation_funnel / embedding_pca / lm_bigram /
+    lm_score / multimodal_ext / quality_model / resample_weighted /
+    shard_export; operators: scd (6), etl (2), sequences (2), and
+    singles contribution / intervals / profiling / skyline /
+    stats_robust / zorder; streaming: wordcount_stream (1).
+    8+5+3+2+2+2+2+9 + 6+2+2+6 + 1 = 50 exactly, zero riders. At
+    round open: re-run the probe (evidence files could have changed),
+    move these imports to the top of load_all, move the r10-cohort
+    imports to the outside-window section. Zero free slots.
 
     (a) DISPLACE — a new @query may take a slot only by retiring an
         existing registered query in the same round (net zero).
