@@ -146,6 +146,9 @@ HEADLINE = [
     "text_bloom_decontaminate",
     # and KMV source-overlap, completing the r14 sketch trio
     "text_kmv_source_jaccard",
+    # r15 RETIREE: demoted to @staged_query in the displacement that
+    # promoted text_bm25_topk — staged queries stay bench-tracked
+    "join_semi_active_customers",
 ]
 
 

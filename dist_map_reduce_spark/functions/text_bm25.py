@@ -39,9 +39,12 @@ candidate scoring is posting-bounded per term (see above). Nothing is
 quadratic and no global ordering exists anywhere (per-query top-5
 windows over the candidate set).
 
-STAGED-FOREVER under the r13 saturation policy (registry.load_all
-docstring): oracle-parity-tested every run, bench-tracked, takes a
-window slot only if a future displacement opens one.
+PROMOTED to a driver slot in r15 via the first executed displacement
+(registry.load_all docstring): ``join_semi_active_customers`` retired
+under criterion (i) — ``join_semi_anti_balance`` strictly subsumes
+its LeftSemi plan coverage — and this query took the opened slot in
+the r15 correctness window (record: PLANS.md r15). Staged-forever
+r13–r14; parity held at sf0.001/0.01/0.1 throughout.
 """
 
 from __future__ import annotations
@@ -50,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 
 N_QUERIES = 8
 N_QTERMS = 8
@@ -117,7 +120,7 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-@staged_query("text_bm25_topk", oracle=_ORACLE)
+@query("text_bm25_topk", oracle=_ORACLE)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, bm25, rnk): top-5 BM25-ranked corpus
     documents for each of the 8 deterministic probe queries (the

@@ -29,7 +29,7 @@ from dist_map_reduce_spark.money import (
     sum_money,
     sum_price_times_disc,
 )
-from dist_map_reduce_spark.registry import query
+from dist_map_reduce_spark.registry import query, staged_query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -255,7 +255,7 @@ def join_left_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query(
+@staged_query(
     "join_semi_active_customers",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
@@ -269,7 +269,17 @@ def join_left_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join = EXISTS. Only the key column of orders crosses
-    the network; no row multiplication."""
+    the network; no row multiplication.
+
+    RETIRED from its driver slot in r15 (displacement criterion (i),
+    registry.load_all docstring; record: PLANS.md r15):
+    ``join_semi_anti_balance`` exercises the same LeftSemi on the
+    same tables in a strictly larger plan and
+    ``join_anti_dormant_customers`` keeps the anti single alive. The
+    opened slot went to ``text_bm25_topk``. As a staged query the
+    oracle parity here is still tested every run
+    (tests/test_staged_parity.py) and the LeftSemi plan pin stays in
+    tests/test_plans.py — only the driver stamp is gone."""
     cust = _t(spark, sf_dir, "customer")
     recent = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")

@@ -118,11 +118,16 @@ def load_staged() -> None:
     if not QUERIES:
         load_all()
     # STAGED-FOREVER (r13 saturation policy): post-compaction flag
-    # certification and BM25 ranked retrieval — parity-tested every
-    # run, bench-tracked, take a window slot only if a future
-    # displacement opens one.
-    from dist_map_reduce_spark.functions import text_bm25  # noqa: F401
+    # certification — parity-tested every run, bench-tracked, takes a
+    # window slot only if a future displacement opens one. (The other
+    # r13 staged query, text_bm25_topk, was PROMOTED in the r15
+    # displacement; its import lives in load_all()'s window section.)
     from dist_map_reduce_spark.streaming import postcompaction_flags  # noqa: F401
+    # r15 RETIREE: join_semi_active_customers demoted to
+    # @staged_query (displacement criterion (i), PLANS.md r15). It
+    # lives in the MIXED module operators/relational.py, which
+    # load_all() above already imported — nothing to import here; its
+    # staged registration happened during load_all.
     # STAGED-FOREVER (r14): the classic-sketch trio — count-min
     # heavy hitters (frequency), the Bloom decontamination pre-filter
     # (membership) and KMV source-overlap (cardinality/Jaccard).
@@ -142,42 +147,66 @@ def load_all() -> None:
     window imports is the rotation bookkeeping — if adding a query
     to a window module silently changed the cut line, it fires.
 
-    Round 14 (EXECUTED this round — the first fully mechanical
-    rotation under the saturation policy): window = the 50
-    r10-stamped names in 11 modules verified (fresh-process import
-    probe) to register exactly those names and nothing else —
-    relational (17), streaming/pipelines (10), arrays_maps (6),
-    tpch_more (6), subqueries (5), and singles bucketing / cohorts /
-    dedup_simhash / sources_sinks_orc / skew /
-    streaming/ingest_dedup_query. The r13 window modules (12 r9-pure
-    modules + the 2 r13 promotions quality_ccnet_buckets /
-    delta_merge) moved to the outside-window section. Zero free
-    slots, zero promotions.
-
-    SATURATION POLICY (in force since r14 — the registry holds
-    exactly 200 queries = 4 windows x 50, so every window is a full
-    cohort with zero free slots): the registered surface is CAPPED
-    at 200. The steady-state rotation is mechanical — r15 re-stamps
-    the r11 cohort (50 names, 27 modules), r16 the r12 cohort, r17
-    the r13 cohort (the 12 r9-pure modules + quality_ccnet_buckets +
-    delta_merge), r18 this r10 cohort again, and so on with period 4;
-    all cohorts verified module-pure (zero rider registrations). A
-    NEW operator ships under displace-or-stage:
-
-    r15 plan (mechanical, PRE-VERIFIED at r14 close by a fresh-
-    process import probe over every operator module): window = the
-    50 r11-stamped names in 26 module-pure imports — functions:
-    text (8), curation (5), text_winnow (3), multimodal (2),
-    multimodal_image (2), python_udfs (2), text_boilerplate (2), and
+    Round 15 (EXECUTED this round — rotation + the FIRST executed
+    displacement): window = 49 of the 50 r11-stamped names plus the
+    promoted ``text_bm25_topk``, in 26 module-pure imports —
+    functions: text (8), curation (5), text_winnow (3), multimodal
+    (2), multimodal_image (2), python_udfs (2), text_boilerplate (2,
+    incl. its module-level rider), text_bm25 (1, PROMOTED) and
     singles chunking / curation_funnel / embedding_pca / lm_bigram /
     lm_score / multimodal_ext / quality_model / resample_weighted /
     shard_export; operators: scd (6), etl (2), sequences (2), and
     singles contribution / intervals / profiling / skyline /
-    stats_robust / zorder; streaming: wordcount_stream (1).
-    8+5+3+2+2+2+2+9 + 6+2+2+6 + 1 = 50 exactly, zero riders. At
-    round open: re-run the probe (evidence files could have changed),
-    move these imports to the top of load_all, move the r10-cohort
-    imports to the outside-window section. Zero free slots.
+    stats_robust; streaming: wordcount_stream (1).
+    8+5+3+2+2+2+2+1+9 + 6+2+2+5 + 1 = 50 exactly (fresh-process
+    probe re-verified at round open). The r10 window modules moved to
+    the outside-window section.
+
+    DISPLACEMENT (criterion (i), record in PLANS.md r15):
+    ``join_semi_active_customers`` retired to @staged_query
+    (``join_semi_anti_balance`` strictly subsumes its LeftSemi;
+    ``join_anti_dormant_customers`` keeps the anti single) and
+    ``text_bm25_topk`` took the slot. Because the retiree sat in the
+    r10 cohort while BM25 needed a CURRENT-window stamp, three
+    single-query modules cascade one cohort each to keep every
+    cohort at exactly 50 with every stamp gap ≤ the 4-round cadence:
+    zorder (stamp r11 → re-stamped r16 in the r12 cohort),
+    snapshot_diff (r12 → r17 in the r13 cohort), delta_merge (r13 →
+    r18 in the r10 cohort, filling relational's vacated slot). Each
+    hop shortens or preserves that query's stamp gap except the
+    mover's own ≤4-round window, so tests/test_registry.py's
+    staleness floor holds at every future round close.
+
+    SATURATION POLICY (in force since r14 — the registry holds
+    exactly 200 queries = 4 windows x 50, so every window is a full
+    cohort with zero free slots): the registered surface is CAPPED
+    at 200. The steady-state rotation is mechanical, period 4, with
+    the r15 cascade folded in — r16 re-stamps the (post-cascade) r12
+    cohort, r17 the r13 cohort, r18 the r10 cohort, r19 this r15
+    window again; all cohorts verified module-pure (riders
+    accounted). A NEW operator ships under displace-or-stage:
+
+    r16 plan (mechanical, module lists verified against the
+    CORRECTNESS_r12.json names this round): window = the r12 cohort
+    with the cascade applied — 21 modules: functions similarity (7),
+    curation_ext (4), packing (2), and singles ann_recall / graph /
+    multimodal_audio / sampling_aes / similarity_ivf_kmeans /
+    similarity_ivfadc_query / similarity_ivfpq / similarity_pq /
+    text_entropy; operators tpch_full (7), tpch_partsupp (5),
+    approx (4), json_ops (4), wordcount (3), timeseries_fill (2),
+    and singles linkage / zorder (cascaded IN, replacing
+    snapshot_diff which cascades OUT to the r17 window); streaming:
+    ingest_index_compaction (1). 7+4+2+9 + 7+5+4+4+3+2+2 + 1 = 50.
+    r17 window = r13 cohort (clustering 3, dedup 4, semdedup 2,
+    text_bpe 2, text_bpe_encode 4, histogram 3, scalar_fns 4,
+    setops 4, sources_sinks 5, stats 5, timeseries 6, windows 6,
+    quality_ccnet_buckets 1) + snapshot_diff 1 (cascaded in,
+    replacing delta_merge) = 50. r18 window = r10 cohort (relational
+    now 16 after the retirement, pipelines 10, arrays_maps 6,
+    tpch_more 6, subqueries 5, singles bucketing / cohorts /
+    dedup_simhash / sources_sinks_orc / skew / ingest_dedup_query)
+    + delta_merge 1 = 50. At each round open: re-run the
+    fresh-process probe, swap the window/outside-window sections.
 
     (a) DISPLACE — a new @query may take a slot only by retiring an
         existing registered query in the same round (net zero).
@@ -211,18 +240,34 @@ def load_all() -> None:
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
-    # 11 modules holding the 50 r10-stamped names (nothing else)
-    from dist_map_reduce_spark.functions import dedup_simhash  # noqa: F401
-    from dist_map_reduce_spark.operators import arrays_maps  # noqa: F401
-    from dist_map_reduce_spark.operators import bucketing  # noqa: F401
-    from dist_map_reduce_spark.operators import cohorts  # noqa: F401
-    from dist_map_reduce_spark.operators import relational  # noqa: F401
-    from dist_map_reduce_spark.operators import skew  # noqa: F401
-    from dist_map_reduce_spark.operators import sources_sinks_orc  # noqa: F401
-    from dist_map_reduce_spark.operators import subqueries  # noqa: F401
-    from dist_map_reduce_spark.operators import tpch_more  # noqa: F401
-    from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
-    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
+    # 26 modules holding 49 r11-stamped names + the r15-promoted
+    # text_bm25_topk (nothing else)
+    from dist_map_reduce_spark.functions import chunking  # noqa: F401
+    from dist_map_reduce_spark.functions import curation  # noqa: F401
+    from dist_map_reduce_spark.functions import curation_funnel  # noqa: F401
+    from dist_map_reduce_spark.functions import embedding_pca  # noqa: F401
+    from dist_map_reduce_spark.functions import lm_bigram  # noqa: F401
+    from dist_map_reduce_spark.functions import lm_score  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
+    from dist_map_reduce_spark.functions import python_udfs  # noqa: F401
+    from dist_map_reduce_spark.functions import quality_model  # noqa: F401
+    from dist_map_reduce_spark.functions import resample_weighted  # noqa: F401
+    from dist_map_reduce_spark.functions import shard_export  # noqa: F401
+    from dist_map_reduce_spark.functions import text  # noqa: F401
+    from dist_map_reduce_spark.functions import text_bm25  # noqa: F401
+    from dist_map_reduce_spark.functions import text_boilerplate  # noqa: F401
+    from dist_map_reduce_spark.functions import text_winnow  # noqa: F401
+    from dist_map_reduce_spark.operators import contribution  # noqa: F401
+    from dist_map_reduce_spark.operators import etl  # noqa: F401
+    from dist_map_reduce_spark.operators import intervals  # noqa: F401
+    from dist_map_reduce_spark.operators import profiling  # noqa: F401
+    from dist_map_reduce_spark.operators import scd  # noqa: F401
+    from dist_map_reduce_spark.operators import sequences  # noqa: F401
+    from dist_map_reduce_spark.operators import skyline  # noqa: F401
+    from dist_map_reduce_spark.operators import stats_robust  # noqa: F401
+    from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -235,70 +280,56 @@ def load_all() -> None:
             f"register {len(QUERIES)} queries, expected {WINDOW}"
         )
 
-    # --- outside the window: driver-green in r11-r13, unchanged ---
+    # --- outside the window: driver-green in r12-r14, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
         ann_recall,
-        chunking,
         clustering,
-        curation,
         curation_ext,
-        curation_funnel,
         dedup,
-        embedding_pca,
+        dedup_simhash,
         graph,
-        lm_bigram,
-        lm_score,
-        multimodal,
         multimodal_audio,
-        multimodal_ext,
-        multimodal_image,
         packing,
-        python_udfs,
         quality_ccnet_buckets,
-        quality_model,
-        resample_weighted,
         sampling_aes,
         semdedup,
-        shard_export,
         similarity,
         similarity_ivf_kmeans,
         similarity_ivfadc_query,
         similarity_ivfpq,
         similarity_pq,
-        text,
-        text_boilerplate,
         text_bpe,
         text_bpe_encode,
         text_dupngrams,
         text_entropy,
-        text_winnow,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
         approx,
-        contribution,
+        arrays_maps,
+        bucketing,
+        cohorts,
         delta_merge,
-        etl,
         histogram,
-        intervals,
         json_ops,
         linkage,
-        profiling,
+        relational,
         scalar_fns,
-        scd,
-        sequences,
         setops,
-        skyline,
+        skew,
         snapshot_diff,
         sources_sinks,
+        sources_sinks_orc,
         stats,
-        stats_robust,
+        subqueries,
         timeseries,
         timeseries_fill,
         tpch_full,
+        tpch_more,
         tpch_partsupp,
         windows,
         wordcount,
         zorder,
     )
+    from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
     from dist_map_reduce_spark.streaming import ingest_index_compaction  # noqa: F401
-    from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401
+    from dist_map_reduce_spark.streaming import pipelines  # noqa: F401

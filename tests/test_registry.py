@@ -129,7 +129,7 @@ def test_staged_modules_register_no_unexpected_riders():
         # the staged-forever modules must register ZERO @query entries
         # at import, even in a pristine pre-load_all process
         "from dist_map_reduce_spark.streaming import postcompaction_flags\n"
-        "from dist_map_reduce_spark.functions import text_bm25\n"
+        "from dist_map_reduce_spark.functions import text_cms\n"
         "d = set(registry.QUERIES) - a - b - c\n"
         "assert not d, f'staged modules registered @query riders: {d}'\n"
         "s = set(registry.STAGED_QUERIES)\n"
@@ -152,9 +152,11 @@ def test_staged_modules_register_no_unexpected_riders():
     )
     assert ccnet.strip() == "['quality_ccnet_buckets']", ccnet
     assert merge.strip() == "['cdc_merge_upsert_orders']", merge
-    # the staged-forever set (r13 saturation policy)
+    # the staged-forever probe set (text_bm25 was PROMOTED in r15's
+    # displacement, so a sketch module stands in as the
+    # registration-free staged exemplar here)
     assert staged.strip() == (
-        "['streaming_postcompaction_neardup_flags', 'text_bm25_topk']"
+        "['streaming_postcompaction_neardup_flags', 'text_cms_heavy_hitters']"
     ), staged
 
 
