@@ -55,6 +55,7 @@ def eigenvalue_allocation(eigvals, m_sub: int | None = None) -> list[int]:
     import math
 
     if m_sub is None:
+        _ensure_canonical_registry()
         from dist_map_reduce_spark.functions.similarity_pq import M_SUB
 
         m_sub = M_SUB
@@ -86,6 +87,7 @@ def opq_rotation(emb: DataFrame):
     """(mean, R): the OPQ-P rotation — full-d PCA eigenbasis with
     columns permuted by eigenvalue allocation. R is orthonormal
     (a permutation of an orthonormal basis)."""
+    _ensure_canonical_registry()
     from dist_map_reduce_spark.functions.embedding_pca import D, pca_fit
 
     mu, comps, ev = pca_fit(emb, D)
@@ -97,6 +99,7 @@ def rotated_corpus(emb: DataFrame, mean, rot) -> DataFrame:
     """(vec_id, embedding): the corpus rotated into the OPQ basis —
     one BLAS matmul per Arrow batch (pca_project), column renamed so
     the whole similarity_pq machinery runs on it unchanged."""
+    _ensure_canonical_registry()
     from dist_map_reduce_spark.functions.embedding_pca import pca_project
 
     return pca_project(emb, mean, rot).select(
@@ -108,6 +111,7 @@ def opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-rotated PQ-ADC top-5 — the similarity_ann_pq_adc_topk
     plan on the rotated corpus (separate cache slots so the plain-PQ
     index is not clobbered)."""
+    _ensure_canonical_registry()
     from pyspark.sql import Window
 
     from dist_map_reduce_spark.functions.similarity_pq import (
@@ -183,9 +187,11 @@ def opq_gated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensure_canonical_registry() -> None:
-    """Pristine-process hazard (ADVICE r13): both public gate entry
-    points lazily import @query-registering modules (ann_recall,
-    similarity_pq); if those riders landed in QUERIES before a LATER
+    """Pristine-process hazard (ADVICE r13, widened per ADVICE r14):
+    EVERY public function in this module that lazily imports a
+    @query-registering module (ann_recall, similarity_pq,
+    embedding_pca) calls this first — not just the two gate entry
+    points. If those riders landed in QUERIES before a LATER
     load_all, the cut-line guard would be silently skipped (QUERIES
     non-empty) and the first-WINDOW cut would shift. Running load_all
     FIRST — before any rider import, on every branch — pins the

@@ -77,7 +77,11 @@ def _bit_sql(fp_expr: str, seed: int) -> str:
       SELECT DISTINCT md5(text) AS fp FROM documents
       WHERE source = '{_EVAL_SOURCE}'
     ),
-    scal AS (SELECT {BITS_PER_MEMBER} * count(*) AS m_bits FROM mem),
+    -- greatest(,1): an empty eval split must degrade (every bit
+    -- misses, zero flags), not divide by zero (ADVICE r14)
+    scal AS (
+      SELECT greatest({BITS_PER_MEMBER} * count(*), 1) AS m_bits FROM mem
+    ),
     mem_bits AS (
       SELECT DISTINCT bit FROM (
         {" UNION ALL ".join(
@@ -140,8 +144,14 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_mem_fps",
         sf_dir,
     )
+    # greatest(,1) mirrors the oracle: with an empty eval split the
+    # modulus stays legal and the filter simply matches nothing
+    # (Spark's % 0 yields NULL buckets, DuckDB's % 0 errors —
+    # both replaced by a graceful zero-flag degrade; ADVICE r14)
     scal = mem.agg(
-        (F.lit(BITS_PER_MEMBER) * F.count("*")).alias("m_bits")
+        F.greatest(
+            F.lit(BITS_PER_MEMBER) * F.count("*"), F.lit(1).cast("bigint")
+        ).alias("m_bits")
     )
     mem_s = mem.crossJoin(F.broadcast(scal))
     mem_bits = (

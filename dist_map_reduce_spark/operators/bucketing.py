@@ -10,7 +10,10 @@ while the result matches the plain-join oracle.
 
 from __future__ import annotations
 
+import atexit
+import errno
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,24 +35,60 @@ _BUCKET_ROOT = os.path.join(
 )
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except OSError as e:
+        return e.errno == errno.EPERM
+    return True
+
+
+def _sweep_stale_builds() -> None:
+    """Reap bucketed-table dirs owned by DEAD processes (crashed or
+    killed runs never reach their atexit cleanup), plus legacy
+    pre-r15 un-suffixed dirs, which no current code writes. Never
+    touches a live process's ``*_p<pid>`` dir — that is the whole
+    fix: the old shared-location scheme rmtree'd the table out from
+    under a concurrent reader (VERDICT r14 #3 reproduced sweep+pytest
+    failures; same hazard class as the compaction work dirs fixed
+    with this convention in streaming/postcompaction_flags.py)."""
+    if not os.path.isdir(_BUCKET_ROOT):
+        return
+    for d in os.listdir(_BUCKET_ROOT):
+        m = re.search(r"_p(\d+)$", d)
+        if m and (int(m.group(1)) == os.getpid() or _pid_alive(int(m.group(1)))):
+            continue
+        shutil.rmtree(os.path.join(_BUCKET_ROOT, d), ignore_errors=True)
+
+
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Create bucketed tables for orders/lineitem once per
     (session, sf) inside a database whose LOCATION is repo-local —
     the default warehouse is <caller cwd>/spark-warehouse, and
     `option("path")` is not reliably honored by bucketed
     saveAsTable (observed writing both locations). Table names carry
-    the sf tag so scale factors don't collide."""
+    the sf tag so scale factors don't collide, and a ``_p<pid>``
+    suffix so CONCURRENT same-repo processes (sweep + pytest +
+    plan_audit) each build and read their own data dir — the data
+    location follows the table name, which is what makes the pid
+    isolation work where ``option("path")`` doesn't. Dead-pid
+    leftovers are swept on entry; normal exits clean their own dirs
+    via atexit (which also defuses pid-reuse resurrection)."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS dmr_bucket LOCATION '{_BUCKET_ROOT}'")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    pid = os.getpid()
     specs = [
-        (f"dmr_bucket.orders_b_{tag}", "orders", "o_orderkey"),
-        (f"dmr_bucket.lineitem_b_{tag}", "lineitem", "l_orderkey"),
+        (f"dmr_bucket.orders_b_{tag}_p{pid}", "orders", "o_orderkey"),
+        (f"dmr_bucket.lineitem_b_{tag}_p{pid}", "lineitem", "l_orderkey"),
     ]
     for table, source, key in specs:
         if spark.catalog.tableExists(table):
             continue
+        _sweep_stale_builds()
         # the in-memory catalog dies with the session but data files
-        # survive — clear orphaned locations before re-creating
+        # survive (same process, new session; or a crashed run under
+        # a reused pid) — clear the orphaned location before
+        # re-creating
         loc = os.path.join(_BUCKET_ROOT, table.split(".", 1)[1])
         if os.path.exists(loc):
             shutil.rmtree(loc)
@@ -60,6 +99,7 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .mode("overwrite")
             .saveAsTable(table)
         )
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
     return specs[0][0], specs[1][0]
 
 

@@ -108,3 +108,49 @@ def test_kmv_contract_on_fixture(spark):
     # sketch accuracy: loose band (observed MAE ~0.016 at K=64)
     mae = float((offp.kmv_jacc - offp.exact_jacc).abs().mean())
     assert mae < 0.1, f"KMV estimate off the rails: MAE={mae}"
+
+
+def test_bloom_degrades_gracefully_on_empty_eval_split(tmp_path, spark):
+    """ADVICE r14: with ZERO eval ('src0') documents, m_bits would be
+    8·0 = 0 — Spark's `% 0` yields NULL buckets and DuckDB's `% 0`
+    errors. The greatest(m_bits, 1) guard on BOTH sides must turn
+    that into a graceful degrade: the query runs on each engine, the
+    engines agree, and no train doc is flagged (an empty filter
+    matches nothing)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import os
+
+    src = os.path.join(SF_SMOKE, "documents.parquet")
+    t = pq.read_table(src)
+    t = t.filter(pc.not_equal(pc.field("source"), "src0"))
+    assert t.num_rows > 0
+    sf_dir = str(tmp_path)
+    pq.write_table(t, os.path.join(sf_dir, "documents.parquet"))
+
+    caching.clear()
+    try:
+        sp = (
+            registry.STAGED_QUERIES["text_bloom_decontaminate"](spark, sf_dir)
+            .toPandas()
+        )
+    finally:
+        caching.clear()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    od = con.execute(
+        registry.resolve_oracle(
+            registry.STAGED_ORACLES["text_bloom_decontaminate"]
+        )
+    ).fetchdf()
+    assert len(sp) == len(od)
+    # empty filter flags nothing, on both engines
+    for df in (sp, od):
+        flag_cols = [c for c in df.columns if df[c].dtype == bool]
+        assert flag_cols, df.columns
+        for c in flag_cols:
+            assert not df[c].any(), f"{c} flagged rows with empty filter"

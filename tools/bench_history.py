@@ -55,9 +55,17 @@ def salvage_driver_tail(rnd: int) -> dict:
     with open(path) as f:
         d = json.load(f)
     tail = d.get("tail", "")
-    complete = tail.lstrip().startswith('{"metric"')
-    if complete:
+    # completeness = "the tail parses as the bench JSON object", not
+    # "it starts with a particular key" — a complete tail whose key
+    # order differs from today's bench.py output must not be
+    # mis-classified as truncated and lossily regex-salvaged
+    # (ADVICE r14)
+    try:
         parsed = json.loads(tail)
+        complete = isinstance(parsed, dict) and "queries" in parsed
+    except json.JSONDecodeError:
+        complete = False
+    if complete:
         queries = parsed["queries"]
         summary = {k: parsed.get(k) for k in _SUMMARY_KEYS if k in parsed}
         summary["value"] = parsed.get("value")
