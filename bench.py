@@ -149,6 +149,10 @@ HEADLINE = [
     # r15 RETIREE: demoted to @staged_query in the displacement that
     # promoted text_bm25_topk — staged queries stay bench-tracked
     "join_semi_active_customers",
+    # r15 STAGED-FOREVER addition: t-digest quantile merge (per-group
+    # digests -> merged global digest -> 7-probe panel graded against
+    # the exact interpolated quantiles)
+    "tdigest_quantile_merge",
 ]
 
 

@@ -134,6 +134,10 @@ def load_staged() -> None:
     from dist_map_reduce_spark.functions import text_bloom  # noqa: F401
     from dist_map_reduce_spark.functions import text_cms  # noqa: F401
     from dist_map_reduce_spark.functions import text_kmv  # noqa: F401
+    # STAGED-FOREVER (r15): t-digest quantile merge — the mergeable-
+    # summaries complement to the sketch trio (VERDICT r14 #6's
+    # named candidate), grade-the-contract certified.
+    from dist_map_reduce_spark.operators import tdigest  # noqa: F401
 
 
 def load_all() -> None:
@@ -207,6 +211,13 @@ def load_all() -> None:
     dedup_simhash / sources_sinks_orc / skew / ingest_dedup_query)
     + delta_merge 1 = 50. At each round open: re-run the
     fresh-process probe, swap the window/outside-window sections.
+    PLANNED DISPLACEMENTS on top of this pure rotation (stamp-gap
+    arithmetic verified in PLANS.md r15 "Displacement pairing plan"):
+    r16 retires rollup_lineitem_flags for
+    streaming_postcompaction_neardup_flags (with text_entropy /
+    quality_ccnet_buckets cohort hops), r17 is a pure rotation, r18
+    retires cube_orders_status_priority for text_cms_heavy_hitters
+    (in-window swap, zero hops).
 
     (a) DISPLACE — a new @query may take a slot only by retiring an
         existing registered query in the same round (net zero).

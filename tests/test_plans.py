@@ -581,3 +581,31 @@ def test_kmv_plan_shape(spark):
     assert "SortAggregate" not in plan
     assert "Window" in plan  # the bottom-k signature ranks
     assert "InMemoryTableScan" in plan  # shingle subtree persisted
+
+
+def test_tdigest_plan_shape(spark):
+    """The staged-forever t-digest quantile merge (r15): the only
+    corpus-scale stages are the per-group rank window and the
+    centroid hash aggregate (map-side combined); the merge and
+    read-out stages run on centroid-scale rows (their global windows
+    show up as SinglePartition exchanges of <= groups * DELTA rows);
+    the probe bracketing and the exact-quantile scalar are the two
+    sanctioned BroadcastNestedLoopJoins (both sides sketch-sized /
+    1-row); nothing plans a Cartesian or SortAggregate and the scan
+    prunes to the three used columns."""
+    registry.load_staged()
+    plan = (
+        registry.STAGED_QUERIES["tdigest_quantile_merge"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "partial_sum" in plan  # centroid build combines map-side
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    for s in scans:
+        assert "props" not in s and "user_id" not in s, (
+            "events scan reads columns the digest never uses"
+        )

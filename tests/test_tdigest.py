@@ -1,0 +1,99 @@
+"""Semantic contracts of the r15 t-digest quantile merge — what the
+cross-engine parity test can't state (parity proves Spark == DuckDB;
+these prove both compute a CORRECT, honestly-lossy digest):
+
+- rank-sandwich: each estimate must land between the exact quantiles
+  at p +/- a slack derived from the digest's max cluster width (the
+  approx_percentile_prices convention, loosened the same 10x);
+- non-degeneracy: the digest must actually be lossy on the fixture
+  (abs_err > 0 somewhere), else the oracle grades nothing;
+- structure: the merged digest respects the DELTA bound and the
+  quantile read-out is monotone in p.
+"""
+
+from __future__ import annotations
+
+from dist_map_reduce_spark import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_staged()
+
+# max cluster q-width of the piecewise scale function is ~1/(DELTA *
+# min mid-segment slope) ~= 0.023 for DELTA=64; the interpolation
+# between adjacent centroid midpoints keeps rank error below one
+# cluster width. 0.05 is that bound with the usual 2x safety.
+_RANK_SLACK = 0.05
+
+
+def _panel(spark):
+    return (
+        registry.STAGED_QUERIES["tdigest_quantile_merge"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("p")
+        .reset_index(drop=True)
+    )
+
+
+def test_tdigest_estimates_sandwiched_by_exact_rank_band(spark):
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.operators.tdigest import PROBES
+
+    pdf = _panel(spark)
+    assert list(pdf["p"]) == PROBES
+    ev = load_table(spark, SF_SMOKE, "events")
+    lo_ps = [max(p - _RANK_SLACK, 0.0) for p in PROBES]
+    hi_ps = [min(p + _RANK_SLACK, 1.0) for p in PROBES]
+    lo = ev.selectExpr(
+        f"percentile(value, array({', '.join(map(repr, lo_ps))})) AS a"
+    ).collect()[0].a
+    hi = ev.selectExpr(
+        f"percentile(value, array({', '.join(map(repr, hi_ps))})) AS a"
+    ).collect()[0].a
+    for i, row in pdf.iterrows():
+        assert lo[i] <= row.tdigest_v <= hi[i], (
+            f"p={row.p}: estimate {row.tdigest_v} outside exact band "
+            f"[{lo[i]}, {hi[i]}]"
+        )
+
+
+def test_tdigest_error_is_nondegenerate_and_digest_bounded(spark):
+    from dist_map_reduce_spark.operators.tdigest import DELTA
+
+    pdf = _panel(spark)
+    assert (pdf["abs_err"] > 0).any(), "digest is suspiciously exact"
+    assert (pdf["n_centroids"] <= DELTA).all()
+    assert (pdf["n_centroids"] > 1).all()
+    est = list(pdf["tdigest_v"])
+    assert est == sorted(est), "quantile read-out must be monotone in p"
+
+
+def test_tdigest_cluster_function_cross_engine_identical(spark):
+    """The whole determinism story rests on the cluster expression
+    being bit-identical across engines; evaluate it on a dense grid
+    of q values in BOTH engines and require exact equality — this is
+    the direct check that dropping asin for the piecewise form
+    removed the ulp/floor hazard."""
+    import duckdb
+
+    from dist_map_reduce_spark.operators.tdigest import _cluster_sql
+
+    n = 100_000
+    expr = _cluster_sql("(2.0 * ((CAST(r AS DOUBLE) - 0.5) / n) - 1.0)")
+    sp = [
+        r.c
+        for r in spark.range(1, n + 1)
+        .selectExpr("id AS r", f"{n} AS n")
+        .selectExpr(f"{expr} AS c")
+        .collect()
+    ]
+    dd = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT {expr} AS c FROM "
+            f"(SELECT r, {n} AS n FROM generate_series(1, {n}) AS t(r)) "
+            "ORDER BY r"
+        )
+        .fetchall()
+    ]
+    assert sp == dd

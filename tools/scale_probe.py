@@ -96,6 +96,11 @@ STAGED_PROBES = [
     # claim: one shingle distinct at corpus scale, everything after
     # signature-scale (|sources| x K rows)
     "text_kmv_source_jaccard",
+    # staged-forever r15: t-digest quantile merge — events-shaped
+    # (synth replicates events since r15); claim: the per-group
+    # rank+aggregate build is the only corpus-scale stage,
+    # merge/estimate are centroid-scale (groups x DELTA rows)
+    "tdigest_quantile_merge",
 ]
 
 
@@ -145,6 +150,25 @@ def synth(spark, replicas: int) -> str:
         )
         reps = r if reps is None else reps.unionAll(r)
     reps.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    # events for the t-digest probe (r15): id-offset replicas with a
+    # per-replica value nudge (keeps the quantile panel non-trivial);
+    # event_type is UNCHANGED so the digest dimension stays 5 groups
+    # while per-group row counts scale — exactly the claim under test
+    # (build is the only corpus-scale stage; merge/estimate stay
+    # centroid-scale)
+    events = load_table(spark, BASE, "events")
+    reps = None
+    for i in range(replicas):
+        r = events.select(
+            (F.col("event_id") + F.lit(i * ID_STRIDE)).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            (F.col("value") + F.lit(i * 1e-3)).alias("value"),
+            "props",
+        )
+        reps = r if reps is None else reps.unionAll(r)
+    reps.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
     return out
 
 
@@ -176,18 +200,31 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
+    """argv: [replicas] [query-name ...] — an explicit name list
+    restricts the probe to those rows (the r15 100x runs probe only
+    the worst-scaling 10x rows; the full panel at 100x would spend
+    most of its wall-clock re-measuring flat rows)."""
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     big = synth(spark, replicas)
     registry.QUERIES["wordcount"](spark, BASE).count()  # JVM warm-up
     probes = PROBES + STAGED_PROBES
+    if len(sys.argv) > 2:
+        wanted = set(sys.argv[2:])
+        unknown = wanted - set(probes)
+        if unknown:
+            raise SystemExit(f"unknown probe names: {sorted(unknown)}")
+        probes = [n for n in probes if n in wanted]
     base_t = run(spark, BASE, probes)
     big_t = run(spark, big, probes)
     print(f"{'query':34s} {'sf0.1':>8s} {f'x{replicas}':>8s} {'ratio':>7s}")
     for name in probes:
         r = big_t[name] / base_t[name] if base_t[name] else float("nan")
         print(f"{name:34s} {base_t[name]:8.2f} {big_t[name]:8.2f} {r:7.1f}")
+    if len(sys.argv) > 2:
+        return  # explicit subset run — skip the fixed extras below
+
     # the k knob: SemDeDup at corpus-sized k vs the fixture pin
     from dist_map_reduce_spark.functions.semdedup import prune_list_scaled
 
