@@ -153,6 +153,10 @@ HEADLINE = [
     # digests -> merged global digest -> 7-probe panel graded against
     # the exact interpolated quantiles)
     "tdigest_quantile_merge",
+    # r15 STAGED-FOREVER addition: theta-sketch set algebra (union /
+    # intersection / difference cardinalities from the shared KMV
+    # signatures, exact arms alongside)
+    "text_theta_set_ops",
 ]
 
 

@@ -301,17 +301,49 @@ FROM est, exact
 """
 
 
-@staged_query("tdigest_quantile_merge", oracle=_ORACLE)
-def tdigest_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(p, n_centroids, exact_v, tdigest_v, abs_err) for the 7-probe
-    panel: per-event_type t-digests, merged into one global digest,
-    read out at each probe, graded against the exact interpolated
-    quantile. STAGED-FOREVER under the saturation policy unless a
-    displacement opens a slot (registry.load_all docstring)."""
-    ev = load_table(spark, sf_dir, "events")
-    cent = group_digests(ev, "event_type", "value")
-    gcent = merge_digests(cent, "event_type")
+def partition_digests(df: DataFrame, value_col: str) -> DataFrame:
+    """Stage 1, PRODUCTION shape: one t-digest per PHYSICAL
+    partition — the swap the module docstring argues for at 100 TB.
+    Rank is partition-local (no shuffle at all: the window partitions
+    by spark_partition_id(), so every task digests exactly its own
+    rows), cluster assignment and the downstream merge_digests /
+    quantile_readout are byte-for-byte the certified code path. Not
+    cross-engine reproducible (partitioning is engine-specific) and
+    therefore library surface, not an oracle query — the contract
+    test instead checks the merged read-out lands inside the exact
+    rank band, which is the guarantee a digest actually makes."""
+    base = df.select(
+        F.spark_partition_id().alias("part"), F.col(value_col).alias("v")
+    )
+    wspec = Window.partitionBy("part").orderBy("v")
+    nspec = Window.partitionBy("part")
+    ranked = base.select(
+        "part",
+        "v",
+        F.row_number().over(wspec).alias("r"),
+        F.count("*").over(nspec).alias("n"),
+    )
+    t = (
+        F.lit(2.0) * ((F.col("r").cast("double") - F.lit(0.5)) / F.col("n"))
+        - F.lit(1.0)
+    )
+    return (
+        ranked.select("part", "v", cluster_of(t).alias("c"))
+        .groupBy("part", "c")
+        .agg(F.count("*").alias("w"), F.sum("v").alias("vsum"))
+        .select(
+            "part",
+            "c",
+            "w",
+            F.round(F.col("vsum") / F.col("w"), 6).alias("mean"),
+        )
+    )
 
+
+def quantile_readout(spark: SparkSession, gcent: DataFrame) -> DataFrame:
+    """Stage 3: (p, pid, n_centroids, tdigest_v) from a merged
+    global digest — shared by the certified query and the
+    partition-path production entry point."""
     gorder = Window.orderBy("gmean", "gc")
     everything = Window.partitionBy()
     cumg = F.sum("gw").over(gorder.rowsBetween(Window.unboundedPreceding, 0))
@@ -352,7 +384,7 @@ def tdigest_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
     )
-    est = bracket.select(
+    return bracket.select(
         "p",
         "pid",
         "n_centroids",
@@ -366,6 +398,30 @@ def tdigest_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tdigest_v"),
     )
+
+
+def tdigest_partition_quantiles(
+    spark: SparkSession, df: DataFrame, value_col: str
+) -> DataFrame:
+    """PRODUCTION entry point: partition-local digests -> merge ->
+    read-out, one pass over the data with zero data-scale shuffles
+    (the only exchanges move centroid-scale rows)."""
+    return quantile_readout(
+        spark, merge_digests(partition_digests(df, value_col), "part")
+    ).select("p", "n_centroids", "tdigest_v")
+
+
+@staged_query("tdigest_quantile_merge", oracle=_ORACLE)
+def tdigest_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p, n_centroids, exact_v, tdigest_v, abs_err) for the 7-probe
+    panel: per-event_type t-digests, merged into one global digest,
+    read out at each probe, graded against the exact interpolated
+    quantile. STAGED-FOREVER under the saturation policy unless a
+    displacement opens a slot (registry.load_all docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    cent = group_digests(ev, "event_type", "value")
+    gcent = merge_digests(cent, "event_type")
+    est = quantile_readout(spark, gcent)
 
     exact = ev.agg(
         F.expr(

@@ -138,6 +138,10 @@ def load_staged() -> None:
     # summaries complement to the sketch trio (VERDICT r14 #6's
     # named candidate), grade-the-contract certified.
     from dist_map_reduce_spark.operators import tdigest  # noqa: F401
+    # STAGED-FOREVER (r15): theta-sketch set algebra — union /
+    # intersection / difference cardinalities per source pair from
+    # the SAME bottom-K signatures as text_kmv (shared persist slot).
+    from dist_map_reduce_spark.functions import text_theta  # noqa: F401
 
 
 def load_all() -> None:

@@ -609,3 +609,29 @@ def test_tdigest_plan_shape(spark):
         assert "props" not in s and "user_id" not in s, (
             "events scan reads columns the digest never uses"
         )
+
+
+def test_theta_set_ops_plan_shape(spark):
+    """The staged-forever theta set algebra (r15): shares text_kmv's
+    exact plan economy — the per-source shingle subtree persists once
+    (every arm reads the cache), the pair fan-out is a broadcast
+    non-equi join over the bounded source dimension, per-pair windows
+    are signature-scale, and nothing plans a Cartesian or
+    SortAggregate. The SortMergeJoin of the exact-intersection
+    grading arm is the intended corpus-scale exchange (text_kmv
+    convention)."""
+    from dist_map_reduce_spark import caching
+
+    registry.load_staged()
+    caching.clear()
+    plan = (
+        registry.STAGED_QUERIES["text_theta_set_ops"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "Window" in plan  # signature ranks + union top-K
+    assert "InMemoryTableScan" in plan  # shared shingle subtree
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

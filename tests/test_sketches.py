@@ -154,3 +154,43 @@ def test_bloom_degrades_gracefully_on_empty_eval_split(tmp_path, spark):
         assert flag_cols, df.columns
         for c in flag_cols:
             assert not df[c].any(), f"{c} flagged rows with empty filter"
+
+
+def test_theta_set_ops_contracts(spark):
+    """Semantic contracts of the r15 theta set algebra (parity
+    proves Spark == DuckDB; this proves the estimators are sound):
+    self-pairs are calibration rows (est_diff exactly 0, est_inter
+    == est_union), exact identities hold (inclusion-exclusion,
+    diff = n_a - inter via the union row), estimates are within the
+    loose K=64 KMV band (~4/sqrt(K) relative on the union — the
+    point is 'a real sketch, neither degenerate-exact nor junk'),
+    and the union error is non-degenerate somewhere."""
+    caching.clear()
+    try:
+        pdf = (
+            registry.STAGED_QUERIES["text_theta_set_ops"](spark, SF_SMOKE)
+            .toPandas()
+        )
+    finally:
+        caching.clear()
+    self_rows = pdf[pdf.source_a == pdf.source_b]
+    assert len(self_rows) > 0
+    assert (self_rows.est_diff_ab == 0).all()
+    assert (self_rows.n_diff_ab == 0).all()
+    assert (self_rows.est_inter == self_rows.est_union).all()
+    assert (self_rows.n_union == self_rows.n_inter).all()
+    # exact identities: |A u B| = |A \ B| + |B| and inter <= union
+    # (n_b = n_union - n_diff_ab by construction, so diff + inter
+    # never exceeds the union)
+    assert (pdf.n_union >= pdf.n_inter).all()
+    assert (pdf.n_diff_ab + pdf.n_inter <= pdf.n_union).all()
+    # sketch band: union estimate within 50% of exact (4/sqrt(64) =
+    # 0.5), and honestly lossy somewhere
+    assert (pdf.rel_err_union <= 0.5).all(), pdf.rel_err_union.max()
+    assert (pdf.rel_err_union > 0).any(), "suspiciously exact sketch"
+    # estimator coherence: est_inter + est_diff <= est_union + slack
+    # (all three share one theta, so they are nearly additive)
+    slack = 2.0 * (pdf.est_union / 63.0)  # one hash-count unit
+    assert (
+        pdf.est_inter + pdf.est_diff_ab <= pdf.est_union + slack + 1e-6
+    ).all()

@@ -97,3 +97,56 @@ def test_tdigest_cluster_function_cross_engine_identical(spark):
         .fetchall()
     ]
     assert sp == dd
+
+
+def test_partition_path_matches_rank_band_and_shuffles_nothing(spark):
+    """The production build path (per-PHYSICAL-partition digests —
+    the 100 TB swap the module docstring argues): estimates from
+    digests built over an 8-way repartition must land in the same
+    exact rank band as the certified query's, and the build stage
+    must contain NO data-scale exchange (the window partitions by
+    spark_partition_id, so every task digests its own rows; the only
+    exchanges downstream move centroid-scale rows)."""
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.operators.tdigest import (
+        PROBES,
+        partition_digests,
+        tdigest_partition_quantiles,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").repartition(8)
+    pdf = (
+        tdigest_partition_quantiles(spark, ev, "value")
+        .toPandas()
+        .sort_values("p")
+        .reset_index(drop=True)
+    )
+    assert list(pdf["p"]) == PROBES
+    assert pdf["n_centroids"].nunique() == 1
+    lo_ps = [max(p - _RANK_SLACK, 0.0) for p in PROBES]
+    hi_ps = [min(p + _RANK_SLACK, 1.0) for p in PROBES]
+    raw = load_table(spark, SF_SMOKE, "events")
+    lo = raw.selectExpr(
+        f"percentile(value, array({', '.join(map(repr, lo_ps))})) AS a"
+    ).collect()[0].a
+    hi = raw.selectExpr(
+        f"percentile(value, array({', '.join(map(repr, hi_ps))})) AS a"
+    ).collect()[0].a
+    for i, row in pdf.iterrows():
+        assert lo[i] <= row.tdigest_v <= hi[i], (
+            f"p={row.p}: partition-path estimate {row.tdigest_v} outside "
+            f"[{lo[i]}, {hi[i]}]"
+        )
+    # build stage: the digest itself must not shuffle data rows —
+    # the repartition RoundRobin exchange belongs to the test input,
+    # so assert on the digest built over the UN-repartitioned scan
+    plan = (
+        partition_digests(load_table(spark, SF_SMOKE, "events"), "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_ex = plan.count("Exchange")
+    # one hash exchange for the (part, c) aggregate is centroid-scale;
+    # nothing else may exchange
+    assert n_ex <= 1, plan

@@ -101,6 +101,10 @@ STAGED_PROBES = [
     # rank+aggregate build is the only corpus-scale stage,
     # merge/estimate are centroid-scale (groups x DELTA rows)
     "tdigest_quantile_merge",
+    # staged-forever r15: theta set algebra — documents-only; claim:
+    # identical asymptotics to text_kmv (shared shingle subtree +
+    # signature-scale algebra), so its ratio should track KMV's
+    "text_theta_set_ops",
 ]
 
 
