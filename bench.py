@@ -157,6 +157,10 @@ HEADLINE = [
     # intersection / difference cardinalities from the shared KMV
     # signatures, exact arms alongside)
     "text_theta_set_ops",
+    # r15 STAGED-FOREVER addition: native HLL with exact cross-engine
+    # parity (register table + in-plan merge + estimate, graded
+    # against exact count-distinct per group)
+    "hll_native_customer_cardinality",
 ]
 
 

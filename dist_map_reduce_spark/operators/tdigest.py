@@ -161,9 +161,12 @@ def _cluster_sql(t_expr: str) -> str:
 
 
 def group_digests(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
-    """Stage 1: one t-digest per group — (group, cluster, w, mean).
-    The library entry point the certified query and the production
-    per-partition path share."""
+    """Stage 1, certified shape: one t-digest per GROUP (a
+    deterministic, cross-engine dimension), ranked with an event_id
+    tie-break so both engines cluster identically. The production
+    twin is :func:`partition_digests` (physical partitions, no
+    tie-break needed — any within-partition order yields a valid
+    digest); both feed the same :func:`merge_digests`."""
     wspec = Window.partitionBy(group_col).orderBy(value_col, "event_id")
     nspec = Window.partitionBy(group_col)
     ranked = df.select(

@@ -142,6 +142,10 @@ def load_staged() -> None:
     # intersection / difference cardinalities per source pair from
     # the SAME bottom-K signatures as text_kmv (shared persist slot).
     from dist_map_reduce_spark.functions import text_theta  # noqa: F401
+    # STAGED-FOREVER (r15): native HLL — count-distinct registers
+    # built in-plan (md5 buckets, integer-CASE ranks) so the estimate
+    # itself certifies exactly cross-engine, incl. the in-plan merge.
+    from dist_map_reduce_spark.operators import hll_native  # noqa: F401
 
 
 def load_all() -> None:

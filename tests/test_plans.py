@@ -635,3 +635,30 @@ def test_theta_set_ops_plan_shape(spark):
     assert "Window" in plan  # signature ranks + union top-K
     assert "InMemoryTableScan" in plan  # shared shingle subtree
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_hll_native_plan_shape(spark):
+    """The staged-forever native HLL (r15): corpus-scale work is one
+    distinct + one register aggregate (both map-side combined); the
+    merge and estimate stages run on <= groups x 64 register rows;
+    the generated integer-CASE rank keeps everything in whole-stage
+    codegen (no SortAggregate, no Cartesian) and the scan prunes to
+    the two used columns."""
+    registry.load_staged()
+    plan = (
+        registry.STAGED_QUERIES["hll_native_customer_cardinality"](
+            spark, SF_SMOKE
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "partial_max" in plan  # register build combines map-side
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans
+    for s in scans:
+        assert "o_totalprice" not in s and "o_orderdate" not in s, (
+            "orders scan reads columns the sketch never uses"
+        )

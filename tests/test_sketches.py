@@ -1,6 +1,7 @@
-"""Semantic contracts of the r14 sketch pair — properties the
-cross-engine parity tests can't state (parity proves Spark == DuckDB;
-these prove both compute a CORRECT sketch):
+"""Semantic contracts of the sketch family (r14 trio + r15 theta
+algebra) — properties the cross-engine parity tests can't state
+(parity proves Spark == DuckDB; these prove both compute a CORRECT
+sketch):
 
 - count-min: the estimate NEVER undercounts, for every word in the
   vocabulary (the query's top-10 output window could hide a tail
@@ -9,7 +10,10 @@ these prove both compute a CORRECT sketch):
 - Bloom: zero false negatives on the planted members, and a false-
   positive rate in the rough band the m=8·n / k=3 construction
   predicts (loose bounds — the point is "a real filter, neither
-  degenerate-empty nor degenerate-full")."""
+  degenerate-empty nor degenerate-full");
+- KMV / theta set algebra: self-pair calibration rows, exact-arm
+  identities, loose-but-meaningful error bands, and the exact-mode
+  degenerate case below K on a synthetic tiny corpus."""
 
 from __future__ import annotations
 
@@ -194,3 +198,68 @@ def test_theta_set_ops_contracts(spark):
     assert (
         pdf.est_inter + pdf.est_diff_ab <= pdf.est_union + slack + 1e-6
     ).all()
+
+
+def test_theta_exact_mode_below_k(tmp_path, spark):
+    """The cnt < K CASE (combined signatures hold fewer than K
+    hashes => the sketch degenerates to exact) is unreachable on the
+    shipped fixtures — every source has thousands of shingles — so
+    exercise it on a synthetic two-source corpus small enough that
+    every pair's signature union stays under K=64, and require
+    est == exact on all three set operations AND Spark == DuckDB
+    (the oracle has the same CASE)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            # shingle counts stay single-digit: len(words) - 2 shingles
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "gamma delta epsilon zeta eta theta",
+            ],
+            "lang": ["en", "en"],
+            "source": ["srcA", "srcB"],
+            "n_chars": [36, 34],
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(docs), os.path.join(sf_dir, "documents.parquet"))
+
+    caching.clear()
+    try:
+        sp = (
+            registry.STAGED_QUERIES["text_theta_set_ops"](spark, sf_dir)
+            .toPandas()
+            .sort_values(["source_a", "source_b"])
+            .reset_index(drop=True)
+        )
+    finally:
+        caching.clear()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    od = (
+        con.execute(
+            registry.resolve_oracle(registry.STAGED_ORACLES["text_theta_set_ops"])
+        )
+        .fetchdf()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    assert len(sp) == 3  # (A,A), (A,B), (B,B)
+    a = sp[sorted(sp.columns)].astype(str)
+    b = od[sorted(od.columns)].astype(str)
+    assert a.equals(b), f"\n{sp}\n{od}"
+    # exact mode: every estimate equals its exact arm, error zero
+    assert (sp.est_union == sp.n_union).all(), sp
+    assert (sp.est_inter == sp.n_inter).all(), sp
+    assert (sp.est_diff_ab == sp.n_diff_ab).all(), sp
+    assert (sp.rel_err_union == 0).all(), sp

@@ -105,6 +105,10 @@ STAGED_PROBES = [
     # identical asymptotics to text_kmv (shared shingle subtree +
     # signature-scale algebra), so its ratio should track KMV's
     "text_theta_set_ops",
+    # staged-forever r15: native HLL — orders-shaped; claim: one
+    # distinct + one register aggregate at corpus scale, everything
+    # after is 64-row register algebra
+    "hll_native_customer_cardinality",
 ]
 
 
