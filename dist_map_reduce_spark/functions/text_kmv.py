@@ -56,6 +56,117 @@ KMV_K = 64  # signature size (bottom-k hashes per source)
 _H_SQL = "('0x' || substring(md5('kmv:' || shingle), 1, 12))::BIGINT"
 
 
+def kmv_hash_col() -> F.Column:
+    """The signature hash: 12-hex md5 slice of 'kmv:'+shingle as a
+    48-bit BIGINT. THE single definition — text_theta (set algebra
+    over the same signatures) imports this, so the two modules
+    cannot drift apart (r15 review)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("kmv:"), F.col("shingle")).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+
+
+def source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct shingle sets — the ONE corpus-scale
+    subtree, persisted under the slot BOTH kmv and theta read
+    (source-as-doc_id aliasing reuses the dedup family's proven
+    shingle expression unchanged)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return persist_tracked(
+        shingles(docs.select(F.col("source").alias("doc_id"), "text"))
+        .distinct()
+        .select(F.col("doc_id").alias("source"), "shingle"),
+        "kmv_source_shingles",
+        sf_dir,
+    )
+
+
+def signatures(ss: DataFrame) -> DataFrame:
+    """(source, h): each source's bottom-K hash signature."""
+    dh = ss.select("source", kmv_hash_col()).distinct()
+    return (
+        dh.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("source").orderBy("h")),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+
+
+def source_sizes(ss: DataFrame) -> DataFrame:
+    return ss.groupBy("source").agg(F.count("*").alias("n"))
+
+
+def source_pairs(sizes: DataFrame) -> DataFrame:
+    """(source_a, n_a, source_b, n_b) for a <= b: quadratic in the
+    bounded SOURCE dimension (broadcast non-equi join), never the
+    corpus."""
+    return sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    ).join(
+        F.broadcast(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n").alias("n_b")
+            )
+        ),
+        F.col("source_a") <= F.col("source_b"),
+    )
+
+
+def exact_intersections(ss: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_inter): the exact grading arm's
+    shared-shingle self-join — the intended corpus-scale exchange."""
+    return (
+        ss.select(F.col("source").alias("source_a"), "shingle")
+        .join(
+            ss.select(F.col("source").alias("source_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+
+
+def merged_signature_flags(
+    pair_keys: DataFrame, sig: DataFrame
+) -> DataFrame:
+    """(source_a, source_b, h, in_a, in_b): the union of the two
+    signatures per pair with membership flags — the input both the
+    Jaccard estimator and theta's set-operation estimators rank."""
+    ha = pair_keys.join(
+        sig.select(F.col("source").alias("source_a"), "h"), "source_a"
+    ).select(
+        "source_a", "source_b", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    hb = pair_keys.join(
+        sig.select(F.col("source").alias("source_b"), "h"), "source_b"
+    ).select(
+        "source_a", "source_b", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    return (
+        ha.unionByName(hb)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+
+
+
 @staged_query(
     "text_kmv_source_jaccard",
     oracle=f"""
@@ -129,82 +240,13 @@ def text_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set Jaccard next to the K=64 bottom-k sketch estimate —
     parity pins both arms, so the estimate's error on this corpus is
     itself certified."""
-    docs = load_table(spark, sf_dir, "documents")
-    # per-source distinct shingle sets — the ONE corpus-scale
-    # subtree, persisted (the exact arm, the hash arm and the size
-    # aggregate all hang off it); source-as-doc_id aliasing reuses
-    # the dedup family's proven shingle expression unchanged
-    ss = persist_tracked(
-        shingles(docs.select(F.col("source").alias("doc_id"), "text"))
-        .distinct()
-        .select(F.col("doc_id").alias("source"), "shingle"),
-        "kmv_source_shingles",
-        sf_dir,
-    )
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("kmv:"), F.col("shingle")).cast("binary")
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h")
-    )
-    dh = ss.select("source", h).distinct()
-    sig = (
-        dh.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("source").orderBy("h")),
-        )
-        .filter(F.col("rn") <= KMV_K)
-        .select("source", "h")
-    )
-    sizes = ss.groupBy("source").agg(F.count("*").alias("n"))
-    # pair fan-out: quadratic in the bounded SOURCE dimension (20
-    # rows) — a broadcast non-equi join, not a corpus-scale cross
-    pairs = sizes.select(
-        F.col("source").alias("source_a"), F.col("n").alias("n_a")
-    ).join(
-        F.broadcast(
-            sizes.select(
-                F.col("source").alias("source_b"), F.col("n").alias("n_b")
-            )
-        ),
-        F.col("source_a") <= F.col("source_b"),
-    )
-    inter = (
-        ss.select(F.col("source").alias("source_a"), "shingle")
-        .join(
-            ss.select(F.col("source").alias("source_b"), "shingle"),
-            "shingle",
-        )
-        .filter(F.col("source_a") <= F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    pair_keys = pairs.select("source_a", "source_b")
-    ha = pair_keys.join(
-        sig.select(F.col("source").alias("source_a"), "h"), "source_a"
-    ).select(
-        "source_a", "source_b", "h",
-        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
-    )
-    hb = pair_keys.join(
-        sig.select(F.col("source").alias("source_b"), "h"), "source_b"
-    ).select(
-        "source_a", "source_b", "h",
-        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
-    )
-    merged = (
-        ha.unionByName(hb)
-        .groupBy("source_a", "source_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    ss = source_shingles(spark, sf_dir)
+    sig = signatures(ss)
+    sizes = source_sizes(ss)
+    pairs = source_pairs(sizes)
+    inter = exact_intersections(ss)
+    merged = merged_signature_flags(
+        pairs.select("source_a", "source_b"), sig
     )
     kmv = (
         merged.withColumn(

@@ -1,7 +1,9 @@
 """Theta-sketch set algebra over the KMV source signatures
 (staged-forever, r15) — union / intersection / difference
 CARDINALITIES per source pair, from the same bottom-K signatures the
-Jaccard sketch (text_kmv.py) ships.
+Jaccard sketch (text_kmv.py) ships — imported from it, not copied:
+the hash, shingle subtree, signature, pair and flag builders are
+text_kmv's own functions, so the two modules cannot drift.
 
 KMV answered "how similar are two sources" (Jaccard); the question a
 mixing/decontamination pipeline asks next is "how much NEW content
@@ -52,13 +54,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dist_map_reduce_spark.caching import persist_tracked
-from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.functions.dedup_common import (
-    _shingle_sql,
-    shingles,
+from dist_map_reduce_spark.functions.dedup_common import _shingle_sql
+from dist_map_reduce_spark.functions.text_kmv import (
+    _H_SQL,
+    KMV_K,
+    exact_intersections,
+    merged_signature_flags,
+    signatures,
+    source_pairs,
+    source_shingles,
+    source_sizes,
 )
-from dist_map_reduce_spark.functions.text_kmv import _H_SQL, KMV_K
 from dist_map_reduce_spark.registry import staged_query
 
 # hash space: 12 hex chars = 48 bits; double-exact (2^48 < 2^53)
@@ -124,15 +130,18 @@ sk AS (
   FROM topk GROUP BY 1, 2
 ),
 est AS (
+  -- e0 suffixes force DOUBLE in DuckDB (bare decimals parse as
+  -- DECIMAL, whose exact arithmetic diverges from Spark's
+  -- correctly-rounded double chain — the tdigest._d lesson)
   SELECT source_a, source_b,
-         CASE WHEN cnt < {KMV_K} THEN round(cnt * 1.0, 6)
-              ELSE round({KMV_K - 1} * ({_HSPACE!r} / hk), 6)
+         CASE WHEN cnt < {KMV_K} THEN round(cnt * 1.0e0, 6)
+              ELSE round({KMV_K - 1} * ({_HSPACE!r}e0 / hk), 6)
          END AS est_union,
-         CASE WHEN cnt < {KMV_K} THEN round(ai * 1.0, 6)
-              ELSE round(bi * ({_HSPACE!r} / hk), 6)
+         CASE WHEN cnt < {KMV_K} THEN round(ai * 1.0e0, 6)
+              ELSE round(bi * ({_HSPACE!r}e0 / hk), 6)
          END AS est_inter,
-         CASE WHEN cnt < {KMV_K} THEN round(ad * 1.0, 6)
-              ELSE round(bd * ({_HSPACE!r} / hk), 6)
+         CASE WHEN cnt < {KMV_K} THEN round(ad * 1.0e0, 6)
+              ELSE round(bd * ({_HSPACE!r}e0 / hk), 6)
          END AS est_diff_ab
   FROM sk
 )
@@ -154,87 +163,20 @@ JOIN est e
 """
 
 
-def _hash_col() -> F.Column:
-    """The text_kmv signature hash, Spark-side (kept textually in
-    sync with text_kmv's inline expression — same 'kmv:' salt, same
-    12-hex slice, so the signatures are interchangeable)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("kmv:"), F.col("shingle")).cast("binary")
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h")
-    )
-
-
 @staged_query("text_theta_set_ops", oracle=_ORACLE)
 def text_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source_a, source_b, n_union, est_union, rel_err_union,
     n_inter, est_inter, n_diff_ab, est_diff_ab) for every unordered
     source pair incl. self-pair calibration rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    ss = persist_tracked(
-        shingles(docs.select(F.col("source").alias("doc_id"), "text"))
-        .distinct()
-        .select(F.col("doc_id").alias("source"), "shingle"),
-        "kmv_source_shingles",  # shared with text_kmv — built once
-        sf_dir,
-    )
-    dh = ss.select("source", _hash_col()).distinct()
-    sig = (
-        dh.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("source").orderBy("h")),
-        )
-        .filter(F.col("rn") <= KMV_K)
-        .select("source", "h")
-    )
-    sizes = ss.groupBy("source").agg(F.count("*").alias("n"))
-    pairs = sizes.select(
-        F.col("source").alias("source_a"), F.col("n").alias("n_a")
-    ).join(
-        F.broadcast(
-            sizes.select(
-                F.col("source").alias("source_b"), F.col("n").alias("n_b")
-            )
-        ),
-        F.col("source_a") <= F.col("source_b"),
-    )
-    inter = (
-        ss.select(F.col("source").alias("source_a"), "shingle")
-        .join(
-            ss.select(F.col("source").alias("source_b"), "shingle"),
-            "shingle",
-        )
-        .filter(F.col("source_a") <= F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    pair_keys = pairs.select("source_a", "source_b")
-    ha = pair_keys.join(
-        sig.select(F.col("source").alias("source_a"), "h"), "source_a"
-    ).select(
-        "source_a", "source_b", "h",
-        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
-    )
-    hb = pair_keys.join(
-        sig.select(F.col("source").alias("source_b"), "h"), "source_b"
-    ).select(
-        "source_a", "source_b", "h",
-        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
-    )
-    merged = (
-        ha.unionByName(hb)
-        .groupBy("source_a", "source_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    # the entire signature scaffold is text_kmv's — one definition,
+    # one persist slot, zero textual duplication (r15 review)
+    ss = source_shingles(spark, sf_dir)
+    sig = signatures(ss)
+    sizes = source_sizes(ss)
+    pairs = source_pairs(sizes)
+    inter = exact_intersections(ss)
+    merged = merged_signature_flags(
+        pairs.select("source_a", "source_b"), sig
     )
     topk = merged.withColumn(
         "rn",

@@ -42,8 +42,11 @@ constant the HLL paper prescribes for m = 64). Small-range linear
 counting (V = #empty buckets > 0 and raw < 2.5m) uses the one
 permitted transcendental, ln, under the repo's established
 round-after-ln discipline (lm_score.py): round(m * ln(m/V), 6). The
-fixture never takes that branch (every bucket is hit at every
-scale); a synthetic tiny-corpus test exercises it on both engines.
+branch is live on real data: at sf0.001 each group has ~130 distinct
+keys against 64 buckets, V > 0 and raw < 160, so the per-group rows
+take the linear-counting path there (and the raw path at larger
+scales) — parity holds on both; a synthetic tiny-orders test
+additionally pins the small-V region on both engines.
 
 Reference parity: the reference has no distinct-count operator (word
 count only, /root/reference/src/worker/worker.go:270-288); extension

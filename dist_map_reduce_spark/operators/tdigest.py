@@ -60,13 +60,12 @@ Shape (both engines, same three stages):
 At 100 TB: stage 1 is the only corpus-scale work — one shuffle on
 the digest dimension and a per-group sort. The certified dimension
 here is event_type (deterministic, cross-engine); the production
-build swaps it for the PHYSICAL partition id (each task digests its
-own rows with the identical cluster expression on partition-local
-rank — order within a partition is irrelevant to the summary's
-contract, only to its exact centroid boundaries) and feeds the same
-stage-2 merge, giving the classic single-pass tree aggregation with
-no global or per-group sort at all. That swap is not cross-engine
-reproducible (partitioning is engine-specific), which is exactly why
+build (:func:`partition_digests`) digests each task's own Arrow
+batches in place via mapInPandas — zero shuffle, memory bounded by
+the batch size, same scale function — and feeds the same stage-2
+merge, giving the classic single-pass tree aggregation with no
+global or per-group sort at all. That swap is not cross-engine
+reproducible (batching is engine-specific), which is exactly why
 the CERTIFIED query pins the deterministic group dimension and the
 production path shares every line downstream of it. Stages 2 and 3
 are centroid-scale (groups * DELTA rows) regardless of corpus size;
@@ -115,21 +114,41 @@ _NODES = [
 PROBES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
 
 
+def _d(x: float) -> str:
+    """A float constant as SQL that DuckDB parses as DOUBLE. The e0
+    suffix is load-bearing: a bare decimal literal parses as DECIMAL
+    there, and an all-DECIMAL subexpression like (s1-s0)/(t1-t0) is
+    then computed in EXACT decimal arithmetic — e.g. the mid-segment
+    slope reads 0.47426 exact instead of the correctly-rounded
+    double chain's 0.4742599999999997 — silently breaking the
+    bit-identical-doubles invariant the cluster floor() depends on
+    (caught by review in r15; the hll_native module hit the same
+    DuckDB behavior as an overflow and documents it there).
+    Scientific-notation reprs are already DOUBLE literals; appending
+    e0 to them would be a syntax error."""
+    r = repr(x)
+    return r if "e" in r else f"{r}e0"
+
+
 def scale_s_sql(t_expr: str) -> str:
     """The piecewise-linear scale function as portable SQL over a
     t-expression in [-1, 1]. Slopes are computed at runtime from the
     node constants ((s1-s0)/(t1-t0)) — identical literals, identical
-    correctly-rounded divisions, identical doubles in both engines."""
+    correctly-rounded DOUBLE divisions (see :func:`_d`), identical
+    doubles in both engines."""
     cases = []
     for (t0, s0), (t1, s1) in zip(_NODES, _NODES[1:]):
         cases.append(
-            f"WHEN {t_expr} <= {t1!r} THEN "
-            f"{s0!r} + ({t_expr} - {t0!r}) * "
-            f"(({s1!r} - {s0!r}) / ({t1!r} - {t0!r}))"
+            f"WHEN {t_expr} <= {_d(t1)} THEN "
+            f"{_d(s0)} + ({t_expr} - {_d(t0)}) * "
+            f"(({_d(s1)} - {_d(s0)}) / ({_d(t1)} - {_d(t0)}))"
         )
-    return "CASE WHEN " + f"{t_expr} <= {_NODES[0][0]!r} THEN 0.0 " + " ".join(
-        cases
-    ) + " ELSE 1.0 END"
+    return (
+        "CASE WHEN "
+        + f"{t_expr} <= {_d(_NODES[0][0])} THEN 0.0e0 "
+        + " ".join(cases)
+        + " ELSE 1.0e0 END"
+    )
 
 
 def scale_s(t: Column) -> Column:
@@ -155,7 +174,7 @@ def cluster_of(t: Column) -> Column:
 
 def _cluster_sql(t_expr: str) -> str:
     return (
-        f"CAST(least(floor({float(DELTA)!r} * ({scale_s_sql(t_expr)})), "
+        f"CAST(least(floor({_d(float(DELTA))} * ({scale_s_sql(t_expr)})), "
         f"{DELTA - 1}) AS INTEGER)"
     )
 
@@ -226,9 +245,11 @@ def merge_digests(cent: DataFrame, group_col: str) -> DataFrame:
     )
 
 
-_SCALE_SQL_POINT = _cluster_sql("(2.0 * ((CAST(r AS DOUBLE) - 0.5) / n) - 1.0)")
+_SCALE_SQL_POINT = _cluster_sql(
+    "(2.0e0 * ((CAST(r AS DOUBLE) - 0.5e0) / n) - 1.0e0)"
+)
 _SCALE_SQL_MID = _cluster_sql(
-    "(2.0 * ((CAST(cumw AS DOUBLE) - w / 2.0) / n_total) - 1.0)"
+    "(2.0e0 * ((CAST(cumw AS DOUBLE) - w / 2.0e0) / n_total) - 1.0e0)"
 )
 
 _ORACLE = f"""
@@ -262,7 +283,7 @@ gcent AS (
 gmid0 AS (
   SELECT gc, gw, gmean, n_total,
          sum(gw) OVER (ORDER BY gmean, gc ROWS UNBOUNDED PRECEDING)
-           - gw / 2.0 AS mid
+           - gw / 2.0e0 AS mid
   FROM gcent
 ),
 gmid AS (
@@ -274,7 +295,7 @@ gmid AS (
   FROM gmid0
 ),
 probes AS (
-  SELECT * FROM (VALUES {", ".join(f"({i + 1}, {p!r})" for i, p in enumerate(PROBES))})
+  SELECT * FROM (VALUES {", ".join(f"({i + 1}, {_d(p)})" for i, p in enumerate(PROBES))})
          AS t(pid, p)
 ),
 bracket AS (
@@ -305,41 +326,66 @@ FROM est, exact
 
 
 def partition_digests(df: DataFrame, value_col: str) -> DataFrame:
-    """Stage 1, PRODUCTION shape: one t-digest per PHYSICAL
-    partition — the swap the module docstring argues for at 100 TB.
-    Rank is partition-local (no shuffle at all: the window partitions
-    by spark_partition_id(), so every task digests exactly its own
-    rows), cluster assignment and the downstream merge_digests /
-    quantile_readout are byte-for-byte the certified code path. Not
-    cross-engine reproducible (partitioning is engine-specific) and
-    therefore library surface, not an oracle query — the contract
-    test instead checks the merged read-out lands inside the exact
-    rank band, which is the guarantee a digest actually makes."""
-    base = df.select(
-        F.spark_partition_id().alias("part"), F.col(value_col).alias("v")
-    )
-    wspec = Window.partitionBy("part").orderBy("v")
-    nspec = Window.partitionBy("part")
-    ranked = base.select(
-        "part",
-        "v",
-        F.row_number().over(wspec).alias("r"),
-        F.count("*").over(nspec).alias("n"),
-    )
-    t = (
-        F.lit(2.0) * ((F.col("r").cast("double") - F.lit(0.5)) / F.col("n"))
-        - F.lit(1.0)
-    )
-    return (
-        ranked.select("part", "v", cluster_of(t).alias("c"))
-        .groupBy("part", "c")
-        .agg(F.count("*").alias("w"), F.sum("v").alias("vsum"))
-        .select(
-            "part",
-            "c",
-            "w",
-            F.round(F.col("vsum") / F.col("w"), 6).alias("mean"),
-        )
+    """Stage 1, PRODUCTION shape: t-digests built with ZERO shuffle.
+
+    A first cut used ``Window.partitionBy(spark_partition_id())`` —
+    which LOOKS partition-local but is not: Catalyst has no idea the
+    partitioning column equals the current partitioning, so it plans
+    a full-data Exchange under the window (r15 review finding). The
+    honest zero-shuffle build is ``mapInPandas``: each task digests
+    its own Arrow batches in place — sort the batch (numpy), assign
+    q-ranks, cluster with the SAME piecewise scale function, emit
+    (part, c, w, mean) centroid rows. One digest per BATCH rather
+    than per partition is fine — digests merge, that is their whole
+    contract — and it bounds memory by the Arrow batch size instead
+    of the partition size, which is strictly better at 100 TB.
+
+    Library surface, not an oracle query: batch boundaries are
+    engine/runtime-specific, so the output is reproducible only up
+    to digest accuracy — the contract test checks the merged
+    read-out lands inside the exact rank band, which is the
+    guarantee a digest actually makes. The merge/read-out downstream
+    (:func:`merge_digests` / :func:`quantile_readout`) is
+    byte-for-byte the certified code path."""
+    import numpy as np
+    import pandas as pd
+
+    nodes_t = np.array([t for t, _ in _NODES])
+    nodes_s = np.array([s for _, s in _NODES])
+    delta = DELTA
+
+    def digest_batches(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for bi, pdf in enumerate(batches):
+            v = np.sort(pdf[value_col].to_numpy(dtype=float))
+            n = len(v)
+            if n == 0:
+                continue
+            q = (np.arange(1, n + 1) - 0.5) / n
+            s = np.interp(2.0 * q - 1.0, nodes_t, nodes_s)
+            c = np.minimum(np.floor(delta * s).astype(int), delta - 1)
+            agg = (
+                pd.DataFrame({"c": c, "v": v})
+                .groupby("c")["v"]
+                .agg(["count", "sum"])
+                .reset_index()
+            )
+            yield pd.DataFrame(
+                {
+                    # unique digest id per (task, batch) — the merge
+                    # only needs it as a deterministic-enough
+                    # tie-break column
+                    "part": pid * 1_000_000 + bi,
+                    "c": agg["c"],
+                    "w": agg["count"],
+                    "mean": (agg["sum"] / agg["count"]).round(6),
+                }
+            )
+
+    return df.select(F.col(value_col).alias(value_col)).mapInPandas(
+        digest_batches, "part BIGINT, c INT, w BIGINT, mean DOUBLE"
     )
 
 

@@ -77,36 +77,91 @@ def test_tdigest_cluster_function_cross_engine_identical(spark):
 
     from dist_map_reduce_spark.operators.tdigest import _cluster_sql
 
-    n = 100_000
-    expr = _cluster_sql("(2.0 * ((CAST(r AS DOUBLE) - 0.5) / n) - 1.0)")
+    # an EVEN n never evaluates t = 0; an ODD n's median row lands
+    # exactly there — the highest-risk input (64*s(0) = 32 sits on a
+    # cluster boundary), so cover both (review finding, r15)
+    for n in (100_000, 99_999):
+        expr = _cluster_sql("(2.0e0 * ((CAST(r AS DOUBLE) - 0.5e0) / n) - 1.0e0)")
+        sp = [
+            r.c
+            for r in spark.range(1, n + 1)
+            .selectExpr("id AS r", f"{n} AS n")
+            .selectExpr(f"{expr} AS c")
+            .collect()
+        ]
+        dd = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                f"SELECT {expr} AS c FROM "
+                f"(SELECT r, {n} AS n FROM generate_series(1, {n}) AS t(r)) "
+                "ORDER BY r"
+            )
+            .fetchall()
+        ]
+        assert sp == dd, n
+
+
+def test_scale_function_doubles_bitwise_identical_across_engines(spark):
+    """Deeper than the cluster-id check: the s(t) DOUBLES themselves
+    must agree bitwise, else a future node/segment edit could park a
+    value one ulp across a floor boundary undetected. This is the
+    direct regression test for the r15 review finding that DuckDB
+    computed the slopes in exact DECIMAL arithmetic (bare literals)
+    while Spark constant-folded doubles — e.g. the mid-segment slope
+    0.47426 exact vs 0.4742599999999997."""
+    import struct
+
+    import duckdb
+
+    from dist_map_reduce_spark.operators.tdigest import _NODES, scale_s_sql
+
+    # node points, segment midpoints, and near-boundary offsets
+    ts = []
+    for (t0, _), (t1, _) in zip(_NODES, _NODES[1:]):
+        ts += [t0, (t0 + t1) / 2.0, t1 - 1e-12]
+    ts.append(1.0)
+    expr = scale_s_sql("t")
     sp = [
-        r.c
-        for r in spark.range(1, n + 1)
-        .selectExpr("id AS r", f"{n} AS n")
-        .selectExpr(f"{expr} AS c")
+        r.s
+        for r in spark.createDataFrame([(t,) for t in ts], "t DOUBLE")
+        .selectExpr(f"{expr} AS s", "t")
+        .orderBy("t")
         .collect()
     ]
+    # feed DuckDB e0 literals: a `[...]::DOUBLE[]` list goes through
+    # DECIMAL and its decimal->double conversion is NOT the correctly
+    # rounded string->double parse (measured 1 ulp off at
+    # -0.950000000001), which would compare different INPUTS, not
+    # different arithmetic
+    # scientific-notation reprs (e.g. -1e-12) are already DOUBLE
+    # literals in DuckDB; only plain decimals need the e0 suffix
+    values = ", ".join(
+        f"({t!r})" if "e" in repr(t) else f"({t!r}e0)" for t in ts
+    )
     dd = [
         r[0]
         for r in duckdb.connect()
         .execute(
-            f"SELECT {expr} AS c FROM "
-            f"(SELECT r, {n} AS n FROM generate_series(1, {n}) AS t(r)) "
-            "ORDER BY r"
+            f"SELECT {expr} AS s FROM (VALUES {values}) AS v(t) ORDER BY t"
         )
         .fetchall()
     ]
-    assert sp == dd
+    assert [struct.pack("<d", v) for v in sp] == [
+        struct.pack("<d", v) for v in dd
+    ]
 
 
 def test_partition_path_matches_rank_band_and_shuffles_nothing(spark):
-    """The production build path (per-PHYSICAL-partition digests —
-    the 100 TB swap the module docstring argues): estimates from
-    digests built over an 8-way repartition must land in the same
-    exact rank band as the certified query's, and the build stage
-    must contain NO data-scale exchange (the window partitions by
-    spark_partition_id, so every task digests its own rows; the only
-    exchanges downstream move centroid-scale rows)."""
+    """The production build path (per-task digests — the 100 TB swap
+    the module docstring argues): estimates from digests built over
+    an 8-way repartition must land in the same exact rank band as
+    the certified query's, and the build stage must contain NO
+    exchange at all (mapInPandas digests each task's own Arrow
+    batches in place — the r15 review caught the previous
+    Window-over-spark_partition_id cut planning a hidden full-data
+    shuffle; the only exchanges downstream move centroid-scale
+    rows)."""
     from dist_map_reduce_spark.catalog import load_table
     from dist_map_reduce_spark.operators.tdigest import (
         PROBES,
@@ -137,16 +192,14 @@ def test_partition_path_matches_rank_band_and_shuffles_nothing(spark):
             f"p={row.p}: partition-path estimate {row.tdigest_v} outside "
             f"[{lo[i]}, {hi[i]}]"
         )
-    # build stage: the digest itself must not shuffle data rows —
-    # the repartition RoundRobin exchange belongs to the test input,
-    # so assert on the digest built over the UN-repartitioned scan
+    # build stage: the digest itself must not shuffle AT ALL —
+    # assert on the digest built over the UN-repartitioned scan (the
+    # repartition RoundRobin exchange above belongs to the test input)
     plan = (
         partition_digests(load_table(spark, SF_SMOKE, "events"), "value")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    n_ex = plan.count("Exchange")
-    # one hash exchange for the (part, c) aggregate is centroid-scale;
-    # nothing else may exchange
-    assert n_ex <= 1, plan
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan

@@ -112,11 +112,26 @@ STAGED_PROBES = [
 ]
 
 
-def synth(spark, replicas: int) -> str:
+# which synth tables each probe family reads — documents/embeddings
+# cover the default probe panel; orders/events exist for the probes
+# named here. synth() skips tables no selected probe needs (an
+# explicit 100x subset run should not pay a 100x replication of
+# tables it never scans — r15 review).
+_TABLE_NEEDS = {
+    "cdc_merge_upsert_orders": "orders",
+    "hll_native_customer_cardinality": "orders",
+    "tdigest_quantile_merge": "events",
+}
+
+
+def synth(spark, replicas: int, tables: set | None = None) -> str:
     out = os.path.join(SCRATCH, f"sfx{replicas}")
+    tables = tables or {"documents", "embeddings", "orders", "events"}
     docs = load_table(spark, BASE, "documents")
     reps = None
     for i in range(replicas):
+        if "documents" not in tables:
+            break
         r = docs.select(
             (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
             F.concat("text", F.lit(f" r{i}")).alias("text"),
@@ -125,10 +140,15 @@ def synth(spark, replicas: int) -> str:
             (F.col("n_chars") + F.lit(len(f" r{i}"))).alias("n_chars"),
         )
         reps = r if reps is None else reps.unionAll(r)
-    reps.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    if reps is not None:
+        reps.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
     emb = load_table(spark, BASE, "embeddings")
     reps = None
     for i in range(replicas):
+        if "embeddings" not in tables:
+            break
         r = emb.select(
             (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
             F.transform(
@@ -139,7 +159,10 @@ def synth(spark, replicas: int) -> str:
             "label",
         )
         reps = r if reps is None else reps.unionAll(r)
-    reps.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    if reps is not None:
+        reps.write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet")
+        )
     # orders for the CDC merge probe (r13): key-offset replicas keep
     # every o_orderkey positive, so delta_merge's reserved negative
     # insert keys stay fresh; the md5 change-set derivation re-buckets
@@ -148,6 +171,8 @@ def synth(spark, replicas: int) -> str:
     orders = load_table(spark, BASE, "orders")
     reps = None
     for i in range(replicas):
+        if "orders" not in tables:
+            break
         r = orders.select(
             (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
             "o_custkey",
@@ -157,7 +182,10 @@ def synth(spark, replicas: int) -> str:
             "o_orderpriority",
         )
         reps = r if reps is None else reps.unionAll(r)
-    reps.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    if reps is not None:
+        reps.write.mode("overwrite").parquet(
+            os.path.join(out, "orders.parquet")
+        )
     # events for the t-digest probe (r15): id-offset replicas with a
     # per-replica value nudge (keeps the quantile panel non-trivial);
     # event_type is UNCHANGED so the digest dimension stays 5 groups
@@ -167,6 +195,8 @@ def synth(spark, replicas: int) -> str:
     events = load_table(spark, BASE, "events")
     reps = None
     for i in range(replicas):
+        if "events" not in tables:
+            break
         r = events.select(
             (F.col("event_id") + F.lit(i * ID_STRIDE)).alias("event_id"),
             "ts",
@@ -176,7 +206,10 @@ def synth(spark, replicas: int) -> str:
             "props",
         )
         reps = r if reps is None else reps.unionAll(r)
-    reps.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    if reps is not None:
+        reps.write.mode("overwrite").parquet(
+            os.path.join(out, "events.parquet")
+        )
     return out
 
 
@@ -215,15 +248,19 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    big = synth(spark, replicas)
-    registry.QUERIES["wordcount"](spark, BASE).count()  # JVM warm-up
     probes = PROBES + STAGED_PROBES
+    tables = None
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2:])
         unknown = wanted - set(probes)
         if unknown:
             raise SystemExit(f"unknown probe names: {sorted(unknown)}")
         probes = [n for n in probes if n in wanted]
+        tables = {"documents", "embeddings"} | {
+            _TABLE_NEEDS[n] for n in probes if n in _TABLE_NEEDS
+        }
+    big = synth(spark, replicas, tables)
+    registry.QUERIES["wordcount"](spark, BASE).count()  # JVM warm-up
     base_t = run(spark, BASE, probes)
     big_t = run(spark, big, probes)
     print(f"{'query':34s} {'sf0.1':>8s} {f'x{replicas}':>8s} {'ratio':>7s}")
