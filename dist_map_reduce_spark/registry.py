@@ -198,8 +198,13 @@ def load_all() -> None:
     window again; all cohorts verified module-pure (riders
     accounted). A NEW operator ships under displace-or-stage:
 
-    r16 plan (mechanical, module lists verified against the
-    CORRECTNESS_r12.json names this round): window = the r12 cohort
+    r16 plan (mechanical, PRE-VERIFIED at r15 close by a
+    fresh-process import probe: the 21 modules below register
+    exactly the 50 expected names — r12 cohort minus
+    snapshot_diff_customers plus zorder_events_keys — zero riders;
+    the displacement variant swaps the single-query text_entropy
+    module for the promoted postcompaction_flags, trivially
+    preserving 50): window = the r12 cohort
     with the cascade applied — 21 modules: functions similarity (7),
     curation_ext (4), packing (2), and singles ann_recall / graph /
     multimodal_audio / sampling_aes / similarity_ivf_kmeans /
