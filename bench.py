@@ -161,6 +161,9 @@ HEADLINE = [
     # parity (register table + in-plan merge + estimate, graded
     # against exact count-distinct per group)
     "hll_native_customer_cardinality",
+    # r15 EXTRA (library twin, like the skew pair): the zero-shuffle
+    # mapInPandas t-digest build next to its certified per-group form
+    "tdigest_partition_path",
 ]
 
 
@@ -190,6 +193,19 @@ def _skew_salted(spark, sf_dir):
     return skew_zipf_join_salted(spark, sf_dir)
 
 
+def _tdigest_partition_path(spark, sf_dir):
+    """The t-digest PRODUCTION build (mapInPandas per-batch digests,
+    zero shuffle) next to the certified per-group query — the
+    recorded gap is the cost of cross-engine determinism."""
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.operators.tdigest import (
+        tdigest_partition_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return tdigest_partition_quantiles(spark, ev, "value")
+
+
 # headline entries that are library entry points rather than
 # registered oracle queries
 EXTRA = {
@@ -198,6 +214,9 @@ EXTRA = {
     # gap is the skew-mitigation win (operators/skew.py docstrings)
     "skew_zipf_join_unsalted": _skew_unsalted,
     "skew_zipf_join_salted": _skew_salted,
+    # r15: the zero-shuffle production t-digest twin of the
+    # certified tdigest_quantile_merge
+    "tdigest_partition_path": _tdigest_partition_path,
 }
 
 
