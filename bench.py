@@ -164,6 +164,9 @@ HEADLINE = [
     # r15 EXTRA (library twin, like the skew pair): the zero-shuffle
     # mapInPandas t-digest build next to its certified per-group form
     "tdigest_partition_path",
+    # r15 STAGED-FOREVER addition: length-bucketed padding waste
+    # (power-of-two classes + truncation accounting + total row)
+    "length_bucket_padding_waste",
 ]
 
 

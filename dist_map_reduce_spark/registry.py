@@ -146,6 +146,10 @@ def load_staged() -> None:
     # built in-plan (md5 buckets, integer-CASE ranks) so the estimate
     # itself certifies exactly cross-engine, incl. the in-plan merge.
     from dist_map_reduce_spark.operators import hll_native  # noqa: F401
+    # STAGED-FOREVER (r15): length-bucketed padding-waste — the
+    # batch-provisioning datum (power-of-two classes, truncation
+    # accounting, per-class + total waste fractions).
+    from dist_map_reduce_spark.functions import length_buckets  # noqa: F401
 
 
 def load_all() -> None:

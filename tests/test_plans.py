@@ -662,3 +662,30 @@ def test_hll_native_plan_shape(spark):
         assert "o_totalprice" not in s and "o_orderdate" not in s, (
             "orders scan reads columns the sketch never uses"
         )
+
+
+def test_length_buckets_plan_shape(spark):
+    """The staged-forever padding-waste query (r15): ONE corpus scan
+    projected to the text column, one map-side-combined <=10-key
+    aggregate, a tiny total-row aggregate — nothing else. No
+    Cartesian, no SortAggregate, no Window, and the scan must not
+    read columns the length measure never uses."""
+    registry.load_staged()
+    plan = (
+        registry.STAGED_QUERIES["length_bucket_padding_waste"](
+            spark, SF_SMOKE
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan  # map-side combine
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans
+    for s in scans:
+        assert "doc_id" not in s and "lang" not in s, (
+            "documents scan reads columns the bucketing never uses"
+        )

@@ -109,6 +109,10 @@ STAGED_PROBES = [
     # distinct + one register aggregate at corpus scale, everything
     # after is 64-row register algebra
     "hll_native_customer_cardinality",
+    # staged-forever r15: length-bucket padding waste —
+    # documents-only; claim: one scan + one <=10-key combined
+    # aggregate, the cheapest shape in the repo
+    "length_bucket_padding_waste",
 ]
 
 
