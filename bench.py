@@ -167,6 +167,17 @@ HEADLINE = [
     # r15 STAGED-FOREVER addition: length-bucketed padding waste
     # (power-of-two classes + truncation accounting + total row)
     "length_bucket_padding_waste",
+    # r16 RETIREE: demoted to @staged_query in the displacement that
+    # promoted streaming_postcompaction_neardup_flags — staged
+    # queries stay bench-tracked
+    "rollup_lineitem_flags",
+    # r16 STAGED-FOREVER addition: mergeable reservoir sample
+    # (per-source bottom-K reservoirs -> certified merge == direct
+    # global bottom-K, deterministic md5 race)
+    "reservoir_merge_sample",
+    # r16 EXTRA (library twin, like tdigest_partition_path): the
+    # zero-shuffle per-Arrow-batch reservoir build
+    "reservoir_partition_path",
 ]
 
 
@@ -209,6 +220,17 @@ def _tdigest_partition_path(spark, sf_dir):
     return tdigest_partition_quantiles(spark, ev, "value")
 
 
+def _reservoir_partition_path(spark, sf_dir):
+    """The reservoir PRODUCTION build (JVM race tags, per-Arrow-batch
+    vectorized bottom-K, one TakeOrdered merge) next to the certified
+    per-source query."""
+    from dist_map_reduce_spark.functions.reservoir import (
+        reservoir_partition_path,
+    )
+
+    return reservoir_partition_path(spark, sf_dir)
+
+
 # headline entries that are library entry points rather than
 # registered oracle queries
 EXTRA = {
@@ -220,6 +242,10 @@ EXTRA = {
     # r15: the zero-shuffle production t-digest twin of the
     # certified tdigest_quantile_merge
     "tdigest_partition_path": _tdigest_partition_path,
+    # r16: the zero-shuffle production reservoir twin of the
+    # certified reservoir_merge_sample (identical sample by
+    # construction — the deterministic race makes the loop exact)
+    "reservoir_partition_path": _reservoir_partition_path,
 }
 
 

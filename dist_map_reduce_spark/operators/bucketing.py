@@ -15,6 +15,7 @@ import errno
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,7 +59,19 @@ def _sweep_stale_builds() -> None:
         m = re.search(r"_p(\d+)$", d)
         if m and (int(m.group(1)) == os.getpid() or _pid_alive(int(m.group(1)))):
             continue
-        shutil.rmtree(os.path.join(_BUCKET_ROOT, d), ignore_errors=True)
+        path = os.path.join(_BUCKET_ROOT, d)
+        if m is None:
+            # legacy un-suffixed dir: a still-running PRE-upgrade
+            # process could be reading it (the exact hazard class
+            # this convention fixes, live once during the version
+            # transition — r15 review). Only reap it once it is
+            # plausibly abandoned.
+            try:
+                if time.time() - os.path.getmtime(path) < 24 * 3600:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

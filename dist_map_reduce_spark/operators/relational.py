@@ -375,7 +375,7 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
 
-@query(
+@staged_query(
     "rollup_lineitem_flags",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -386,7 +386,13 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP: hierarchical subtotals incl. grand total (NULL rows)."""
+    """ROLLUP: hierarchical subtotals incl. grand total (NULL rows).
+
+    r16 RETIREE (displacement criterion (i), PLANS.md r16):
+    ``grouping_sets_orders`` + ``cube_orders_status_priority`` pin
+    the same Expand machinery in general/sugared form; the ROLLUP
+    keyword round-trip stays parity-tested here, staged-forever.
+    """
     return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count("*").alias("n"),

@@ -117,17 +117,16 @@ def load_staged() -> None:
     tests/test_staged_parity.py just the same."""
     if not QUERIES:
         load_all()
-    # STAGED-FOREVER (r13 saturation policy): post-compaction flag
-    # certification — parity-tested every run, bench-tracked, takes a
-    # window slot only if a future displacement opens one. (The other
-    # r13 staged query, text_bm25_topk, was PROMOTED in the r15
-    # displacement; its import lives in load_all()'s window section.)
-    from dist_map_reduce_spark.streaming import postcompaction_flags  # noqa: F401
-    # r15 RETIREE: join_semi_active_customers demoted to
-    # @staged_query (displacement criterion (i), PLANS.md r15). It
-    # lives in the MIXED module operators/relational.py, which
-    # load_all() above already imported — nothing to import here; its
-    # staged registration happened during load_all.
+    # (Both r13 staged queries are PROMOTED now: text_bm25_topk in
+    # the r15 displacement, streaming_postcompaction_neardup_flags
+    # in the r16 one — their imports live in load_all()'s window
+    # sections.)
+    # r15/r16 RETIREES: join_semi_active_customers and
+    # rollup_lineitem_flags demoted to @staged_query (displacement
+    # criterion (i), PLANS.md r15/r16). Both live in the MIXED
+    # module operators/relational.py, which load_all() above already
+    # imported — nothing to import here; their staged registrations
+    # happened during load_all.
     # STAGED-FOREVER (r14): the classic-sketch trio — count-min
     # heavy hitters (frequency), the Bloom decontamination pre-filter
     # (membership) and KMV source-overlap (cardinality/Jaccard).
@@ -150,6 +149,12 @@ def load_staged() -> None:
     # batch-provisioning datum (power-of-two classes, truncation
     # accounting, per-class + total waste fractions).
     from dist_map_reduce_spark.functions import length_buckets  # noqa: F401
+    # STAGED-FOREVER (r16): mergeable reservoir sampling — bottom-K
+    # by deterministic md5 race tag, per-source reservoirs merged
+    # into the global reservoir with the merge certified rank-for-
+    # rank against the direct bottom-K (VERDICT r15 #2's named
+    # candidate, completing the mergeable-summaries family).
+    from dist_map_reduce_spark.functions import reservoir  # noqa: F401
 
 
 def load_all() -> None:
@@ -163,78 +168,68 @@ def load_all() -> None:
     window imports is the rotation bookkeeping — if adding a query
     to a window module silently changed the cut line, it fires.
 
-    Round 15 (EXECUTED this round — rotation + the FIRST executed
-    displacement): window = 49 of the 50 r11-stamped names plus the
-    promoted ``text_bm25_topk``, in 26 module-pure imports —
-    functions: text (8), curation (5), text_winnow (3), multimodal
-    (2), multimodal_image (2), python_udfs (2), text_boilerplate (2,
-    incl. its module-level rider), text_bm25 (1, PROMOTED) and
-    singles chunking / curation_funnel / embedding_pca / lm_bigram /
-    lm_score / multimodal_ext / quality_model / resample_weighted /
-    shard_export; operators: scd (6), etl (2), sequences (2), and
-    singles contribution / intervals / profiling / skyline /
-    stats_robust; streaming: wordcount_stream (1).
-    8+5+3+2+2+2+2+1+9 + 6+2+2+5 + 1 = 50 exactly (fresh-process
-    probe re-verified at round open). The r10 window modules moved to
-    the outside-window section.
+    Round 16 (EXECUTED this round — rotation + the SECOND executed
+    displacement): window = the post-cascade r12 cohort, minus the
+    hopped ``text_char_entropy``, plus the promoted
+    ``streaming_postcompaction_neardup_flags``, in 21 module-pure
+    imports — functions: similarity (7), curation_ext (4), packing
+    (2), and singles ann_recall / graph / multimodal_audio /
+    sampling_aes / similarity_ivf_kmeans / similarity_ivfadc_query /
+    similarity_ivfpq / similarity_pq; operators: tpch_full (7),
+    tpch_partsupp (5), approx (4), json_ops (4), wordcount (3),
+    timeseries_fill (2), and singles linkage / zorder (cascaded in
+    r15, re-stamped HERE — its r11 stamp was the oldest on the
+    board); streaming: ingest_index_compaction (1),
+    postcompaction_flags (1, PROMOTED). 7+4+2+8 + 7+5+4+4+3+2+2
+    + 2 = 50 exactly (fresh-process probe re-verified at round
+    open). The r15 window modules moved to the outside-window
+    section.
 
-    DISPLACEMENT (criterion (i), record in PLANS.md r15):
-    ``join_semi_active_customers`` retired to @staged_query
-    (``join_semi_anti_balance`` strictly subsumes its LeftSemi;
-    ``join_anti_dormant_customers`` keeps the anti single) and
-    ``text_bm25_topk`` took the slot. Because the retiree sat in the
-    r10 cohort while BM25 needed a CURRENT-window stamp, three
-    single-query modules cascade one cohort each to keep every
-    cohort at exactly 50 with every stamp gap ≤ the 4-round cadence:
-    zorder (stamp r11 → re-stamped r16 in the r12 cohort),
-    snapshot_diff (r12 → r17 in the r13 cohort), delta_merge (r13 →
-    r18 in the r10 cohort, filling relational's vacated slot). Each
-    hop shortens or preserves that query's stamp gap except the
-    mover's own ≤4-round window, so tests/test_registry.py's
-    staleness floor holds at every future round close.
+    DISPLACEMENT r16 (criterion (i), record in PLANS.md r16):
+    ``rollup_lineitem_flags`` retired to @staged_query
+    (``grouping_sets_orders`` + ``cube_orders_status_priority`` pin
+    the same Expand machinery in general/sugared form) and
+    ``streaming_postcompaction_neardup_flags`` took the slot.
+    Because the retiree sits in the r10 cohort while the promotion
+    needed a CURRENT-window stamp, two single-query modules hop one
+    cohort each: text_entropy (stamp r12 → joins the r13 cohort,
+    re-stamped r17 — legal at the r16 close, floor=12) and
+    quality_ccnet_buckets (stamp r13 → joins the r10 cohort,
+    re-stamped r18 in rollup's vacated relational slot — legal at
+    the r16/r17 closes, floors 12/13). The r15 cascade's remaining
+    movers stay on plan: snapshot_diff (r12) re-stamps r17 in the
+    r13 cohort, delta_merge (r13) re-stamps r18 in the r10 cohort.
 
     SATURATION POLICY (in force since r14 — the registry holds
     exactly 200 queries = 4 windows x 50, so every window is a full
     cohort with zero free slots): the registered surface is CAPPED
     at 200. The steady-state rotation is mechanical, period 4, with
-    the r15 cascade folded in — r16 re-stamps the (post-cascade) r12
-    cohort, r17 the r13 cohort, r18 the r10 cohort, r19 this r15
-    window again; all cohorts verified module-pure (riders
-    accounted). A NEW operator ships under displace-or-stage:
+    the r15/r16 cascades folded in — r17 re-stamps the r13 cohort,
+    r18 the r10 cohort, r19 the r15 window again, r20 THIS r16
+    window; all cohorts verified module-pure (riders accounted). A
+    NEW operator ships under displace-or-stage:
 
-    r16 plan (mechanical, PRE-VERIFIED at r15 close by a
-    fresh-process import probe: the 21 modules below register
-    exactly the 50 expected names — r12 cohort minus
-    snapshot_diff_customers plus zorder_events_keys — zero riders;
-    the displacement variant swaps the single-query text_entropy
-    module for the promoted postcompaction_flags, trivially
-    preserving 50): window = the r12 cohort
-    with the cascade applied — 21 modules: functions similarity (7),
-    curation_ext (4), packing (2), and singles ann_recall / graph /
-    multimodal_audio / sampling_aes / similarity_ivf_kmeans /
-    similarity_ivfadc_query / similarity_ivfpq / similarity_pq /
-    text_entropy; operators tpch_full (7), tpch_partsupp (5),
-    approx (4), json_ops (4), wordcount (3), timeseries_fill (2),
-    and singles linkage / zorder (cascaded IN, replacing
-    snapshot_diff which cascades OUT to the r17 window); streaming:
-    ingest_index_compaction (1). 7+4+2+9 + 7+5+4+4+3+2+2 + 1 = 50.
-    r17 window = r13 cohort (clustering 3, dedup 4, semdedup 2,
-    text_bpe 2, text_bpe_encode 4, histogram 3, scalar_fns 4,
-    setops 4, sources_sinks 5, stats 5, timeseries 6, windows 6,
-    quality_ccnet_buckets 1) + snapshot_diff 1 (cascaded in,
-    replacing delta_merge) = 50. r18 window = r10 cohort (relational
-    now 16 after the retirement, pipelines 10, arrays_maps 6,
-    tpch_more 6, subqueries 5, singles bucketing / cohorts /
-    dedup_simhash / sources_sinks_orc / skew / ingest_dedup_query)
-    + delta_merge 1 = 50. At each round open: re-run the
-    fresh-process probe, swap the window/outside-window sections.
-    PLANNED DISPLACEMENTS on top of this pure rotation (stamp-gap
-    arithmetic verified in PLANS.md r15 "Displacement pairing plan"):
-    r16 retires rollup_lineitem_flags for
-    streaming_postcompaction_neardup_flags (with text_entropy /
-    quality_ccnet_buckets cohort hops), r17 is a pure rotation, r18
-    retires cube_orders_status_priority for text_cms_heavy_hitters
-    (in-window swap, zero hops).
+    r17 plan (pure rotation — NO legal single-module hop exists;
+    verified at r15 close): window = r13 cohort with the cascades
+    applied — clustering 3, dedup 4, semdedup 2, text_bpe 2,
+    text_bpe_encode 4, histogram 3, scalar_fns 4, setops 4,
+    sources_sinks 5, stats 5, timeseries 6, windows 6 +
+    snapshot_diff 1 (r15 cascade, replacing delta_merge) +
+    text_entropy 1 (r16 hop, replacing quality_ccnet_buckets) = 50.
+    r18 window = r10 cohort (relational 15 after the two
+    retirements, pipelines 10, arrays_maps 6, tpch_more 6,
+    subqueries 5, singles bucketing / cohorts / dedup_simhash /
+    sources_sinks_orc / skew / ingest_dedup_query) + delta_merge 1
+    (r15 cascade) + quality_ccnet_buckets 1 (r16 hop, filling
+    rollup's vacated relational slot) = 50. At each round open:
+    re-run the fresh-process probe, swap the window/outside-window
+    sections. PLANNED DISPLACEMENTS on top of this pure rotation
+    (stamp-gap arithmetic verified in PLANS.md r15/r16
+    "Displacement pairing plan"): r18 retires
+    cube_orders_status_priority for text_cms_heavy_hitters
+    (in-window swap against the r10/relational cohort, zero hops);
+    the r19/r20 pairings for the remaining staged queue
+    (Bloom/KMV/t-digest/theta/HLL) are recorded in PLANS.md r16.
 
     (a) DISPLACE — a new @query may take a slot only by retiring an
         existing registered query in the same round (net zero).
@@ -268,34 +263,31 @@ def load_all() -> None:
     """
     # --- inside the WINDOW-slot correctness window ---
     pristine = not QUERIES  # tests may import operator modules first
-    # 26 modules holding 49 r11-stamped names + the r15-promoted
-    # text_bm25_topk (nothing else)
-    from dist_map_reduce_spark.functions import chunking  # noqa: F401
-    from dist_map_reduce_spark.functions import curation  # noqa: F401
-    from dist_map_reduce_spark.functions import curation_funnel  # noqa: F401
-    from dist_map_reduce_spark.functions import embedding_pca  # noqa: F401
-    from dist_map_reduce_spark.functions import lm_bigram  # noqa: F401
-    from dist_map_reduce_spark.functions import lm_score  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal_ext  # noqa: F401
-    from dist_map_reduce_spark.functions import multimodal_image  # noqa: F401
-    from dist_map_reduce_spark.functions import python_udfs  # noqa: F401
-    from dist_map_reduce_spark.functions import quality_model  # noqa: F401
-    from dist_map_reduce_spark.functions import resample_weighted  # noqa: F401
-    from dist_map_reduce_spark.functions import shard_export  # noqa: F401
-    from dist_map_reduce_spark.functions import text  # noqa: F401
-    from dist_map_reduce_spark.functions import text_bm25  # noqa: F401
-    from dist_map_reduce_spark.functions import text_boilerplate  # noqa: F401
-    from dist_map_reduce_spark.functions import text_winnow  # noqa: F401
-    from dist_map_reduce_spark.operators import contribution  # noqa: F401
-    from dist_map_reduce_spark.operators import etl  # noqa: F401
-    from dist_map_reduce_spark.operators import intervals  # noqa: F401
-    from dist_map_reduce_spark.operators import profiling  # noqa: F401
-    from dist_map_reduce_spark.operators import scd  # noqa: F401
-    from dist_map_reduce_spark.operators import sequences  # noqa: F401
-    from dist_map_reduce_spark.operators import skyline  # noqa: F401
-    from dist_map_reduce_spark.operators import stats_robust  # noqa: F401
-    from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401
+    # 21 modules holding 48 post-cascade r12-cohort names +
+    # zorder_events_keys (r15 cascade, stalest stamp on the board) +
+    # the r16-promoted streaming_postcompaction_neardup_flags
+    # (nothing else; text_entropy hopped OUT to the r13 cohort)
+    from dist_map_reduce_spark.functions import ann_recall  # noqa: F401
+    from dist_map_reduce_spark.functions import curation_ext  # noqa: F401
+    from dist_map_reduce_spark.functions import graph  # noqa: F401
+    from dist_map_reduce_spark.functions import multimodal_audio  # noqa: F401
+    from dist_map_reduce_spark.functions import packing  # noqa: F401
+    from dist_map_reduce_spark.functions import sampling_aes  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity_ivf_kmeans  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity_ivfadc_query  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity_ivfpq  # noqa: F401
+    from dist_map_reduce_spark.functions import similarity_pq  # noqa: F401
+    from dist_map_reduce_spark.operators import approx  # noqa: F401
+    from dist_map_reduce_spark.operators import json_ops  # noqa: F401
+    from dist_map_reduce_spark.operators import linkage  # noqa: F401
+    from dist_map_reduce_spark.operators import timeseries_fill  # noqa: F401
+    from dist_map_reduce_spark.operators import tpch_full  # noqa: F401
+    from dist_map_reduce_spark.operators import tpch_partsupp  # noqa: F401
+    from dist_map_reduce_spark.operators import wordcount  # noqa: F401
+    from dist_map_reduce_spark.operators import zorder  # noqa: F401
+    from dist_map_reduce_spark.streaming import ingest_index_compaction  # noqa: F401
+    from dist_map_reduce_spark.streaming import postcompaction_flags  # noqa: F401
 
     # the window cut-line guard only holds in a fresh process (the
     # driver's import path); when a test pre-imports operator
@@ -308,56 +300,62 @@ def load_all() -> None:
             f"register {len(QUERIES)} queries, expected {WINDOW}"
         )
 
-    # --- outside the window: driver-green in r12-r14, unchanged ---
+    # --- outside the window: driver-green in r13-r15, unchanged ---
     from dist_map_reduce_spark.functions import (  # noqa: F401
-        ann_recall,
+        chunking,
         clustering,
-        curation_ext,
+        curation,
+        curation_funnel,
         dedup,
         dedup_simhash,
-        graph,
-        multimodal_audio,
-        packing,
+        embedding_pca,
+        lm_bigram,
+        lm_score,
+        multimodal,
+        multimodal_ext,
+        multimodal_image,
+        python_udfs,
         quality_ccnet_buckets,
-        sampling_aes,
+        quality_model,
+        resample_weighted,
         semdedup,
-        similarity,
-        similarity_ivf_kmeans,
-        similarity_ivfadc_query,
-        similarity_ivfpq,
-        similarity_pq,
+        shard_export,
+        text,
+        text_bm25,
+        text_boilerplate,
         text_bpe,
         text_bpe_encode,
         text_dupngrams,
         text_entropy,
+        text_winnow,
     )
     from dist_map_reduce_spark.operators import (  # noqa: F401
-        approx,
         arrays_maps,
         bucketing,
         cohorts,
+        contribution,
         delta_merge,
+        etl,
         histogram,
-        json_ops,
-        linkage,
+        intervals,
+        profiling,
         relational,
         scalar_fns,
+        scd,
+        sequences,
         setops,
         skew,
+        skyline,
         snapshot_diff,
         sources_sinks,
         sources_sinks_orc,
         stats,
+        stats_robust,
         subqueries,
         timeseries,
-        timeseries_fill,
-        tpch_full,
         tpch_more,
-        tpch_partsupp,
         windows,
-        wordcount,
-        zorder,
     )
     from dist_map_reduce_spark.streaming import ingest_dedup_query  # noqa: F401
-    from dist_map_reduce_spark.streaming import ingest_index_compaction  # noqa: F401
     from dist_map_reduce_spark.streaming import pipelines  # noqa: F401
+    from dist_map_reduce_spark.streaming import wordcount_stream  # noqa: F401

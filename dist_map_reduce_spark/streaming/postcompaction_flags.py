@@ -30,10 +30,10 @@ is one semi-join of 4·|probe| band rows against the compacted index
 corpus that a production deployment would broadcast per delivery;
 everything else is the compaction query's own posture (SCALE.md
 §Streaming). Window discipline: module scope imports only
-registration-free modules; STAGED-FOREVER under the r13 saturation
-policy (registry.load_all docstring) — oracle-parity-tested every
-run by tests/test_staged_parity.py, bench-tracked, never occupying
-a driver window slot unless a future displacement opens one.
+registration-free modules; PROMOTED to @query in the r16
+displacement (retiree: rollup_lineitem_flags, PLANS.md r16) after
+two rounds staged-forever — its import now lives in
+registry.load_all's window section.
 
 Reference parity: the reference engine has no streaming or index
 surface (/root/reference/src/worker/worker.go:131-218); this belongs
@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.functions.dedup_common import _minhash_bands_sql
-from dist_map_reduce_spark.registry import staged_query
+from dist_map_reduce_spark.registry import query
 from dist_map_reduce_spark.scratch import scratch_path as _scratch
 from dist_map_reduce_spark.streaming.ingest_dedup import (
     N_INGEST_BATCHES,
@@ -101,7 +101,7 @@ def _probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "streaming_postcompaction_neardup_flags",
     oracle=f"""
     WITH d AS (

@@ -462,15 +462,15 @@ def test_ccnet_buckets_plan_shape(spark):
 
 
 def test_postcompaction_flags_plan_shape(spark):
-    """The staged-forever post-compaction flag query's read path:
-    zero-shuffle row-wise probe banding feeding ONE semi-join against
-    the compacted index (broadcast at fixture scale; a production
-    delivery would broadcast the index side too), a keyed distinct —
-    no Cartesian, no SortAggregate, and no Window (the flag is a
-    membership semi-join, not a ranked scan)."""
-    registry.load_staged()
+    """The post-compaction flag query's read path (PROMOTED to
+    @query in the r16 displacement): zero-shuffle row-wise probe
+    banding feeding ONE semi-join against the compacted index
+    (broadcast at fixture scale; a production delivery would
+    broadcast the index side too), a keyed distinct — no Cartesian,
+    no SortAggregate, and no Window (the flag is a membership
+    semi-join, not a ranked scan)."""
     plan = (
-        registry.STAGED_QUERIES["streaming_postcompaction_neardup_flags"](
+        registry.QUERIES["streaming_postcompaction_neardup_flags"](
             spark, SF_SMOKE
         )
         ._jdf.queryExecution()

@@ -128,7 +128,9 @@ def test_staged_modules_register_no_unexpected_riders():
         "c = set(registry.QUERIES) - a - b\n"
         # the staged-forever modules must register ZERO @query entries
         # at import, even in a pristine pre-load_all process
-        "from dist_map_reduce_spark.streaming import postcompaction_flags\n"
+        # (postcompaction_flags left this list when the r16
+        # displacement promoted it to @query)
+        "from dist_map_reduce_spark.functions import text_bloom\n"
         "from dist_map_reduce_spark.functions import text_cms\n"
         "d = set(registry.QUERIES) - a - b - c\n"
         "assert not d, f'staged modules registered @query riders: {d}'\n"
@@ -152,11 +154,11 @@ def test_staged_modules_register_no_unexpected_riders():
     )
     assert ccnet.strip() == "['quality_ccnet_buckets']", ccnet
     assert merge.strip() == "['cdc_merge_upsert_orders']", merge
-    # the staged-forever probe set (text_bm25 was PROMOTED in r15's
-    # displacement, so a sketch module stands in as the
-    # registration-free staged exemplar here)
+    # the staged-forever probe set (text_bm25 / postcompaction_flags
+    # were PROMOTED in the r15/r16 displacements, so two sketch
+    # modules stand in as the registration-free staged exemplars)
     assert staged.strip() == (
-        "['streaming_postcompaction_neardup_flags', 'text_cms_heavy_hitters']"
+        "['text_bloom_decontaminate', 'text_cms_heavy_hitters']"
     ), staged
 
 

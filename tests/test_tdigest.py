@@ -203,3 +203,63 @@ def test_partition_path_matches_rank_band_and_shuffles_nothing(spark):
     )
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_partition_path_closed_loop_all_scales(spark):
+    """Closed-loop certification of the PRODUCTION path (VERDICT r15
+    #5): at every fixture scale, (a) the merged partition digest's
+    total weight equals the exact row count — mass is conserved
+    through build AND merge, the cross-engine-checkable half of the
+    digest contract — and (b) the partition-path panel sits inside
+    the SAME p +/- slack exact-rank envelope the certified query is
+    held to (rank space is the digest's contractual error unit;
+    absolute value error is distribution-scaled and incidentally
+    looser/tighter per fixture). Engine-vs-engine only — no DuckDB."""
+    from pyspark.sql import functions as F
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.operators.tdigest import (
+        PROBES,
+        merge_digests,
+        partition_digests,
+        tdigest_partition_quantiles,
+    )
+
+    lo_ps = [max(p - _RANK_SLACK, 0.0) for p in PROBES]
+    hi_ps = [min(p + _RANK_SLACK, 1.0) for p in PROBES]
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        ev = load_table(spark, sf_dir, "events")
+        n_exact = ev.count()
+        g = (
+            merge_digests(partition_digests(ev, "value"), "part")
+            .agg(
+                F.sum("gw").alias("total_w"),
+                F.max("n_total").alias("n_total"),
+            )
+            .collect()[0]
+        )
+        assert g.total_w == n_exact == g.n_total, (
+            f"{sf_dir}: merged weight {g.total_w} / n_total "
+            f"{g.n_total} != exact rows {n_exact}"
+        )
+        pdf = (
+            tdigest_partition_quantiles(spark, ev, "value")
+            .toPandas()
+            .sort_values("p")
+            .reset_index(drop=True)
+        )
+        lo = ev.selectExpr(
+            f"percentile(value, array({', '.join(map(repr, lo_ps))})) AS a"
+        ).collect()[0].a
+        hi = ev.selectExpr(
+            f"percentile(value, array({', '.join(map(repr, hi_ps))})) AS a"
+        ).collect()[0].a
+        for i, row in pdf.iterrows():
+            assert lo[i] <= row.tdigest_v <= hi[i], (
+                f"{sf_dir} p={row.p}: partition-path estimate "
+                f"{row.tdigest_v} outside [{lo[i]}, {hi[i]}]"
+            )

@@ -116,15 +116,19 @@ STAGED_PROBES = [
 ]
 
 
-# which synth tables each probe family reads — documents/embeddings
-# cover the default probe panel; orders/events exist for the probes
-# named here. synth() skips tables no selected probe needs (an
-# explicit 100x subset run should not pay a 100x replication of
-# tables it never scans — r15 review).
+# which synth table each probe reads — synth() replicates only the
+# tables the selected probes scan (an explicit 100x subset run must
+# not pay a 100x replication of tables it never reads — r15 review;
+# r16 closed the gap where documents+embeddings were still always
+# built). Default family is documents-shaped; the exceptions:
 _TABLE_NEEDS = {
     "cdc_merge_upsert_orders": "orders",
     "hll_native_customer_cardinality": "orders",
     "tdigest_quantile_merge": "events",
+    "similarity_lsh_buckets": "embeddings",
+    "semdedup_prune_list": "embeddings",
+    "embedding_gramian": "embeddings",
+    "similarity_ann_ivfadc_topk": "embeddings",
 }
 
 
@@ -260,9 +264,7 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown probe names: {sorted(unknown)}")
         probes = [n for n in probes if n in wanted]
-        tables = {"documents", "embeddings"} | {
-            _TABLE_NEEDS[n] for n in probes if n in _TABLE_NEEDS
-        }
+        tables = {_TABLE_NEEDS.get(n, "documents") for n in probes}
     big = synth(spark, replicas, tables)
     registry.QUERIES["wordcount"](spark, BASE).count()  # JVM warm-up
     base_t = run(spark, BASE, probes)
