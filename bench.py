@@ -178,6 +178,13 @@ HEADLINE = [
     # r16 EXTRA (library twin, like tdigest_partition_path): the
     # zero-shuffle per-Arrow-batch reservoir build
     "reservoir_partition_path",
+    # r16 STAGED-FOREVER addition: bounded-window EWMA smoothing per
+    # event series (one window, exact power-of-two weights)
+    "events_ewma_smooth",
+    # r16 STAGED-FOREVER addition: recursive CTE hierarchy traversal
+    # (Spark 4 WITH RECURSIVE over the parent(k)=k DIV 2 order
+    # forest, log-bounded depth)
+    "recursive_order_lineage",
 ]
 
 

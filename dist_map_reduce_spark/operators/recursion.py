@@ -1,0 +1,95 @@
+"""Recursive CTE hierarchy traversal (staged-forever, r16) — the
+engine's first exercise of Spark 4's ``WITH RECURSIVE`` SQL surface
+(SPARK-24497, new in 4.0), the declarative form of iterative
+fixpoint computation that the graph family (pagerank / star-
+contraction connected components) drives imperatively from the
+driver loop. Both shapes belong in the surface: the driver loop owns
+convergence-tested iteration (unknown trip count, per-round
+persist), the recursive CTE owns structural traversal whose depth
+the data bounds — org charts, bill-of-materials, thread trees.
+
+The fixture has no parent-pointer table, so the query derives a
+deterministic forest from the orders PK: parent(k) = k DIV 2 for
+k >= 2 when that key exists in orders; keys 0 and 1 are always
+roots (0 halves to itself and 1 halves to 0 — without the k < 2
+floor, a dense keyset containing 0 has a self-loop and NO roots,
+which is exactly what the fixture's dense 0..N keys exposed: both
+engines agreed on an EMPTY result, a vacuous parity). The forest is
+a pure function of the key set, identical in both engines; sparse
+TPC-H-proper keysets (8 of every 32) produce many roots via the
+NOT EXISTS arm, dense fixtures produce the {0, 1}-rooted binary
+tree. The traversal seeds at the roots and walks DOWN
+(child joins frontier on ``child_key DIV 2 = frontier_key``), so
+every order is reached exactly once: total recursive work is
+O(N · depth) with depth ≤ log2(max_key) by construction — the
+log-bounded recursion the 100 TB posture needs (each level is one
+equi-join of the frontier against the orders PK; Spark executes the
+loop as UnionLoop with the same join physics as any other equi-join,
+AQE sizing each level's exchange).
+
+Output is depth-level (≤ log2(max_key) rows): order count, distinct
+root count, and exact DECIMAL-accumulated revenue per depth
+(money.sum_money — the engine-order-independent sum). The SQL text
+is shared between engines except for the integer-division spelling
+(Spark ``DIV`` vs DuckDB ``//``), the single-source-of-truth
+discipline of money.py.
+
+Reference parity: the reference has no recursion or iteration
+surface at all (one-shot map/reduce word count,
+/root/reference/src/worker/worker.go:270-288); this extends the
+engine's iterative family alongside functions/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dist_map_reduce_spark.catalog import load_table
+from dist_map_reduce_spark.money import sum_money
+from dist_map_reduce_spark.registry import staged_query
+
+
+def _lineage_sql(table: str, intdiv: str) -> str:
+    """The shared recursive-traversal text: ``table`` is the orders
+    relation name, ``intdiv`` the dialect's integer-division operator
+    (the ONLY dialect difference)."""
+    return f"""
+    WITH RECURSIVE lineage AS (
+      SELECT o.o_orderkey AS okey, o.o_totalprice AS price,
+             CAST(0 AS INT) AS depth, o.o_orderkey AS root
+      FROM {table} o
+      WHERE o.o_orderkey < 2 OR NOT EXISTS (
+        SELECT 1 FROM {table} p
+        WHERE p.o_orderkey = o.o_orderkey {intdiv} 2
+      )
+      UNION ALL
+      SELECT c.o_orderkey, c.o_totalprice, l.depth + 1, l.root
+      FROM {table} c
+      JOIN lineage l ON c.o_orderkey {intdiv} 2 = l.okey
+      WHERE c.o_orderkey >= 2
+    )
+    SELECT depth,
+           count(*) AS n_orders,
+           count(DISTINCT root) AS n_roots,
+           {sum_money("price", "depth_revenue")}
+    FROM lineage
+    GROUP BY depth
+    """
+
+
+_VIEW = "recursion_orders_v"  # query-private temp view name
+
+
+@staged_query(
+    "recursive_order_lineage",
+    oracle=_lineage_sql("orders", "//"),
+)
+def recursive_order_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-level rollup of the parent(k) = k DIV 2 order forest via
+    a Spark recursive CTE: (depth, n_orders, n_roots, depth_revenue)
+    for every depth reached. Roots are keys whose halved key is
+    absent from orders; every order appears at exactly one depth, so
+    sum(n_orders) == |orders| and depth 0 carries one row per root.
+    STAGED-FOREVER under the saturation policy (registry.load_all)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(_VIEW)
+    return spark.sql(_lineage_sql(_VIEW, "DIV"))

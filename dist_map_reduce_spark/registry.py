@@ -155,6 +155,17 @@ def load_staged() -> None:
     # rank against the direct bottom-K (VERDICT r15 #2's named
     # candidate, completing the mergeable-summaries family).
     from dist_map_reduce_spark.functions import reservoir  # noqa: F401
+    # STAGED-FOREVER (r16): EWMA smoothing — bounded-window
+    # adjust=True exponential moving average per event series, all
+    # weights exact powers of two (no transcendental pow on either
+    # engine), the recency-weighted complement to the box-filter
+    # moving average.
+    from dist_map_reduce_spark.operators import timeseries_ewma  # noqa: F401
+    # STAGED-FOREVER (r16): recursive CTE hierarchy traversal — the
+    # first exercise of Spark 4's WITH RECURSIVE (SPARK-24497):
+    # depth-level rollup of the parent(k) = k DIV 2 order forest,
+    # log-bounded recursion, shared SQL text across engines.
+    from dist_map_reduce_spark.operators import recursion  # noqa: F401
 
 
 def load_all() -> None:

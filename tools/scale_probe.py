@@ -113,6 +113,21 @@ STAGED_PROBES = [
     # documents-only; claim: one scan + one <=10-key combined
     # aggregate, the cheapest shape in the repo
     "length_bucket_padding_waste",
+    # staged-forever r16: mergeable reservoir sampling —
+    # documents-only; claim: one scan + WindowGroupLimit (map-side
+    # bounded per-source reservoirs, partial -> final), everything
+    # after is K-row (K=64) sketch-scale algebra
+    "reservoir_merge_sample",
+    # staged-forever r16: EWMA smoothing — events-shaped; claim: one
+    # series-keyed window with a bounded 32-row frame, so wall is
+    # the per-series sort (linear shuffle + sort, no corpus-scale
+    # join anywhere)
+    "events_ewma_smooth",
+    # staged-forever r16: recursive CTE traversal — orders-shaped;
+    # claim: O(N · depth) total recursive work with depth bounded by
+    # log2(max orderkey), i.e. one frontier equi-join per level and
+    # the level count grows only logarithmically with the keyspace
+    "recursive_order_lineage",
 ]
 
 
@@ -124,7 +139,9 @@ STAGED_PROBES = [
 _TABLE_NEEDS = {
     "cdc_merge_upsert_orders": "orders",
     "hll_native_customer_cardinality": "orders",
+    "recursive_order_lineage": "orders",
     "tdigest_quantile_merge": "events",
+    "events_ewma_smooth": "events",
     "similarity_lsh_buckets": "embeddings",
     "semdedup_prune_list": "embeddings",
     "embedding_gramian": "embeddings",
