@@ -63,7 +63,8 @@ def _lineage_sql(table: str, intdiv: str) -> str:
         WHERE p.o_orderkey = o.o_orderkey {intdiv} 2
       )
       UNION ALL
-      SELECT c.o_orderkey, c.o_totalprice, l.depth + 1, l.root
+      SELECT /*+ MERGE(l) */
+             c.o_orderkey, c.o_totalprice, l.depth + 1, l.root
       FROM {table} c
       JOIN lineage l ON c.o_orderkey {intdiv} 2 = l.okey
       WHERE c.o_orderkey >= 2
@@ -91,5 +92,23 @@ def recursive_order_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent from orders; every order appears at exactly one depth, so
     sum(n_orders) == |orders| and depth 0 carries one row per root.
     STAGED-FOREVER under the saturation policy (registry.load_all)."""
+    # Spark guards recursive CTEs with TWO safety valves: a level
+    # limit (spark.sql.cteRecursionLevelLimit, default 100) and a
+    # TOTAL-ROW limit (spark.sql.cteRecursionRowLimit, default 1e6).
+    # The row valve scales with DATA SIZE, not recursion health — a
+    # perfectly log-bounded traversal of a 10M-row orders table trips
+    # it (found by the 10x scale probe: RECURSION_ROW_LIMIT_EXCEEDED
+    # at 1.5M orders). Lift it and lean on the level limit, which is
+    # what actually catches runaway recursion here: depth is
+    # log2(max_key) by construction, far under 100.
+    #
+    # The MERGE(l) hint in the recursive arm is the second scale
+    # lesson the 100x probe paid for: the CTE self-reference has no
+    # statistics, so Catalyst defaulted to BROADCASTING the frontier
+    # — which at depth 1 can be nearly the whole table (driver OOM
+    # at 15M orders). Never broadcast a relation whose size you
+    # cannot bound; the hint pins the frontier join to sort-merge
+    # (DuckDB reads the hint as a plain comment).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(_VIEW)
     return spark.sql(_lineage_sql(_VIEW, "DIV"))
