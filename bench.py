@@ -185,6 +185,10 @@ HEADLINE = [
     # (Spark 4 WITH RECURSIVE over the parent(k)=k DIV 2 order
     # forest, log-bounded depth)
     "recursive_order_lineage",
+    # r16 STAGED-FOREVER addition: watermarked stream-stream LEFT
+    # OUTER join (state-expiry-driven null emission, min-policy
+    # watermark cut mirrored by the oracle)
+    "streaming_stream_stream_left_join",
 ]
 
 

@@ -166,6 +166,10 @@ def load_staged() -> None:
     # depth-level rollup of the parent(k) = k DIV 2 order forest,
     # log-bounded recursion, shared SQL text across engines.
     from dist_map_reduce_spark.operators import recursion  # noqa: F401
+    # STAGED-FOREVER (r16): watermarked stream-stream LEFT OUTER
+    # join — null-padded emission driven by state expiry, the oracle
+    # re-deriving Spark's min-policy ms-floored watermark cut.
+    from dist_map_reduce_spark.streaming import outer_join  # noqa: F401
 
 
 def load_all() -> None:

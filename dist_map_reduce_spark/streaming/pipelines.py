@@ -75,11 +75,21 @@ class FileSource:
 
     def read(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")  # see catalog.py
+        # pathGlobFilter matches FILES only: the fixture ships the
+        # table as a single file named <glob>, but a synthesized or
+        # production table is a DIRECTORY of part files under that
+        # name (the scale-probe corpus) — stream the directory
+        # itself in that case
+        path = self.path
+        if path is None:
+            cand = os.path.join(sf_dir, self.glob)
+            if os.path.isdir(cand):
+                path = cand
         # pin the stream schema from a batch read of the SAME files
         # the glob selects (not hard-coded to events: the stream may
         # replay any fixture table, e.g. documents for wordcount)
-        if self.path is not None:
-            schema = spark.read.parquet(self.path).schema
+        if path is not None:
+            schema = spark.read.parquet(path).schema
         else:
             schema = (
                 spark.read.option("pathGlobFilter", self.glob)
@@ -87,13 +97,13 @@ class FileSource:
                 .schema
             )
         reader = spark.readStream.schema(schema).format("parquet")
-        if self.path is None:
+        if path is None:
             reader = reader.option("pathGlobFilter", self.glob)
         if self.max_files_per_trigger is not None:
             reader = reader.option(
                 "maxFilesPerTrigger", str(self.max_files_per_trigger)
             )
-        return _normalize_ts(reader.load(self.path or sf_dir))
+        return _normalize_ts(reader.load(path or sf_dir))
 
 
 @dataclass(frozen=True)

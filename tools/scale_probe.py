@@ -128,6 +128,11 @@ STAGED_PROBES = [
     # log2(max orderkey), i.e. one frontier equi-join per level and
     # the level count grows only logarithmically with the keyspace
     "recursive_order_lineage",
+    # staged-forever r16: stream-stream LEFT OUTER join —
+    # events-shaped; claim: same state bound as the inner join
+    # (~watermark + join bound of events per side), outer emission
+    # changes WHEN rows release, not how much state is held
+    "streaming_stream_stream_left_join",
 ]
 
 
@@ -142,6 +147,7 @@ _TABLE_NEEDS = {
     "recursive_order_lineage": "orders",
     "tdigest_quantile_merge": "events",
     "events_ewma_smooth": "events",
+    "streaming_stream_stream_left_join": "events",
     "similarity_lsh_buckets": "embeddings",
     "semdedup_prune_list": "embeddings",
     "embedding_gramian": "embeddings",
