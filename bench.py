@@ -189,6 +189,14 @@ HEADLINE = [
     # OUTER join (state-expiry-driven null emission, min-policy
     # watermark cut mirrored by the oracle)
     "streaming_stream_stream_left_join",
+    # r16 STAGED-FOREVER addition: streaming HLL — per-micro-batch
+    # registers max-merged across 4 real replay batches, one-pass
+    # oracle certifies the mergeability contract
+    "streaming_hll_merge",
+    # r16 STAGED-FOREVER addition: custom Python Data Source
+    # (SPARK-44076) — md5-derived synthetic table, oracle replays
+    # the generation spec with generate_series
+    "python_datasource_synth",
 ]
 
 

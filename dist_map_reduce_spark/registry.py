@@ -170,6 +170,16 @@ def load_staged() -> None:
     # join — null-padded emission driven by state expiry, the oracle
     # re-deriving Spark's min-policy ms-floored watermark cut.
     from dist_map_reduce_spark.streaming import outer_join  # noqa: F401
+    # STAGED-FOREVER (r16): streaming HLL — per-micro-batch register
+    # tables max-merged across 4 real replay batches, estimate read
+    # out with hll_native's transcendental-free estimator; the
+    # oracle's one-pass rebuild certifies merge == one-pass.
+    from dist_map_reduce_spark.streaming import hll_stream  # noqa: F401
+    # STAGED-FOREVER (r16): custom Python Data Source (SPARK-44076)
+    # — deterministic md5-derived synthetic table generated by a
+    # registered DataSource, value-certified by the oracle's
+    # generate_series replay of the same spec.
+    from dist_map_reduce_spark.operators import python_datasource  # noqa: F401,E501
 
 
 def load_all() -> None:

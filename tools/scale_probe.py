@@ -133,6 +133,15 @@ STAGED_PROBES = [
     # (~watermark + join bound of events per side), outer emission
     # changes WHEN rows release, not how much state is held
     "streaming_stream_stream_left_join",
+    # staged-forever r16: streaming HLL — events-shaped; claim:
+    # per-batch work is one 64-group map-side-combined aggregate,
+    # carried state is exactly 64 integers regardless of corpus size
+    "streaming_hll_merge",
+    # staged-forever r16: custom Python Data Source — events-shaped
+    # (row count from the events footer); claim: per-partition
+    # generation is embarrassingly parallel, the aggregate JVM-side;
+    # wall is the per-row Python md5 loop, linear and core-amortized
+    "python_datasource_synth",
 ]
 
 
@@ -148,6 +157,8 @@ _TABLE_NEEDS = {
     "tdigest_quantile_merge": "events",
     "events_ewma_smooth": "events",
     "streaming_stream_stream_left_join": "events",
+    "streaming_hll_merge": "events",
+    "python_datasource_synth": "events",
     "similarity_lsh_buckets": "embeddings",
     "semdedup_prune_list": "embeddings",
     "embedding_gramian": "embeddings",
