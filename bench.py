@@ -197,6 +197,14 @@ HEADLINE = [
     # (SPARK-44076) — md5-derived synthetic table, oracle replays
     # the generation spec with generate_series
     "python_datasource_synth",
+    # r16 STAGED-FOREVER addition: AMS / count-sketch F2 moment
+    # (signed counter grids per source, element-wise-sum merge,
+    # exact rank-3-of-5 median graded against the exact F2)
+    "text_ams_f2_moment",
+    # r16 STAGED-FOREVER addition: incremental aggregate maintenance
+    # (signed CDC deltas folded into the per-group aggregate,
+    # certified against the full recompute with exact DECIMALs)
+    "ivm_orders_agg_maintenance",
 ]
 
 

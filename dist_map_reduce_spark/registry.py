@@ -180,6 +180,17 @@ def load_staged() -> None:
     # registered DataSource, value-certified by the oracle's
     # generate_series replay of the same spec.
     from dist_map_reduce_spark.operators import python_datasource  # noqa: F401,E501
+    # STAGED-FOREVER (r16): incremental aggregate maintenance (IVM)
+    # — the cdc_merge change feed folded into a materialized per-
+    # group aggregate as signed deltas (delta-sized work), certified
+    # in-plan against the full recompute with exact DECIMAL equality.
+    from dist_map_reduce_spark.operators import agg_ivm  # noqa: F401
+    # STAGED-FOREVER (r16): AMS / count-sketch second frequency
+    # moment — signed counter grids per source, element-wise-sum
+    # merge certified in-plan, exact median over R rows graded
+    # against the exact F2 (the frequency-moment class completing
+    # the mergeable-summaries family).
+    from dist_map_reduce_spark.functions import text_ams  # noqa: F401
 
 
 def load_all() -> None:

@@ -142,6 +142,18 @@ STAGED_PROBES = [
     # generation is embarrassingly parallel, the aggregate JVM-side;
     # wall is the per-row Python md5 loop, linear and core-amortized
     "python_datasource_synth",
+    # staged-forever r16: AMS / count-sketch F2 — documents-only;
+    # claim: wordcount-shaped (one explode + one combined (source,
+    # word) groupBy); the R=5-branch sketch fan-out is vocabulary-
+    # scale and the counter/median algebra sketch-scale, so the
+    # ratio should track text_cms_heavy_hitters'
+    "text_ams_f2_moment",
+    # staged-forever r16: incremental aggregate maintenance —
+    # orders-shaped; claim: BOTH arms are single map-side-combined
+    # aggregates over the bucketed scan (the recompute arm is the
+    # certification and dominates), so the ratio should track
+    # cdc_merge's scan-bound profile, not a join blow-up
+    "ivm_orders_agg_maintenance",
 ]
 
 
@@ -152,6 +164,7 @@ STAGED_PROBES = [
 # built). Default family is documents-shaped; the exceptions:
 _TABLE_NEEDS = {
     "cdc_merge_upsert_orders": "orders",
+    "ivm_orders_agg_maintenance": "orders",
     "hll_native_customer_cardinality": "orders",
     "recursive_order_lineage": "orders",
     "tdigest_quantile_merge": "events",
