@@ -205,6 +205,10 @@ HEADLINE = [
     # (signed CDC deltas folded into the per-group aggregate,
     # certified against the full recompute with exact DECIMALs)
     "ivm_orders_agg_maintenance",
+    # r16 STAGED-FOREVER addition: exact-budget stratified sampling
+    # (Hamilton largest-remainder quotas + md5 bottom-quota per
+    # stratum, sample content certified by the sampled-id sum)
+    "stratified_hamilton_sample",
 ]
 
 

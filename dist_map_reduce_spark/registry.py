@@ -185,6 +185,11 @@ def load_staged() -> None:
     # group aggregate as signed deltas (delta-sized work), certified
     # in-plan against the full recompute with exact DECIMAL equality.
     from dist_map_reduce_spark.operators import agg_ivm  # noqa: F401
+    # STAGED-FOREVER (r16): exact-budget stratified sampling —
+    # Hamilton largest-remainder apportionment (integer end-to-end)
+    # over per-source doc counts, sample content certified by the
+    # sampled-id sum, sum(quota) == BUDGET pinned by a total row.
+    from dist_map_reduce_spark.functions import sampling_strata  # noqa: F401,E501
     # STAGED-FOREVER (r16): AMS / count-sketch second frequency
     # moment — signed counter grids per source, element-wise-sum
     # merge certified in-plan, exact median over R rows graded

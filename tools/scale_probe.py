@@ -154,6 +154,12 @@ STAGED_PROBES = [
     # certification and dominates), so the ratio should track
     # cdc_merge's scan-bound profile, not a join blow-up
     "ivm_orders_agg_maintenance",
+    # staged-forever r16: Hamilton stratified sampler —
+    # documents-only; claim: the corpus-scale stages are one count
+    # aggregate and one WindowGroupLimit bottom-BUDGET (no full
+    # per-stratum sort — the reservoir shape); apportionment is
+    # |strata|-row arithmetic, free at any scale
+    "stratified_hamilton_sample",
 ]
 
 
