@@ -209,6 +209,10 @@ HEADLINE = [
     # (Hamilton largest-remainder quotas + md5 bottom-quota per
     # stratum, sample content certified by the sampled-id sum)
     "stratified_hamilton_sample",
+    # r16 STAGED-FOREVER addition: streaming reservoir sample
+    # (bottom-K race tags as micro-batch state; parity vs the
+    # one-pass bottom-K IS the mergeability certification)
+    "streaming_reservoir_sample",
 ]
 
 

@@ -185,6 +185,11 @@ def load_staged() -> None:
     # group aggregate as signed deltas (delta-sized work), certified
     # in-plan against the full recompute with exact DECIMAL equality.
     from dist_map_reduce_spark.operators import agg_ivm  # noqa: F401
+    # STAGED-FOREVER (r16): streaming reservoir sample — bottom-K
+    # race tags as micro-batch state (idempotent merge, K-row state
+    # forever); full value-hash parity against the one-pass bottom-K
+    # IS the mergeability certification.
+    from dist_map_reduce_spark.streaming import reservoir_stream  # noqa: F401,E501
     # STAGED-FOREVER (r16): exact-budget stratified sampling —
     # Hamilton largest-remainder apportionment (integer end-to-end)
     # over per-source doc counts, sample content certified by the

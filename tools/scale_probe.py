@@ -160,6 +160,11 @@ STAGED_PROBES = [
     # per-stratum sort — the reservoir shape); apportionment is
     # |strata|-row arithmetic, free at any scale
     "stratified_hamilton_sample",
+    # staged-forever r16: streaming reservoir — events-shaped;
+    # claim: per-batch work is one TakeOrdered bottom-K over the
+    # batch, carried state is exactly K rows at any corpus size
+    # (the streaming_hll_merge posture with sample-sized state)
+    "streaming_reservoir_sample",
 ]
 
 
@@ -177,6 +182,7 @@ _TABLE_NEEDS = {
     "events_ewma_smooth": "events",
     "streaming_stream_stream_left_join": "events",
     "streaming_hll_merge": "events",
+    "streaming_reservoir_sample": "events",
     "python_datasource_synth": "events",
     "similarity_lsh_buckets": "embeddings",
     "semdedup_prune_list": "embeddings",
