@@ -213,6 +213,12 @@ HEADLINE = [
     # (bottom-K race tags as micro-batch state; parity vs the
     # one-pass bottom-K IS the mergeability certification)
     "streaming_reservoir_sample",
+    # r16 STAGED-FOREVER addition: LATERAL correlated top-N with
+    # LIMIT, decorrelated to WindowGroupLimit + one equi-join
+    "lateral_topn_orders_per_customer",
+    # r16 STAGED-FOREVER addition: mapInArrow text statistics
+    # (pyarrow.compute kernels, zero pandas; JVM twin pinned)
+    "arrow_text_stats_per_source",
 ]
 
 

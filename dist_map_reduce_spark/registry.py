@@ -185,6 +185,15 @@ def load_staged() -> None:
     # group aggregate as signed deltas (delta-sized work), certified
     # in-plan against the full recompute with exact DECIMAL equality.
     from dist_map_reduce_spark.operators import agg_ivm  # noqa: F401
+    # STAGED-FOREVER (r16): mapInArrow text statistics — the UDF
+    # surface's zero-copy member (pyarrow.compute kernels over the
+    # plan's RecordBatches, no pandas), JVM twin pinned row-for-row.
+    from dist_map_reduce_spark.functions import arrow_native  # noqa: F401,E501
+    # STAGED-FOREVER (r16): LATERAL correlated derived table with
+    # LIMIT — top-N-per-key as SQL writes it, decorrelated by Spark
+    # into WindowGroupLimit + one equi-join (plan-pinned), completing
+    # the Spark-4 surface story (UDTF/VARIANT/RECURSIVE/DataSource).
+    from dist_map_reduce_spark.operators import lateral  # noqa: F401
     # STAGED-FOREVER (r16): streaming reservoir sample — bottom-K
     # race tags as micro-batch state (idempotent merge, K-row state
     # forever); full value-hash parity against the one-pass bottom-K

@@ -165,6 +165,15 @@ STAGED_PROBES = [
     # batch, carried state is exactly K rows at any corpus size
     # (the streaming_hll_merge posture with sample-sized state)
     "streaming_reservoir_sample",
+    # staged-forever r16: LATERAL top-N — orders-shaped; claim: the
+    # decorrelated plan is one WindowGroupLimit pass over orders +
+    # one equi-join, so the ratio should track the reservoir family
+    # (bounded per-key top-N, never a full per-key sort)
+    "lateral_topn_orders_per_customer",
+    # staged-forever r16: mapInArrow stats — documents-only; claim:
+    # a stateless per-batch Arrow projection is scan-bound and
+    # core-amortized, with none of mapInPandas' per-string boxing
+    "arrow_text_stats_per_source",
 ]
 
 
@@ -176,6 +185,7 @@ STAGED_PROBES = [
 _TABLE_NEEDS = {
     "cdc_merge_upsert_orders": "orders",
     "ivm_orders_agg_maintenance": "orders",
+    "lateral_topn_orders_per_customer": "orders",
     "hll_native_customer_cardinality": "orders",
     "recursive_order_lineage": "orders",
     "tdigest_quantile_merge": "events",
@@ -277,6 +287,18 @@ def synth(spark, replicas: int, tables: set | None = None) -> str:
         reps.write.mode("overwrite").parquet(
             os.path.join(out, "events.parquet")
         )
+    # any fixture table NOT replicated above gets symlinked at BASE
+    # scale, so probes that join a replicated fact against an
+    # unreplicated dimension (lateral_topn: orders x customer) still
+    # resolve every table — dimension stays fixture-sized by design
+    # (the realistic shape: facts grow, dimensions don't)
+    from dist_map_reduce_spark.catalog import TABLES, table_path
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(table_path(BASE, name), dst)
     return out
 
 
