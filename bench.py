@@ -219,6 +219,10 @@ HEADLINE = [
     # r16 STAGED-FOREVER addition: mapInArrow text statistics
     # (pyarrow.compute kernels, zero pandas; JVM twin pinned)
     "arrow_text_stats_per_source",
+    # r16 STAGED-FOREVER addition: PSI distribution-drift monitor
+    # (integer equi-width buckets, Laplace smoothing, round-after-ln;
+    # the bucket=-1 row is the drift scalar)
+    "drift_psi_orders",
 ]
 
 

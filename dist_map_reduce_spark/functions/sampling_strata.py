@@ -74,7 +74,7 @@ WITH base AS (
 sizes AS (
   SELECT source, count(*) AS n_docs FROM base GROUP BY source
 ),
-tot AS (SELECT sum(n_docs) AS n_total FROM sizes),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM sizes),
 alloc0 AS (
   SELECT s.source, s.n_docs,
          ({BUDGET} * s.n_docs) // t.n_total AS base_quota,

@@ -105,7 +105,8 @@ recomputed AS (
          sum(CAST(o_totalprice AS {_DEC})) AS rev
   FROM merged GROUP BY o_orderstatus
 )
-SELECT m.grp, m.n_orders,
+SELECT m.grp,
+       CAST(m.n_orders AS BIGINT) AS n_orders,
        CAST(round(m.rev, 2) AS DOUBLE) AS revenue,
        r.n_orders AS n_orders_full,
        CAST(round(r.rev, 2) AS DOUBLE) AS revenue_full,

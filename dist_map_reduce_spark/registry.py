@@ -185,6 +185,11 @@ def load_staged() -> None:
     # group aggregate as signed deltas (delta-sized work), certified
     # in-plan against the full recompute with exact DECIMAL equality.
     from dist_map_reduce_spark.operators import agg_ivm  # noqa: F401
+    # STAGED-FOREVER (r16): PSI distribution-drift monitor — base vs
+    # CDC-merged price distribution over integer equi-width buckets,
+    # Laplace-smoothed, round-after-ln; the bucket=-1 total row is
+    # the drift scalar.
+    from dist_map_reduce_spark.operators import drift  # noqa: F401
     # STAGED-FOREVER (r16): mapInArrow text statistics — the UDF
     # surface's zero-copy member (pyarrow.compute kernels over the
     # plan's RecordBatches, no pandas), JVM twin pinned row-for-row.

@@ -174,6 +174,10 @@ STAGED_PROBES = [
     # a stateless per-batch Arrow projection is scan-bound and
     # core-amortized, with none of mapInPandas' per-string boxing
     "arrow_text_stats_per_source",
+    # staged-forever r16: PSI drift — orders-shaped; claim: two
+    # map-side-combined 10-group aggregates over the scan, then
+    # 10-row algebra — the flattest possible monitoring shape
+    "drift_psi_orders",
 ]
 
 
@@ -186,6 +190,7 @@ _TABLE_NEEDS = {
     "cdc_merge_upsert_orders": "orders",
     "ivm_orders_agg_maintenance": "orders",
     "lateral_topn_orders_per_customer": "orders",
+    "drift_psi_orders": "orders",
     "hll_native_customer_cardinality": "orders",
     "recursive_order_lineage": "orders",
     "tdigest_quantile_merge": "events",
