@@ -206,43 +206,44 @@ _TABLE_NEEDS = {
 }
 
 
+def _reps(spark, df, replicas: int):
+    """df x range(replicas) with the replica index as column ``rep``
+    — a broadcast crossJoin, so the replication plan is CONSTANT
+    SIZE at any replica count (the original per-replica unionAll
+    chain built a `replicas`-branch plan: fine at 10, Catalyst-
+    hostile at 1000). Values are identical to the loop form."""
+    rng = spark.range(replicas).select(F.col("id").alias("rep"))
+    return df.crossJoin(F.broadcast(rng))
+
+
 def synth(spark, replicas: int, tables: set | None = None) -> str:
     out = os.path.join(SCRATCH, f"sfx{replicas}")
     tables = tables or {"documents", "embeddings", "orders", "events"}
-    docs = load_table(spark, BASE, "documents")
-    reps = None
-    for i in range(replicas):
-        if "documents" not in tables:
-            break
-        r = docs.select(
-            (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
-            F.concat("text", F.lit(f" r{i}")).alias("text"),
+    if "documents" in tables:
+        docs = load_table(spark, BASE, "documents")
+        suffix = F.concat(F.lit(" r"), F.col("rep").cast("string"))
+        _reps(spark, docs, replicas).select(
+            (F.col("doc_id") + F.col("rep") * ID_STRIDE).alias("doc_id"),
+            F.concat("text", suffix).alias("text"),
             "lang",
             "source",
-            (F.col("n_chars") + F.lit(len(f" r{i}"))).alias("n_chars"),
-        )
-        reps = r if reps is None else reps.unionAll(r)
-    if reps is not None:
-        reps.write.mode("overwrite").parquet(
+            (F.col("n_chars") + F.length(suffix)).alias("n_chars"),
+        ).write.mode("overwrite").parquet(
             os.path.join(out, "documents.parquet")
         )
-    emb = load_table(spark, BASE, "embeddings")
-    reps = None
-    for i in range(replicas):
-        if "embeddings" not in tables:
-            break
-        r = emb.select(
-            (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
+    if "embeddings" in tables:
+        emb = load_table(spark, BASE, "embeddings")
+        _reps(spark, emb, replicas).select(
+            (F.col("vec_id") + F.col("rep") * ID_STRIDE).alias("vec_id"),
             F.transform(
                 "embedding",
-                lambda x, j: F.when(j == 0, x + F.lit(i * 1e-3).cast("float"))
-                .otherwise(x),
+                lambda x, j: F.when(
+                    j == 0,
+                    x + (F.col("rep") * F.lit(1e-3)).cast("float"),
+                ).otherwise(x),
             ).alias("embedding"),
             "label",
-        )
-        reps = r if reps is None else reps.unionAll(r)
-    if reps is not None:
-        reps.write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             os.path.join(out, "embeddings.parquet")
         )
     # orders for the CDC merge probe (r13): key-offset replicas keep
@@ -250,22 +251,18 @@ def synth(spark, replicas: int, tables: set | None = None) -> str:
     # insert keys stay fresh; the md5 change-set derivation re-buckets
     # each replica independently (replicas land in different buckets —
     # a realistic, not degenerate, 10× change feed)
-    orders = load_table(spark, BASE, "orders")
-    reps = None
-    for i in range(replicas):
-        if "orders" not in tables:
-            break
-        r = orders.select(
-            (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
+    if "orders" in tables:
+        orders = load_table(spark, BASE, "orders")
+        _reps(spark, orders, replicas).select(
+            (F.col("o_orderkey") + F.col("rep") * ID_STRIDE).alias(
+                "o_orderkey"
+            ),
             "o_custkey",
             "o_orderstatus",
             "o_totalprice",
             "o_orderdate",
             "o_orderpriority",
-        )
-        reps = r if reps is None else reps.unionAll(r)
-    if reps is not None:
-        reps.write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             os.path.join(out, "orders.parquet")
         )
     # events for the t-digest probe (r15): id-offset replicas with a
@@ -274,22 +271,18 @@ def synth(spark, replicas: int, tables: set | None = None) -> str:
     # while per-group row counts scale — exactly the claim under test
     # (build is the only corpus-scale stage; merge/estimate stay
     # centroid-scale)
-    events = load_table(spark, BASE, "events")
-    reps = None
-    for i in range(replicas):
-        if "events" not in tables:
-            break
-        r = events.select(
-            (F.col("event_id") + F.lit(i * ID_STRIDE)).alias("event_id"),
+    if "events" in tables:
+        events = load_table(spark, BASE, "events")
+        _reps(spark, events, replicas).select(
+            (F.col("event_id") + F.col("rep") * ID_STRIDE).alias(
+                "event_id"
+            ),
             "ts",
             "user_id",
             "event_type",
-            (F.col("value") + F.lit(i * 1e-3)).alias("value"),
+            (F.col("value") + F.col("rep") * F.lit(1e-3)).alias("value"),
             "props",
-        )
-        reps = r if reps is None else reps.unionAll(r)
-    if reps is not None:
-        reps.write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             os.path.join(out, "events.parquet")
         )
     # any fixture table NOT replicated above gets symlinked at BASE
