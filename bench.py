@@ -223,6 +223,10 @@ HEADLINE = [
     # (integer equi-width buckets, Laplace smoothing, round-after-ln;
     # the bucket=-1 row is the drift scalar)
     "drift_psi_orders",
+    # r16 STAGED-FOREVER addition: PPJoin exact set-similarity join
+    # (prefix-filtered lossless index, cross-multiplied integer
+    # threshold, in-output cap counter certifying completeness)
+    "ppjoin_jaccard_pairs",
 ]
 
 

@@ -185,6 +185,11 @@ def load_staged() -> None:
     # group aggregate as signed deltas (delta-sized work), certified
     # in-plan against the full recompute with exact DECIMAL equality.
     from dist_map_reduce_spark.operators import agg_ivm  # noqa: F401
+    # STAGED-FOREVER (r16): PPJoin exact set-similarity join —
+    # prefix-filtered inverted index (lossless by the prefix-filter
+    # theorem), cross-multiplied integer threshold, completeness
+    # certified by the in-output cap counter + brute-force test.
+    from dist_map_reduce_spark.functions import dedup_ppjoin  # noqa: F401,E501
     # STAGED-FOREVER (r16): PSI distribution-drift monitor — base vs
     # CDC-merged price distribution over integer equi-width buckets,
     # Laplace-smoothed, round-after-ln; the bucket=-1 total row is

@@ -178,6 +178,15 @@ STAGED_PROBES = [
     # map-side-combined 10-group aggregates over the scan, then
     # 10-row algebra — the flattest possible monitoring shape
     "drift_psi_orders",
+    # staged-forever r16: PPJoin — documents-only. IMPORTANT probe
+    # caveat: synth replicas of one base doc differ only in a short
+    # suffix, so they are TRUE near-dups of each other (J ~ 0.88 at
+    # ~50 shingles) — the correct output grows QUADRATICALLY in
+    # replicas (x10: ~880x the base's 256 pairs; x100 would emit
+    # ~25M pairs). The probe therefore measures OUTPUT-BOUND
+    # behavior, the floor for any exact algorithm; the claim under
+    # test is that wall tracks output+input, not candidates^2
+    "ppjoin_jaccard_pairs",
 ]
 
 
