@@ -227,6 +227,10 @@ HEADLINE = [
     # (prefix-filtered lossless index, cross-multiplied integer
     # threshold, in-output cap counter certifying completeness)
     "ppjoin_jaccard_pairs",
+    # r16 STAGED-FOREVER addition: Misra-Gries mergeable heavy
+    # hitters (per-source batch-MG counters, PODS-2012 merge, the
+    # one-sided error theorem certified as within_bound)
+    "text_mg_heavy_hitters",
 ]
 
 

@@ -220,6 +220,12 @@ def load_staged() -> None:
     # against the exact F2 (the frequency-moment class completing
     # the mergeable-summaries family).
     from dist_map_reduce_spark.functions import text_ams  # noqa: F401
+    # STAGED-FOREVER (r16): Misra-Gries mergeable heavy hitters —
+    # the counter-based summary class (deterministic, one-sided,
+    # PODS-2012 merge bound), per-source batch-MG summaries merged
+    # with the subtract-(k+1)-th-largest rule, the theorem itself
+    # certified as the within_bound output column.
+    from dist_map_reduce_spark.functions import text_mg  # noqa: F401
 
 
 def load_all() -> None:

@@ -187,6 +187,12 @@ STAGED_PROBES = [
     # behavior, the floor for any exact algorithm; the claim under
     # test is that wall tracks output+input, not candidates^2
     "ppjoin_jaccard_pairs",
+    # staged-forever r16: Misra-Gries heavy hitters — documents-only;
+    # claim: wordcount-shaped (one (source, word) groupBy is the only
+    # corpus-scale stage), the bucketed tournament keeps the order
+    # statistic off any vocabulary-sized partition, everything after
+    # is summary-scale (<= sources x k rows)
+    "text_mg_heavy_hitters",
 ]
 
 
