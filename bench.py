@@ -231,6 +231,10 @@ HEADLINE = [
     # hitters (per-source batch-MG counters, PODS-2012 merge, the
     # one-sided error theorem certified as within_bound)
     "text_mg_heavy_hitters",
+    # r16 STAGED-FOREVER addition: market-basket association rules
+    # (bitmask baskets -> composition table, integer-certified
+    # lift > 1, rule universe bounded by the brand dimension)
+    "basket_brand_rules",
 ]
 
 

@@ -226,6 +226,12 @@ def load_staged() -> None:
     # with the subtract-(k+1)-th-largest rule, the theorem itself
     # certified as the within_bound output column.
     from dist_map_reduce_spark.functions import text_mg  # noqa: F401
+    # STAGED-FOREVER (r16): market-basket association rules —
+    # support/confidence/lift over distinct-brand order baskets,
+    # lift > 1 certified by cross-multiplied integer comparison
+    # (no float-boundary hole), rule universe bounded by the brand
+    # dimension so the output is audit-sized at any corpus scale.
+    from dist_map_reduce_spark.operators import association  # noqa: F401
 
 
 def load_all() -> None:

@@ -193,6 +193,11 @@ STAGED_PROBES = [
     # statistic off any vocabulary-sized partition, everything after
     # is summary-scale (<= sources x k rows)
     "text_mg_heavy_hitters",
+    # staged-forever r16: market-basket rules — lineitem-shaped
+    # (synth replicates baskets, item universe fixed); claim: the
+    # pair self-join is per-basket-bounded (C(brands_in_order, 2)),
+    # margins and rule algebra are <= 625-row tables
+    "basket_brand_rules",
 ]
 
 
@@ -202,6 +207,7 @@ STAGED_PROBES = [
 # r16 closed the gap where documents+embeddings were still always
 # built). Default family is documents-shaped; the exceptions:
 _TABLE_NEEDS = {
+    "basket_brand_rules": "lineitem",
     "cdc_merge_upsert_orders": "orders",
     "ivm_orders_agg_maintenance": "orders",
     "lateral_topn_orders_per_customer": "orders",
@@ -299,6 +305,20 @@ def synth(spark, replicas: int, tables: set | None = None) -> str:
             "props",
         ).write.mode("overwrite").parquet(
             os.path.join(out, "events.parquet")
+        )
+    # lineitem for the market-basket probe (r16): orderkey-offset
+    # replicas multiply the BASKET count while the part/brand item
+    # universe stays fixed — exactly the claim under test (pair
+    # fan-out is per-basket-bounded; rule table stays <= 625 rows)
+    if "lineitem" in tables:
+        li = load_table(spark, BASE, "lineitem")
+        _reps(spark, li, replicas).select(
+            (F.col("l_orderkey") + F.col("rep") * ID_STRIDE).alias(
+                "l_orderkey"
+            ),
+            *[c for c in li.columns if c != "l_orderkey"],
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, "lineitem.parquet")
         )
     # any fixture table NOT replicated above gets symlinked at BASE
     # scale, so probes that join a replicated fact against an
