@@ -235,6 +235,32 @@ HEADLINE = [
     # (bitmask baskets -> composition table, integer-certified
     # lift > 1, rule universe bounded by the brand dimension)
     "basket_brand_rules",
+    # r16 STAGED-FOREVER addition: strictly-ordered conversion
+    # funnel (pushdown-filtered per-step scans, shrinking user-scale
+    # frontiers, K-row output)
+    "funnel_conversion_events",
+    # r16 STAGED-FOREVER addition: bigram PMI collocations (one
+    # corpus-scale pair count, vocabulary-scale margins, exact
+    # decimal positivity certification)
+    "text_pmi_bigrams",
+    # r16 STAGED-FOREVER addition: chi-square independence test
+    # (complete contingency grid, dimension-bounded algebra)
+    "chisq_segment_priority",
+    # r16 STAGED-FOREVER addition: Benford first-digit audit
+    # (integer-cents digit extraction, ln-only expectations)
+    "benford_order_totals",
+    # r16 STAGED-FOREVER addition: last-touch attribution (one
+    # user-keyed window, channel-bounded output)
+    "attribution_last_touch",
+    # r16 STAGED-FOREVER addition: funnel time-to-convert (exact
+    # microsecond deltas over the shared funnel frontiers)
+    "funnel_time_to_convert",
+    # r16 STAGED-FOREVER addition: process-mining eventually-follows
+    # matrix (existential ordering via per-(user,type) min/max)
+    "event_eventually_follows",
+    # r16 STAGED-FOREVER addition: session path mining (packed-
+    # bigint path state, independent string_agg oracle)
+    "session_path_counts",
 ]
 
 

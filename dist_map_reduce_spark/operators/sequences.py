@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dist_map_reduce_spark.catalog import load_table
-from dist_map_reduce_spark.registry import query
+from dist_map_reduce_spark.registry import query, staged_query
 
 
 @query(
@@ -202,3 +202,108 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.l_suppkey").alias("s1"), F.col("y.l_suppkey").alias("s2")
     ).where(F.col("s1") < F.col("s2"))
     return triangle_count(undirected_edges(pairs, "s1", "s2"), cache_key=sf_dir)
+
+
+_EF_ORACLE = """
+WITH per_ut AS (
+  SELECT user_id, event_type, min(ts) AS tmin, max(ts) AS tmax
+  FROM events GROUP BY user_id, event_type
+),
+types AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+  FROM per_ut GROUP BY event_type
+),
+follows AS (
+  SELECT a.event_type AS from_type, b.event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_follow
+  FROM per_ut a JOIN per_ut b ON a.user_id = b.user_id
+  WHERE b.tmax > a.tmin
+  GROUP BY a.event_type, b.event_type
+)
+SELECT ta.event_type AS from_type, tb.event_type AS to_type,
+       ta.n_users AS n_users_from, tb.n_users AS n_users_to,
+       COALESCE(f.n_follow, 0) AS n_follow,
+       round(CAST(COALESCE(f.n_follow, 0) AS DOUBLE)
+             / CAST(ta.n_users AS DOUBLE), 6) AS follow_rate
+FROM types ta CROSS JOIN types tb
+LEFT JOIN follows f
+  ON f.from_type = ta.event_type AND f.to_type = tb.event_type
+"""
+
+
+@staged_query("event_eventually_follows", oracle=_EF_ORACLE)
+def event_eventually_follows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Process-mining eventually-follows matrix (staged-forever,
+    r16): for every ordered type pair (a, b) — self-loops included —
+    the exact number of users with SOME b-event strictly after SOME
+    a-event, i.e. max_ts(b) > min_ts(a) per user, plus both margins
+    and follow_rate = n_follow / n_users_from. This is the van der
+    Aalst process-discovery primitive (the "eventually-follows
+    graph") that `event_transition_matrix` (ADJACENT steps only)
+    cannot express; the min/max reformulation makes the existential
+    two-event predicate a per-(user, type) aggregate instead of an
+    occurrence-pair join. Strict ts comparison — no ordering race,
+    so no event_id tie-break is needed.
+
+    Scale posture (100 TB): ONE corpus-scale stage — the
+    (user, type) groupBy with min/max (map-side partial). The
+    follows join is user-scale with ≤ |types|² per-user fan-out;
+    margins and the complete |types|² grid (constant-key equi-join,
+    not a Cartesian) are type-dimension-bounded. Output is
+    |types|² rows at any corpus size. STAGED-FOREVER under the
+    saturation policy (registry.load_all docstring)."""
+    per_ut = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("tmin"), F.max("ts").alias("tmax"))
+    )
+    types = per_ut.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    a = per_ut.select(
+        "user_id", F.col("event_type").alias("from_type"), "tmin"
+    )
+    b = per_ut.select(
+        "user_id", F.col("event_type").alias("to_type"), "tmax"
+    )
+    follows = (
+        a.join(b, "user_id")
+        .filter(F.col("tmax") > F.col("tmin"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n_follow"))
+    )
+    grid = (
+        types.select(
+            F.col("event_type").alias("from_type"),
+            F.col("n_users").alias("n_users_from"),
+        )
+        .withColumn("k", F.lit(1))
+        .join(
+            types.select(
+                F.col("event_type").alias("to_type"),
+                F.col("n_users").alias("n_users_to"),
+            ).withColumn("k", F.lit(1)),
+            "k",
+        )
+        .drop("k")
+    )
+    return (
+        grid.join(follows, ["from_type", "to_type"], "left")
+        .withColumn(
+            "n_follow", F.coalesce("n_follow", F.lit(0).cast("bigint"))
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n_users_from",
+            "n_users_to",
+            "n_follow",
+            F.round(
+                F.col("n_follow").cast("double")
+                / F.col("n_users_from").cast("double"),
+                6,
+            ).alias("follow_rate"),
+        )
+    )

@@ -232,6 +232,36 @@ def load_staged() -> None:
     # (no float-boundary hole), rule universe bounded by the brand
     # dimension so the output is audit-sized at any corpus scale.
     from dist_map_reduce_spark.operators import association  # noqa: F401
+    # STAGED-FOREVER (r16): strictly-ordered first-touch conversion
+    # funnel — per-step user counts via shrinking user-scale
+    # frontiers (one pushdown-filtered scan + one user_id shuffle
+    # per step), conversions as seam-rounded single divisions.
+    from dist_map_reduce_spark.operators import funnel  # noqa: F401
+    # STAGED-FOREVER (r16): adjacent-bigram PMI collocations —
+    # one wordcount-shaped corpus aggregation, vocabulary-scale
+    # margins/joins, positivity certified by exact DECIMAL(18,0)
+    # cross-multiplication (no float-boundary hole).
+    from dist_map_reduce_spark.functions import text_pmi  # noqa: F401
+    # STAGED-FOREVER (r16): chi-square independence test — complete
+    # contingency grid (zero cells materialized via constant-key
+    # grid join), dimension-bounded algebra, one corpus-scale join
+    # + groupBy; chi2_total's 25-addend sum absorbed by the 6-dp
+    # seam round.
+    from dist_map_reduce_spark.operators import stats_chisq  # noqa: F401
+    # STAGED-FOREVER (r16): Benford first-digit audit — exact
+    # integer-cents digit extraction (no log10/floor), ln-only
+    # expected proportions, 9-row complete grid, one 9-cell
+    # map-side-partial corpus aggregation.
+    from dist_map_reduce_spark.operators import benford  # noqa: F401
+    # STAGED-FOREVER (r16): last-touch attribution — one user-keyed
+    # window over the unique (ts, event_id) order, channel-bounded
+    # aggregate; corpus double sums absorbed by the seam round.
+    from dist_map_reduce_spark.operators import attribution  # noqa: F401
+    # STAGED-FOREVER (r16): session path mining — gap sessions +
+    # first-K paths as packed-bigint aggregation state (pure
+    # LongType HashAggregates at corpus scale), decode on the
+    # path-bounded table; independent string_agg oracle.
+    from dist_map_reduce_spark.operators import session_paths  # noqa: F401
 
 
 def load_all() -> None:

@@ -198,6 +198,44 @@ STAGED_PROBES = [
     # pair self-join is per-basket-bounded (C(brands_in_order, 2)),
     # margins and rule algebra are <= 625-row tables
     "basket_brand_rules",
+    # staged-forever r16: ordered conversion funnel — events-shaped
+    # (synth multiplies events PER USER, user set fixed); claim:
+    # corpus-scale work is K pushdown-filtered scans + K user_id
+    # shuffles; frontiers/counts stay user-scale/K-row regardless
+    "funnel_conversion_events",
+    # staged-forever r16: bigram PMI — documents-shaped; claim: one
+    # wordcount-shaped corpus aggregation; margins/joins/certified
+    # filter all run at bigram-vocabulary scale (replicas multiply
+    # counts, not vocabulary, so downstream is constant-size)
+    "text_pmi_bigrams",
+    # staged-forever r16: chi-square independence — orders-shaped
+    # (synth replicates orders; customer dim fixed); claim: one
+    # custkey join + 25-cell groupBy is the only corpus-scale work;
+    # all grid/exp/chi2 algebra is dimension-bounded
+    "chisq_segment_priority",
+    # staged-forever r16: Benford audit — orders-shaped; claim: one
+    # projection + 9-cell map-side-partial groupBy is the only
+    # corpus-scale work; grid/deviation algebra is 9-row
+    "benford_order_totals",
+    # staged-forever r16: last-touch attribution — events-shaped
+    # (events-per-user replication deepens windows); claim: one
+    # user-keyed window shuffle + sort is the only corpus-scale
+    # work; channel aggregate is <= |event types| rows
+    "attribution_last_touch",
+    # staged-forever r16: funnel time-to-convert — events-shaped;
+    # claim: same per-step scans/shuffles as the funnel (shared
+    # persist slots), transition joins are user-scale, output 4 rows
+    "funnel_time_to_convert",
+    # staged-forever r16: eventually-follows matrix — events-shaped;
+    # claim: one (user, type) min/max groupBy is the only
+    # corpus-scale stage; follows join is user-scale with <=
+    # |types|^2 per-user fan-out, grid/margins are |types|-bounded
+    "event_eventually_follows",
+    # staged-forever r16: session path mining — events-shaped;
+    # claim: one user-keyed window sort + pure LongType aggregates
+    # at corpus scale; decode/strings only on the <= sum|types|^k
+    # path table
+    "session_path_counts",
 ]
 
 
@@ -212,9 +250,16 @@ _TABLE_NEEDS = {
     "ivm_orders_agg_maintenance": "orders",
     "lateral_topn_orders_per_customer": "orders",
     "drift_psi_orders": "orders",
+    "chisq_segment_priority": "orders",
+    "benford_order_totals": "orders",
     "hll_native_customer_cardinality": "orders",
     "recursive_order_lineage": "orders",
     "tdigest_quantile_merge": "events",
+    "funnel_conversion_events": "events",
+    "attribution_last_touch": "events",
+    "funnel_time_to_convert": "events",
+    "event_eventually_follows": "events",
+    "session_path_counts": "events",
     "events_ewma_smooth": "events",
     "streaming_stream_stream_left_join": "events",
     "streaming_hll_merge": "events",
