@@ -261,6 +261,24 @@ HEADLINE = [
     # r16 STAGED-FOREVER addition: session path mining (packed-
     # bigint path state, independent string_agg oracle)
     "session_path_counts",
+    # r16 STAGED-FOREVER addition: RFM segmentation (cutpoint
+    # quintiles, map-side scoring, no global ntile sort)
+    "rfm_customer_segments",
+    # r16 STAGED-FOREVER addition: two-proportion A/B z-test
+    # (exact-count arms, IEEE-exact sqrt algebra, 1-row output)
+    "abtest_purchase_conversion",
+    # r16 STAGED-FOREVER addition: weekly seasonality profile
+    # (168-cell ANOVA decomposition, R2 variance-explained)
+    "events_seasonality_dow_hour",
+    # r16 STAGED-FOREVER addition: Lorenz curve + Gini (shared RFM
+    # rollup slot, integer-rank deciles)
+    "lorenz_gini_customer_spend",
+    # r16 STAGED-FOREVER addition: Welch unequal-variance t-test on
+    # purchase value (the z-test's magnitude companion)
+    "abtest_purchase_value_welch",
+    # r16 STAGED-FOREVER addition: mutual information + NMI over
+    # the shared contingency slot
+    "mutual_info_segment_priority",
 ]
 
 

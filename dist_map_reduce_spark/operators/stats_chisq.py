@@ -126,6 +126,114 @@ def contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MI_ORACLE = """
+WITH joined AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+obs AS (
+  SELECT seg, prio, CAST(count(*) AS BIGINT) AS n_obs
+  FROM joined GROUP BY seg, prio
+),
+segm AS (SELECT seg, CAST(sum(n_obs) AS BIGINT) AS n_seg FROM obs GROUP BY seg),
+priom AS (SELECT prio, CAST(sum(n_obs) AS BIGINT) AS n_prio FROM obs GROUP BY prio),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+mi AS (
+  SELECT sum((CAST(o.n_obs AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+             * ln((CAST(o.n_obs AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+                  / (CAST(s.n_seg AS DOUBLE) * CAST(p.n_prio AS DOUBLE))))
+           AS mi_raw
+  FROM obs o JOIN segm s ON s.seg = o.seg
+             JOIN priom p ON p.prio = o.prio, tot t
+),
+hs AS (
+  SELECT -sum((CAST(n_seg AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+              * ln(CAST(n_seg AS DOUBLE) / CAST(t.n_total AS DOUBLE)))
+           AS h_seg
+  FROM segm, tot t
+),
+hp AS (
+  SELECT -sum((CAST(n_prio AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+              * ln(CAST(n_prio AS DOUBLE) / CAST(t.n_total AS DOUBLE)))
+           AS h_prio
+  FROM priom, tot t
+)
+SELECT t.n_total,
+       round(mi.mi_raw, 6) AS mi,
+       round(hs.h_seg, 6) AS h_seg,
+       round(hp.h_prio, 6) AS h_prio,
+       CASE WHEN hs.h_seg * hp.h_prio > 0 THEN
+         round(mi.mi_raw / sqrt(hs.h_seg * hp.h_prio), 6) END AS nmi
+FROM tot t, mi, hs, hp
+"""
+
+
+@staged_query("mutual_info_segment_priority", oracle=_MI_ORACLE)
+def mutual_info_segment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_total, mi, h_seg, h_prio, nmi) — mutual information of
+    the same segment × priority contingency table the chi-square
+    query certifies, with marginal entropies and the
+    sqrt-normalized NMI (Strehl & Ghosh). Chi-square measures
+    DEVIATION from independence in count units; MI measures the
+    DEPENDENCE in nats — the feature-selection/clustering-agreement
+    statistic. Reuses contingency_cells' persist slot, so running
+    both queries builds the corpus-scale join + groupBy once.
+    Zero-observation cells contribute 0 by the p·ln(p) → 0
+    convention (the filter drops them — ln of 0 never evaluates);
+    ln-only per the lm_score identical-ln precedent; ≤25-addend
+    sums under the seam round; zero entropy NULL-guards nmi.
+    STAGED-FOREVER under the saturation policy (registry.load_all
+    docstring)."""
+    cells = contingency_cells(spark, sf_dir).filter(
+        F.col("n_obs") > 0
+    )
+    tot = cells.agg(
+        F.sum("n_obs").cast("bigint").alias("n_total")
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    with_t = cells.crossJoin(tot)  # 1-row broadcast scalar
+    mi = with_t.agg(
+        F.sum(
+            (dbl("n_obs") / dbl("n_total"))
+            * F.log(
+                (dbl("n_obs") * dbl("n_total"))
+                / (dbl("n_seg") * dbl("n_prio"))
+            )
+        ).alias("mi_raw")
+    )
+    margin_entropy = lambda key, cnt, out: (  # noqa: E731
+        with_t.select(key, cnt, "n_total")
+        .distinct()
+        .agg(
+            (
+                -F.sum(
+                    (dbl(cnt) / dbl("n_total"))
+                    * F.log(dbl(cnt) / dbl("n_total"))
+                )
+            ).alias(out)
+        )
+    )
+    hs = margin_entropy("seg", "n_seg", "h_seg")
+    hp = margin_entropy("prio", "n_prio", "h_prio")
+    joined = tot.crossJoin(mi).crossJoin(hs).crossJoin(hp)
+    return joined.select(
+        "n_total",
+        F.round("mi_raw", 6).alias("mi"),
+        F.round("h_seg", 6).alias("h_seg"),
+        F.round("h_prio", 6).alias("h_prio"),
+        F.when(
+            F.col("h_seg") * F.col("h_prio") > 0,
+            F.round(
+                F.col("mi_raw")
+                / F.sqrt(F.col("h_seg") * F.col("h_prio")),
+                6,
+            ),
+        ).alias("nmi"),
+    )
+
+
 @staged_query("chisq_segment_priority", oracle=_ORACLE)
 def chisq_segment_priority(
     spark: SparkSession, sf_dir: str

@@ -262,6 +262,22 @@ def load_staged() -> None:
     # LongType HashAggregates at corpus scale), decode on the
     # path-bounded table; independent string_agg oracle.
     from dist_map_reduce_spark.operators import session_paths  # noqa: F401
+    # STAGED-FOREVER (r16): RFM segmentation — cutpoint quintiles
+    # (four scalars per dim, map-side scoring; no global ntile
+    # sort), exact integer R/F/M inputs, <= 5^3-row grid.
+    from dist_map_reduce_spark.operators import rfm  # noqa: F401
+    # STAGED-FOREVER (r16): two-proportion A/B z-test — exact-count
+    # arms, fixed-shape IEEE algebra (sqrt is IEEE-exact), 1-row
+    # output; no significance boolean by design (float boundary).
+    from dist_map_reduce_spark.operators import abtest  # noqa: F401
+    # STAGED-FOREVER (r16): weekly seasonality profile — one
+    # 168-cell map-side-partial groupBy with (n, Σx, Σx²), ANOVA
+    # R² variance-explained as the certified scalar.
+    from dist_map_reduce_spark.operators import seasonality  # noqa: F401
+    # STAGED-FOREVER (r16): Lorenz/Gini concentration — shared RFM
+    # rollup slot, aggregate-sized rank sort (contribution_abc
+    # posture), integer-rank deciles, 10-row output.
+    from dist_map_reduce_spark.operators import inequality  # noqa: F401
 
 
 def load_all() -> None:

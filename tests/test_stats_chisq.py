@@ -72,6 +72,47 @@ def test_chisq_matches_python_reference(spark):
             assert r.df == (len(segs) - 1) * (len(prios) - 1)
 
 
+def test_mutual_info_matches_python_reference(spark):
+    import math
+
+    from dist_map_reduce_spark.catalog import load_table
+    from dist_map_reduce_spark.operators.stats_chisq import (
+        mutual_info_segment_priority,
+    )
+
+    r = (
+        mutual_info_segment_priority(spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").toPandas()
+    customer = load_table(spark, SF_SMOKE, "customer").toPandas()
+    joined = orders.merge(
+        customer, left_on="o_custkey", right_on="c_custkey"
+    )
+    obs = Counter(zip(joined.c_mktsegment, joined.o_orderpriority))
+    n_seg = Counter()
+    n_prio = Counter()
+    for (s, p), n in obs.items():
+        n_seg[s] += n
+        n_prio[p] += n
+    N = sum(obs.values())
+    mi = sum(
+        (n / N) * math.log(n * N / (n_seg[s] * n_prio[p]))
+        for (s, p), n in obs.items()
+    )
+    h_s = -sum((v / N) * math.log(v / N) for v in n_seg.values())
+    h_p = -sum((v / N) * math.log(v / N) for v in n_prio.values())
+
+    assert r.n_total == N
+    assert abs(r.mi - round(mi, 6)) < 1e-9
+    assert abs(r.h_seg - round(h_s, 6)) < 1e-9
+    assert abs(r.h_prio - round(h_p, 6)) < 1e-9
+    assert abs(r.nmi - round(mi / math.sqrt(h_s * h_p), 6)) < 1e-9
+    # information inequalities: 0 <= MI <= min(H)
+    assert -1e-9 <= r.mi <= min(r.h_seg, r.h_prio) + 1e-9
+
+
 def test_zero_cells_materialized(spark, tmp_path):
     """Customers in segment Z never order priority HIGH: the (Z,
     HIGH) cell must appear with n_obs = 0 and contribution ==

@@ -236,6 +236,30 @@ STAGED_PROBES = [
     # at corpus scale; decode/strings only on the <= sum|types|^k
     # path table
     "session_path_counts",
+    # staged-forever r16: RFM segmentation — orders-shaped (synth
+    # multiplies orders per customer); claim: one custkey rollup is
+    # the only corpus-scale stage; cutpoints are 12 scalars over the
+    # customer-scale rollup, scoring is map-side, grid <= 125 rows
+    "rfm_customer_segments",
+    # staged-forever r16: A/B z-test — events-shaped; claim: one
+    # per-user conversion rollup (map-side max) is the only
+    # corpus-scale stage; arms table is 2 rows, output 1 row
+    "abtest_purchase_conversion",
+    # staged-forever r16: weekly seasonality — events-shaped; claim:
+    # one 168-cell map-side-partial groupBy; totals/R2 are 168-row
+    # algebra
+    "events_seasonality_dow_hour",
+    # staged-forever r16: Lorenz/Gini — orders-shaped; claim: the
+    # custkey rollup (shared RFM slot) absorbs the corpus; rank sort
+    # is over the constant-size customer table, output 10 rows
+    "lorenz_gini_customer_spend",
+    # staged-forever r16: Welch t-test — events-shaped; claim: one
+    # pushdown-filtered purchase scan into a 2-row arm aggregate
+    "abtest_purchase_value_welch",
+    # staged-forever r16: mutual information — orders-shaped; claim:
+    # shares the chisq contingency slot; all MI/entropy algebra is
+    # <= 25-row
+    "mutual_info_segment_priority",
 ]
 
 
@@ -251,7 +275,10 @@ _TABLE_NEEDS = {
     "lateral_topn_orders_per_customer": "orders",
     "drift_psi_orders": "orders",
     "chisq_segment_priority": "orders",
+    "mutual_info_segment_priority": "orders",
     "benford_order_totals": "orders",
+    "rfm_customer_segments": "orders",
+    "lorenz_gini_customer_spend": "orders",
     "hll_native_customer_cardinality": "orders",
     "recursive_order_lineage": "orders",
     "tdigest_quantile_merge": "events",
@@ -260,6 +287,9 @@ _TABLE_NEEDS = {
     "funnel_time_to_convert": "events",
     "event_eventually_follows": "events",
     "session_path_counts": "events",
+    "abtest_purchase_conversion": "events",
+    "abtest_purchase_value_welch": "events",
+    "events_seasonality_dow_hour": "events",
     "events_ewma_smooth": "events",
     "streaming_stream_stream_left_join": "events",
     "streaming_hll_merge": "events",
