@@ -114,8 +114,10 @@ wide AS (
 calc AS (
   SELECT n_a, n_b,
          s1_a / n_a AS m_a, s1_b / n_b AS m_b,
-         (s2_a - s1_a * s1_a / n_a) / (n_a - 1) / n_a AS va_n,
-         (s2_b - s1_b * s1_b / n_b) / (n_b - 1) / n_b AS vb_n
+         CASE WHEN n_a >= 2 THEN
+           (s2_a - s1_a * s1_a / n_a) / (n_a - 1) / n_a END AS va_n,
+         CASE WHEN n_b >= 2 THEN
+           (s2_b - s1_b * s1_b / n_b) / (n_b - 1) / n_b END AS vb_n
   FROM wide
 )
 SELECT n_a, n_b,
@@ -176,15 +178,19 @@ def abtest_purchase_value_welch(
         "n_b",
         (F.col("s1_a") / F.col("n_a")).alias("m_a"),
         (F.col("s1_b") / F.col("n_b")).alias("m_b"),
-        (
+        # n >= 2 guard: a single-purchase arm would divide by
+        # (n - 1) = 0 — ANSI-on Spark throws where DuckDB NULLs
+        F.when(
+            F.col("n_a") >= 2,
             (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a"))
             / (F.col("n_a") - 1)
-            / F.col("n_a")
+            / F.col("n_a"),
         ).alias("va_n"),
-        (
+        F.when(
+            F.col("n_b") >= 2,
             (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b"))
             / (F.col("n_b") - 1)
-            / F.col("n_b")
+            / F.col("n_b"),
         ).alias("vb_n"),
     )
     pooled = F.col("va_n") + F.col("vb_n")

@@ -134,9 +134,10 @@ def compositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = brand_dim(spark, sf_dir)
     items = (
-        lineitem.join(
-            F.broadcast(part), lineitem.l_partkey == part.p_partkey
-        )
+        # part scales with sf — no broadcast hint (AQE picks
+        # broadcast at tested scales, shuffle-hash at extreme part
+        # cardinality; the catalog.py bounded-dims-only rule)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .join(F.broadcast(dim), part.p_brand == dim.brand)
         .select(
             F.col("l_orderkey").alias("o"),

@@ -64,7 +64,8 @@ per_channel AS (
 tot AS (SELECT sum(value_raw) AS total_raw FROM per_channel)
 SELECT c.channel, c.n_purchases,
        round(c.value_raw, 6) AS attributed_value,
-       round(c.value_raw / t.total_raw, 6) AS value_share
+       CASE WHEN t.total_raw > 0 THEN
+         round(c.value_raw / t.total_raw, 6) END AS value_share
 FROM per_channel c, tot t
 """
 
@@ -108,7 +109,10 @@ def attribution_last_touch(
         "channel",
         "n_purchases",
         F.round("value_raw", 6).alias("attributed_value"),
-        F.round(F.col("value_raw") / F.col("total_raw"), 6).alias(
-            "value_share"
-        ),
+        # total > 0 guard: an all-zero-value corpus would divide by
+        # 0.0 — ANSI-on Spark throws where DuckDB NULLs
+        F.when(
+            F.col("total_raw") > 0,
+            F.round(F.col("value_raw") / F.col("total_raw"), 6),
+        ).alias("value_share"),
     )

@@ -77,15 +77,18 @@ curve AS (
   FROM deciles
 )
 SELECT c.decile, c.n_customers,
-       round(CAST(c.decile_cents AS DOUBLE)
-             / CAST(t.total_cents AS DOUBLE), 6) AS decile_share,
-       round(CAST(c.cum_cents AS DOUBLE)
-             / CAST(t.total_cents AS DOUBLE), 6) AS cum_share,
+       CASE WHEN t.total_cents > 0 THEN
+         round(CAST(c.decile_cents AS DOUBLE)
+               / CAST(t.total_cents AS DOUBLE), 6) END AS decile_share,
+       CASE WHEN t.total_cents > 0 THEN
+         round(CAST(c.cum_cents AS DOUBLE)
+               / CAST(t.total_cents AS DOUBLE), 6) END AS cum_share,
        t.n AS n_total,
-       round(2.0 * t.swx
-             / (CAST(t.n AS DOUBLE) * CAST(t.total_cents AS DOUBLE))
-             - (CAST(t.n AS DOUBLE) + 1.0) / CAST(t.n AS DOUBLE), 6)
-         AS gini
+       CASE WHEN t.total_cents > 0 THEN
+         round(2.0 * t.swx
+               / (CAST(t.n AS DOUBLE) * CAST(t.total_cents AS DOUBLE))
+               - (CAST(t.n AS DOUBLE) + 1.0) / CAST(t.n AS DOUBLE), 6)
+       END AS gini
 FROM curve c, tot t
 """
 
@@ -137,21 +140,27 @@ def lorenz_gini_customer_spend(
         .cast("bigint"),
     )
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    # total > 0 guards: an all-zero-cent corpus would divide by 0.0
+    # — ANSI-on Spark throws where DuckDB NULLs
+    pos = F.col("total_cents") > 0
     return curve.crossJoin(tot).select(  # 1-row scalar
         "decile",
         "n_customers",
-        F.round(dbl("decile_cents") / dbl("total_cents"), 6).alias(
-            "decile_share"
-        ),
-        F.round(dbl("cum_cents") / dbl("total_cents"), 6).alias(
-            "cum_share"
-        ),
+        F.when(
+            pos, F.round(dbl("decile_cents") / dbl("total_cents"), 6)
+        ).alias("decile_share"),
+        F.when(
+            pos, F.round(dbl("cum_cents") / dbl("total_cents"), 6)
+        ).alias("cum_share"),
         F.col("n").alias("n_total"),
-        F.round(
-            F.lit(2.0)
-            * F.col("swx")
-            / (dbl("n") * dbl("total_cents"))
-            - (dbl("n") + F.lit(1.0)) / dbl("n"),
-            6,
+        F.when(
+            pos,
+            F.round(
+                F.lit(2.0)
+                * F.col("swx")
+                / (dbl("n") * dbl("total_cents"))
+                - (dbl("n") + F.lit(1.0)) / dbl("n"),
+                6,
+            ),
         ).alias("gini"),
     )

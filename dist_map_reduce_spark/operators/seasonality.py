@@ -57,7 +57,7 @@ WITH cells AS (
 tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS n_total,
          sum(s1) AS t1, sum(s2) AS t2,
-         sum(s2 - s1 * s1 / n) AS sse_within
+         sum(greatest(s2 - s1 * s1 / n, 0)) AS sse_within
   FROM cells
 ),
 r2 AS (
@@ -70,7 +70,7 @@ r2 AS (
 SELECT c.dow, c.hr, c.n,
        round(c.s1 / c.n, 6) AS mean_value,
        CASE WHEN c.n >= 2 THEN
-         round(sqrt((c.s2 - c.s1 * c.s1 / c.n) / (c.n - 1)), 6)
+         round(sqrt(greatest(c.s2 - c.s1 * c.s1 / c.n, 0) / (c.n - 1)), 6)
        END AS std_value,
        r2.n_total, r2.r2_seasonal
 FROM cells c, r2
@@ -102,8 +102,13 @@ def events_seasonality_dow_hour(
         F.sum("n").cast("bigint").alias("n_total"),
         F.sum("s1").alias("t1"),
         F.sum("s2").alias("t2"),
+        # greatest(..., 0): the FP numerator can be a tiny negative
+        # on a constant-valued cell — DuckDB sqrt(negative) errors
         F.sum(
-            F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+            F.greatest(
+                F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"),
+                F.lit(0.0),
+            )
         ).alias("sse_within"),
     )
     sst = F.col("t2") - F.col("t1") * F.col("t1") / F.col("n_total")
@@ -123,9 +128,10 @@ def events_seasonality_dow_hour(
             F.col("n") >= 2,
             F.round(
                 F.sqrt(
-                    (
+                    F.greatest(
                         F.col("s2")
-                        - F.col("s1") * F.col("s1") / F.col("n")
+                        - F.col("s1") * F.col("s1") / F.col("n"),
+                        F.lit(0.0),
                     )
                     / (F.col("n") - 1)
                 ),

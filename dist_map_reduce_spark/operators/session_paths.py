@@ -62,6 +62,7 @@ WITH ordered AS (
                    > {GAP_MINUTES} * 60 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessioned AS (
@@ -97,6 +98,7 @@ def type_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
         .select("event_type")
+        .filter(F.col("event_type").isNotNull())
         .distinct()
         .select(
             "event_type",
@@ -115,8 +117,13 @@ def session_path_counts(
     first-MAX_STEPS event-type path, path rendered 'a>b>c'.
     STAGED-FOREVER under the saturation policy (registry.load_all
     docstring)."""
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    # NULL types excluded BEFORE sessionization on BOTH engines —
+    # an inner dim join after rn assignment would silently drop the
+    # row from the path while the oracle's count(*) kept it
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
     )
     dim = type_dim(spark, sf_dir)
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -84,6 +84,38 @@ def test_welch_matches_python_reference(spark):
     assert abs(r.df - round(df, 6)) < 1e-2
 
 
+def test_welch_single_purchase_arm_guards_variance(spark, tmp_path):
+    """An arm with exactly one purchase has undefined sample
+    variance: t and df must be NULL (review finding: the unguarded
+    (n-1) division crashed ANSI-on Spark while DuckDB NULLed)."""
+    from dist_map_reduce_spark.operators.abtest import (
+        abtest_purchase_value_welch,
+    )
+
+    rows = [
+        (2, "2024-01-01 00:00:00", 1, "purchase", 5.0),  # arm 0, n=1
+        (1, "2024-01-01 00:00:01", 2, "purchase", 3.0),  # arm 1
+        (3, "2024-01-01 00:00:02", 3, "purchase", 4.0),  # arm 1
+    ]
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, ts_s string, event_id bigint, "
+        "event_type string, value double",
+    ).selectExpr(
+        "user_id", "to_timestamp(ts_s) AS ts", "event_id",
+        "event_type", "value",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = (
+        abtest_purchase_value_welch(spark, str(tmp_path))
+        .toPandas()
+        .iloc[0]
+    )
+    assert (r.n_a, r.n_b) == (1, 2)
+    assert r.mean_a == 5.0 and r.mean_b == 3.5
+    assert math.isnan(r.t) and math.isnan(r.df)
+
+
 def test_degenerate_split_guards_z(spark, tmp_path):
     """Every user purchases: pooled = 1, se = 0, z NULL; arm counts
     follow user_id parity."""

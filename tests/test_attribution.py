@@ -65,6 +65,34 @@ def test_attribution_matches_python_reference(spark):
     assert abs(pdf.value_share.sum() - 1.0) < 1e-5
 
 
+def test_zero_value_corpus_guards_share(spark, tmp_path):
+    """All purchases carry value 0.0: attributed values are 0 and
+    value_share is NULL on both engines (review finding: the
+    unguarded division crashed ANSI-on Spark)."""
+    import math
+
+    from dist_map_reduce_spark.operators.attribution import (
+        attribution_last_touch,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (1, "2024-01-01 00:01:00", 2, "purchase", 0.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, ts_s string, event_id bigint, "
+        "event_type string, value double",
+    ).selectExpr(
+        "user_id", "to_timestamp(ts_s) AS ts", "event_id",
+        "event_type", "value",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    pdf = attribution_last_touch(spark, str(tmp_path)).toPandas()
+    assert list(pdf.attributed_value) == [0.0]
+    assert math.isnan(pdf.value_share.iloc[0])
+
+
 def test_tie_and_interleave_semantics(spark, tmp_path):
     """user 1: click(id 1) and purchase(id 2) at the SAME ts — the
     click is prior (smaller event_id). user 2: purchase(id 4) at the

@@ -60,6 +60,41 @@ def test_profile_matches_python_reference(spark):
         assert r.n_total == n_total
 
 
+def test_fp_negative_variance_clamped(spark, tmp_path, duck):
+    """Three identical 0.1 values give an FP variance numerator of
+    ~-3e-18: both engines must clamp to std 0 (review finding:
+    DuckDB sqrt(negative) hard-errors without the greatest guard).
+    Runs the ORACLE too — the bug was on the DuckDB side."""
+    from dist_map_reduce_spark import registry
+    from dist_map_reduce_spark.operators.seasonality import (
+        events_seasonality_dow_hour,
+    )
+
+    rows = [
+        (i, "2024-01-01 05:0%d:00" % i, 1, 0.1) for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, value double"
+    ).selectExpr(
+        "event_id", "to_timestamp(ts_s) AS ts", "user_id", "value"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    pdf = events_seasonality_dow_hour(spark, str(tmp_path)).toPandas()
+    assert len(pdf) == 1
+    assert pdf.iloc[0].std_value == 0.0
+
+    duck.execute(
+        f"CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    od = duck.execute(
+        registry.resolve_oracle(
+            registry.STAGED_ORACLES["events_seasonality_dow_hour"]
+        )
+    ).fetchdf()
+    assert od.iloc[0].std_value == 0.0
+
+
 def test_perfect_seasonality_and_cell_keys(spark, tmp_path):
     """2024-01-01 is a Monday (isodow 1). Value = dow * 100 + hour
     makes the metric a pure function of the cell: R² = 1, std 0 on

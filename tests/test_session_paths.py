@@ -72,6 +72,30 @@ def test_paths_match_python_reference(spark):
     assert pdf.n_sessions.sum() == sum(expected.values())
 
 
+def test_null_event_types_excluded_symmetrically(spark, tmp_path):
+    """A NULL event_type row vanishes from both the path AND
+    n_steps (review finding: the inner dim join dropped it from the
+    Spark path while the oracle's count(*) kept it)."""
+    from dist_map_reduce_spark.operators.session_paths import (
+        session_path_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (1, "2024-01-01 00:01:00", 2, None),
+        (1, "2024-01-01 00:02:00", 3, "b"),
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, ts_s string, event_id bigint, event_type string"
+    ).selectExpr(
+        "user_id", "to_timestamp(ts_s) AS ts", "event_id", "event_type"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    pdf = session_path_counts(spark, str(tmp_path)).toPandas()
+    got = {(r.path, r.n_steps): r.n_sessions for r in pdf.itertuples()}
+    assert got == {("a>b", 2): 1}
+
+
 def test_boundary_and_truncation_semantics(spark, tmp_path):
     """user 1: events at t0, t0+30min (exact gap — same session),
     then t0+60min+1s (split). user 2: five events in one minute —

@@ -314,7 +314,12 @@ def _reps(spark, df, replicas: int):
 
 def synth(spark, replicas: int, tables: set | None = None) -> str:
     out = os.path.join(SCRATCH, f"sfx{replicas}")
-    tables = tables or {"documents", "embeddings", "orders", "events"}
+    # lineitem included since r16: without it the default panel's
+    # basket_brand_rules row scanned the symlinked BASE-scale table
+    # and printed a meaningless ~1.0 ratio as scaling evidence
+    tables = tables or {
+        "documents", "embeddings", "orders", "events", "lineitem"
+    }
     if "documents" in tables:
         docs = load_table(spark, BASE, "documents")
         suffix = F.concat(F.lit(" r"), F.col("rep").cast("string"))
