@@ -161,15 +161,28 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
-    pref = prefix_postings(sh)
+    # the prefix index feeds THREE consumers (pref_df, and both sides
+    # of the candidate self-join through pref_ok) — without a persist
+    # the whole sh⋈dfreq⋈sizes + per-doc rank window subtree is
+    # re-evaluated per consumer (r16 plan capture: 78 Exchange nodes;
+    # guide §2.4 — share one exchange instead of repeating it). Both
+    # intermediates are prefix-bounded (~1/5 of the postings), far
+    # smaller than the already-persisted shingle table.
+    pref = persist_tracked(prefix_postings(sh), "ppjoin_pref", sf_dir)
     pref_df = pref.groupBy("shingle").agg(F.count("*").alias("pdocs"))
     capped = (
         pref_df.filter(F.col("pdocs") > MAX_KEY_DOCS)
         .agg(F.count("*").cast("bigint").alias("n_capped_postings"))
     )
-    pref_ok = pref.join(
-        pref_df.filter(F.col("pdocs") <= MAX_KEY_DOCS).select("shingle"),
-        "shingle",
+    pref_ok = persist_tracked(
+        pref.join(
+            pref_df.filter(F.col("pdocs") <= MAX_KEY_DOCS).select(
+                "shingle"
+            ),
+            "shingle",
+        ),
+        "ppjoin_pref_ok",
+        sf_dir,
     )
 
     a = pref_ok.select(

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dist_map_reduce_spark.caching import persist_tracked
+from dist_map_reduce_spark.caching import get_or_build, persist_tracked
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.functions.dedup_common import (
     _shingle_sql,
@@ -93,21 +93,44 @@ def source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def signatures(ss: DataFrame) -> DataFrame:
-    """(source, h): each source's bottom-K hash signature."""
-    dh = ss.select("source", kmv_hash_col()).distinct()
-    return (
-        dh.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("source").orderBy("h")),
+def signatures(ss: DataFrame, key: str | None = None) -> DataFrame:
+    """(source, h): each source's bottom-K hash signature. The build
+    is corpus-scale (distinct over every source shingle hash) and the
+    result is |sources|·K rows, consumed by BOTH membership arms of
+    merged_signature_flags in BOTH the kmv and theta queries — with a
+    ``key`` (the fixture dir) it is persisted once per corpus
+    (r16, guide §2.4: 4+ duplicate corpus-scale subtrees otherwise)."""
+
+    def build() -> DataFrame:
+        dh = ss.select("source", kmv_hash_col()).distinct()
+        return (
+            dh.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("source").orderBy("h")
+                ),
+            )
+            .filter(F.col("rn") <= KMV_K)
+            .select("source", "h")
         )
-        .filter(F.col("rn") <= KMV_K)
-        .select("source", "h")
+
+    if key is None:
+        return build()
+    return get_or_build("kmv_signatures", key, build, session=ss.sparkSession)
+
+
+def source_sizes(ss: DataFrame, key: str | None = None) -> DataFrame:
+    """(source, n): distinct-shingle count per source — consumed by
+    both sides of the pair grid per query; persisted (≤ |sources|
+    rows) when ``key`` is given."""
+    if key is None:
+        return ss.groupBy("source").agg(F.count("*").alias("n"))
+    return get_or_build(
+        "kmv_source_sizes",
+        key,
+        lambda: ss.groupBy("source").agg(F.count("*").alias("n")),
+        session=ss.sparkSession,
     )
-
-
-def source_sizes(ss: DataFrame) -> DataFrame:
-    return ss.groupBy("source").agg(F.count("*").alias("n"))
 
 
 def source_pairs(sizes: DataFrame) -> DataFrame:
@@ -126,18 +149,29 @@ def source_pairs(sizes: DataFrame) -> DataFrame:
     )
 
 
-def exact_intersections(ss: DataFrame) -> DataFrame:
+def exact_intersections(ss: DataFrame, key: str | None = None) -> DataFrame:
     """(source_a, source_b, n_inter): the exact grading arm's
-    shared-shingle self-join — the intended corpus-scale exchange."""
-    return (
-        ss.select(F.col("source").alias("source_a"), "shingle")
-        .join(
-            ss.select(F.col("source").alias("source_b"), "shingle"),
-            "shingle",
+    shared-shingle self-join — the intended corpus-scale exchange.
+    Output is |sources|²-bounded; with ``key`` it is persisted so the
+    kmv and theta queries (and repeat invocations) pay the self-join
+    once per corpus."""
+
+    def build() -> DataFrame:
+        return (
+            ss.select(F.col("source").alias("source_a"), "shingle")
+            .join(
+                ss.select(F.col("source").alias("source_b"), "shingle"),
+                "shingle",
+            )
+            .filter(F.col("source_a") <= F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_inter"))
         )
-        .filter(F.col("source_a") <= F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_inter"))
+
+    if key is None:
+        return build()
+    return get_or_build(
+        "kmv_exact_inter", key, build, session=ss.sparkSession
     )
 
 
@@ -241,10 +275,10 @@ def text_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity pins both arms, so the estimate's error on this corpus is
     itself certified."""
     ss = source_shingles(spark, sf_dir)
-    sig = signatures(ss)
-    sizes = source_sizes(ss)
+    sig = signatures(ss, key=sf_dir)
+    sizes = source_sizes(ss, key=sf_dir)
     pairs = source_pairs(sizes)
-    inter = exact_intersections(ss)
+    inter = exact_intersections(ss, key=sf_dir)
     merged = merged_signature_flags(
         pairs.select("source_a", "source_b"), sig
     )

@@ -171,10 +171,10 @@ def text_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the entire signature scaffold is text_kmv's — one definition,
     # one persist slot, zero textual duplication (r15 review)
     ss = source_shingles(spark, sf_dir)
-    sig = signatures(ss)
-    sizes = source_sizes(ss)
+    sig = signatures(ss, key=sf_dir)
+    sizes = source_sizes(ss, key=sf_dir)
     pairs = source_pairs(sizes)
-    inter = exact_intersections(ss)
+    inter = exact_intersections(ss, key=sf_dir)
     merged = merged_signature_flags(
         pairs.select("source_a", "source_b"), sig
     )

@@ -159,7 +159,6 @@ def winnow_match_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
     keys), and i<j pairs come straight off each sorted posting list:
     per-fp fan-out ≤ C(cap, 2), never corpus². One shuffle keyed by
     fingerprint, one pair aggregation."""
-    from pyspark.sql import Window as W
 
     # explode_OUTER, deliberately: plain explode triggers
     # InferFiltersFromGenerate, which pushes `size(fps) > 0 AND
@@ -182,17 +181,25 @@ def winnow_match_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )
-    fp_docs = (
-        winnow_fingerprints(docs)
-        .select("doc_id", F.explode_outer("fps").alias("packed"))
-        .select("doc_id", (F.col("packed") % F.lit(_P32)).alias("fp"))
-        .distinct()
-    )
+    fp_docs = winnow_fingerprints(docs).select(
+        "doc_id", F.explode_outer("fps").alias("packed")
+    ).select("doc_id", (F.col("packed") % F.lit(_P32)).alias("fp"))
+    # ONE fp-keyed exchange builds the dedup'd posting lists:
+    # collect_set dedups (fp, doc) map-side in the partial aggregate
+    # (so duplicate windows never cross the wire) and the size filter
+    # is the same ≥2/≤MAX_FP_DOCS cap as before. This replaces the
+    # r15 distinct → window-count → collect_list chain (three
+    # fp/(fp,doc)-keyed passes incl. a WindowExec sort) with one
+    # exchange — guide §2.3/§2.4; over-cap postings still never
+    # reach the pair explode, and the aggregation state they briefly
+    # hold spills through the same sort-based fallback the window
+    # buffer used.
     postings = (
-        fp_docs.withColumn("n_docs", F.count("*").over(W.partitionBy("fp")))
-        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= MAX_FP_DOCS))
-        .groupBy("fp")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        fp_docs.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= MAX_FP_DOCS)
+        )
     )
     pairs = postings.select(
         F.explode(
@@ -230,7 +237,6 @@ def winnow_decontaminate(
     MAX_FP_DOCS drop-count-first cap on the TRAIN side (boilerplate
     fingerprints), and the eval side is benchmark-sized — AQE
     broadcasts it."""
-    from pyspark.sql import Window as W
 
     # explode_OUTER on both sides — see winnow_match_pairs: plain
     # explode infers a size/isnotnull filter that inlines the whole
@@ -239,27 +245,41 @@ def winnow_decontaminate(
     par = train.sparkSession.sparkContext.defaultParallelism
     train = train.repartition(par)
     eval_docs = eval_docs.repartition(par)
-    t_fp = (
+    # Both sides reduce to per-fp posting lists in ONE fp-keyed
+    # exchange each (collect_set dedups (fp, doc) map-side — the
+    # same single-exchange rewrite as winnow_match_pairs, replacing
+    # distinct → window-count chains); the cap filter on the TRAIN
+    # side is unchanged, and the fp equi-join of the two posting
+    # tables reuses the groupBy partitioning, so no further
+    # corpus-scale exchange happens before the final per-doc rollup.
+    t_post = (
         winnow_fingerprints(train)
         .select("doc_id", F.explode_outer("fps").alias("p"))
         .select("doc_id", (F.col("p") % F.lit(_P32)).alias("fp"))
-        .distinct()
-        .withColumn("n_docs", F.count("*").over(W.partitionBy("fp")))
-        .filter(F.col("n_docs") <= MAX_FP_DOCS)
-        .drop("n_docs")
+        .groupBy("fp")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds") <= MAX_FP_DOCS)
     )
-    e_fp = (
+    e_post = (
         winnow_fingerprints(eval_docs)
         .select(
             F.col("doc_id").alias("eval_id"),
             F.explode_outer("fps").alias("p"),
         )
         .select("eval_id", (F.col("p") % F.lit(_P32)).alias("fp"))
-        .distinct()
+        .groupBy("fp")
+        .agg(F.collect_set("eval_id").alias("es"))
+    )
+    hits = (
+        t_post.join(e_post, "fp")
+        .select(
+            F.explode("ds").alias("doc_id"),
+            F.col("es"),
+        )
+        .select("doc_id", F.explode("es").alias("eval_id"))
     )
     return (
-        t_fp.join(e_fp, "fp")
-        .groupBy("doc_id")
+        hits.groupBy("doc_id")
         .agg(
             F.countDistinct("eval_id").alias("n_eval_hits"),
             F.count("*").alias("n_shared_fps"),

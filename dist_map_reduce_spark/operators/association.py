@@ -112,11 +112,20 @@ def brand_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     brands = (
         load_table(spark, sf_dir, "part").select("p_brand").distinct()
     )
-    return brands.select(
-        F.col("p_brand").alias("brand"),
-        (
-            F.row_number().over(Window.orderBy("p_brand")) - 1
-        ).alias("idx"),
+    # four consumers per rules build (compositions, margin, both pair
+    # sides) each re-ran the part scan + distinct exchange + the
+    # single-partition rank window — persist the ≤63-row dimension
+    # once instead (r16: 4 duplicate subtrees out of the plan's 88
+    # Exchanges; guide §2.4)
+    return persist_tracked(
+        brands.select(
+            F.col("p_brand").alias("brand"),
+            (
+                F.row_number().over(Window.orderBy("p_brand")) - 1
+            ).alias("idx"),
+        ),
+        "basket_brand_dim",
+        sf_dir,
     )
 
 
@@ -168,22 +177,38 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = comps.agg(F.sum("cnt").cast("bigint").alias("n_baskets"))
     # margins and pairs explode over the composition-scale table
     # only, weighted by basket count
-    margin = (
+    # consumed twice (the ante and cons margin arms) — persist the
+    # ≤63-row margin so the composition-scale explode+agg runs once
+    margin = persist_tracked(
         comps.select(
             F.explode(F.expr(_BITS)).alias("idx"), "cnt"
         )
         .groupBy("idx")
         .agg(F.sum("cnt").cast("bigint").alias("n_brand"))
         .join(F.broadcast(dim), "idx")
-        .select("brand", "n_brand")
+        .select("brand", "n_brand"),
+        "basket_brand_margin",
+        sf_dir,
     )
+    # materialize the bits array ONCE per composition row: inlining
+    # _BITS into the nested transform re-evaluates the 63-element
+    # sequence+filter per lambda element (no CSE inside lambda
+    # bodies — the session.py InferFiltersFromGenerate lesson, here
+    # as plain interpreted-HOF cost: ~2 s of executor time over the
+    # 55k cached masks at sf0.1, guide §1.2 per-task work). Slicing
+    # the materialized ~popcount-length array is O(k²) per row with
+    # k = set bits, not O(63·k).
     pair_expr = F.expr(
-        f"flatten(transform({_BITS}, (x, i) -> "
-        f"transform(slice({_BITS}, i + 2, 63), "
+        "flatten(transform(bits, (x, i) -> "
+        "transform(slice(bits, i + 2, 63), "
         "y -> struct(x AS ia, y AS ib))))"
     )
-    pairs = (
-        comps.select(F.explode(pair_expr).alias("p"), "cnt")
+    # consumed twice (both arms of the directed union) — persist the
+    # ≤ C(63,2)-row undirected pair table so the composition-scale
+    # pair explode runs once per corpus
+    pairs = persist_tracked(
+        comps.select(F.expr(_BITS).alias("bits"), "cnt")
+        .select(F.explode(pair_expr).alias("p"), "cnt")
         .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .agg(F.sum("cnt").cast("bigint").alias("n_both"))
         .join(
@@ -196,7 +221,9 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("brand").alias("brand_b"))),
             "ib",
         )
-        .select("brand_a", "brand_b", "n_both")
+        .select("brand_a", "brand_b", "n_both"),
+        "basket_brand_pairs",
+        sf_dir,
     )
     directed = pairs.select(
         F.col("brand_a").alias("ante"),

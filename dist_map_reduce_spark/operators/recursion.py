@@ -42,6 +42,8 @@ engine's iterative family alongside functions/graph.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from dist_map_reduce_spark.catalog import load_table
@@ -49,10 +51,13 @@ from dist_map_reduce_spark.money import sum_money
 from dist_map_reduce_spark.registry import staged_query
 
 
-def _lineage_sql(table: str, intdiv: str) -> str:
+def _lineage_sql(table: str, intdiv: str, hint: str = "MERGE(l)") -> str:
     """The shared recursive-traversal text: ``table`` is the orders
     relation name, ``intdiv`` the dialect's integer-division operator
-    (the ONLY dialect difference)."""
+    (the ONLY dialect difference). ``hint`` pins the recursive arm's
+    join strategy on the Spark side (DuckDB reads any hint as a plain
+    comment); an empty string drops the hint clause entirely."""
+    hint_clause = f"/*+ {hint} */ " if hint else ""
     return f"""
     WITH RECURSIVE lineage AS (
       SELECT o.o_orderkey AS okey, o.o_totalprice AS price,
@@ -63,7 +68,7 @@ def _lineage_sql(table: str, intdiv: str) -> str:
         WHERE p.o_orderkey = o.o_orderkey {intdiv} 2
       )
       UNION ALL
-      SELECT /*+ MERGE(l) */
+      SELECT {hint_clause}
              c.o_orderkey, c.o_totalprice, l.depth + 1, l.root
       FROM {table} c
       JOIN lineage l ON c.o_orderkey {intdiv} 2 = l.okey
@@ -76,6 +81,36 @@ def _lineage_sql(table: str, intdiv: str) -> str:
     FROM lineage
     GROUP BY depth
     """
+
+
+# Broadcast the recursive frontier only while it is PROVABLY small:
+# the frontier is a subset of the orders keyset, so orders row count
+# bounds it. A frontier row is ~40 B framed (bigint key + DECIMAL
+# price + int depth + bigint root), so 2M rows ≈ 80 MB broadcast —
+# comfortable under the default driver/executor memory; the 100x
+# probe's measured driver OOM was at 15M orders (see the MERGE note
+# below). Above the bound, pin sort-merge, which is safe at any
+# scale. Measured at sf0.1 (150k orders, 18 levels): broadcast 4.45 s
+# vs MERGE 7.23 s vs SHUFFLE_HASH 6.07 s (best-of-3) — per-level
+# frontier exchange+sort is the difference (guide §3.1/§8: supply
+# the size knowledge the stat-less CTE loop cannot infer).
+_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _orders_rows(sf_dir: str) -> int:
+    """Orders row count from parquet footer metadata (no Spark job);
+    handles both the single-file fixture and a directory of parts."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    files = (
+        sorted(globmod.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 _VIEW = "recursion_orders_v"  # query-private temp view name
@@ -102,13 +137,18 @@ def recursive_order_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what actually catches runaway recursion here: depth is
     # log2(max_key) by construction, far under 100.
     #
-    # The MERGE(l) hint in the recursive arm is the second scale
-    # lesson the 100x probe paid for: the CTE self-reference has no
-    # statistics, so Catalyst defaulted to BROADCASTING the frontier
-    # — which at depth 1 can be nearly the whole table (driver OOM
-    # at 15M orders). Never broadcast a relation whose size you
-    # cannot bound; the hint pins the frontier join to sort-merge
-    # (DuckDB reads the hint as a plain comment).
+    # Join strategy for the recursive arm (the CTE self-reference has
+    # no statistics, so Catalyst cannot make this call itself):
+    # - small keyset (bounded by _orders_rows, footer-metadata read):
+    #   let the frontier broadcast — each level then runs exchange-
+    #   free on the orders side (r16 optimization, measured 7.2 s →
+    #   4.4 s at sf0.1);
+    # - large keyset: pin sort-merge with MERGE(l). The 100x scale
+    #   probe paid for this lesson: un-hinted, Catalyst broadcast a
+    #   depth-1 frontier of ~half the table and the driver OOM'd at
+    #   15M orders. Never broadcast a relation whose size you cannot
+    #   bound (DuckDB reads the hint as a plain comment).
     spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    hint = "" if _orders_rows(sf_dir) <= _BROADCAST_MAX_ROWS else "MERGE(l)"
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(_VIEW)
-    return spark.sql(_lineage_sql(_VIEW, "DIV"))
+    return spark.sql(_lineage_sql(_VIEW, "DIV", hint=hint))

@@ -183,16 +183,21 @@ def stream_hll_registers(
                 registers[b] = r
         batches[0] += 1
 
-    q = (
-        stream.writeStream.outputMode("update")
-        .foreachBatch(fold_batch)
-        .option(
-            "checkpointLocation", os.path.join(staged, "_hll_ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
+    from dist_map_reduce_spark.streaming.pipelines import (
+        stream_shuffle_scope,
     )
-    q.awaitTermination()
+
+    with stream_shuffle_scope(spark):
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(fold_batch)
+            .option(
+                "checkpointLocation", os.path.join(staged, "_hll_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return registers, batches[0]
 
 

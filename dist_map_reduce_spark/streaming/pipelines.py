@@ -59,6 +59,73 @@ from dist_map_reduce_spark.catalog import table_path
 from dist_map_reduce_spark.money import sum_money
 from dist_map_reduce_spark.registry import query
 
+# --- scale-adaptive state partitioning (optimization guide §2.2) ---
+#
+# Stateful streaming shuffles cannot be AQE-coalesced (AQE is
+# disabled for stateful workloads), so the state-store partition
+# count is pinned from spark.sql.shuffle.partitions at query start.
+# Inheriting the session default (the core count) over-partitions
+# small state: each state partition carries a FIXED per-batch cost
+# (store open + version load + delta-file commit, ~100 ms/partition/
+# batch measured for the symmetric hash join on this container), so
+# the stream-stream left join at sf0.1 ran 5.9 s at 32 partitions vs
+# 2.4 s at 8 with identical rows (OPTIMIZATION_r16.md has the full
+# 1/2/4/8/32 curve). Size the state shuffle to the DATA instead:
+# one partition per ~32 MB of source input, floored by a small
+# parallelism constant (keep multi-core nodes busy without
+# scattering tiny state across dozens of stores) and capped at 4x
+# the cluster's default parallelism — all three terms scale with
+# deployment, nothing is tuned to local[32].
+_STATE_PART_BYTES = 32 << 20
+_SUGGESTED_PARTS: list[int] = []  # last FileSource.read suggestion
+
+
+def _glob_bytes(path: str | None, sf_dir: str, glob: str) -> int:
+    """Total bytes of the files a FileSource stream will replay."""
+    import glob as globmod
+
+    if path is None:
+        files = globmod.glob(os.path.join(sf_dir, glob))
+    elif os.path.isdir(path):
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        ]
+    else:
+        files = [path]
+    return sum(os.path.getsize(f) for f in files if os.path.isfile(f))
+
+
+def state_partitions(spark: SparkSession, nbytes: int) -> int:
+    """Scale-adaptive state-store partition count: bytes-derived,
+    parallelism-floored, cluster-capped (see block comment above)."""
+    cores = spark.sparkContext.defaultParallelism
+    need = max(1, -(-nbytes // _STATE_PART_BYTES))
+    return max(min(cores, 8), min(need, 4 * cores))
+
+
+@contextlib.contextmanager
+def stream_shuffle_scope(spark: SparkSession):
+    """Apply the pending FileSource partition suggestion around a
+    streaming start()/awaitTermination() pair, restoring the session
+    default afterwards so batch queries keep their AQE initial
+    partition count. No-op when no suggestion is pending (e.g. a
+    Kafka source, whose volume is unknowable up front)."""
+    key = "spark.sql.shuffle.partitions"
+    suggestion = _SUGGESTED_PARTS.pop() if _SUGGESTED_PARTS else None
+    _SUGGESTED_PARTS.clear()  # one suggestion per query, never stale
+    if suggestion is None:
+        yield
+        return
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(suggestion))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
 
 @dataclass(frozen=True)
 class FileSource:
@@ -103,6 +170,12 @@ class FileSource:
             reader = reader.option(
                 "maxFilesPerTrigger", str(self.max_files_per_trigger)
             )
+        # record the bytes-derived state-partition suggestion for the
+        # sink that will start this stream (stream_shuffle_scope)
+        _SUGGESTED_PARTS.clear()
+        _SUGGESTED_PARTS.append(
+            state_partitions(spark, _glob_bytes(path, sf_dir, self.glob))
+        )
         return _normalize_ts(reader.load(path or sf_dir))
 
 
@@ -166,14 +239,15 @@ class MemorySink:
         prev = _LAST_SINK.get(name)
         if prev is not None:
             spark.catalog.dropTempView(prev)
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_shuffle_scope(spark):
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         _LAST_SINK[name] = sink
         return spark.table(sink)
 
@@ -211,15 +285,16 @@ class ParquetAppendSink:
             # output dir
             shutil.rmtree(path, ignore_errors=True)
             shutil.rmtree(path + "_ckpt", ignore_errors=True)
-        q = (
-            df.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", path)
-            .option("checkpointLocation", path + "_ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_shuffle_scope(df.sparkSession):
+            q = (
+                df.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", path + "_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         spark = df.sparkSession
         # a watermarked append stream can legitimately emit ZERO rows
         # (input span shorter than one window ⇒ every window withheld
@@ -293,14 +368,15 @@ class ForeachBatchMergeSink:
                 shutil.rmtree(old, ignore_errors=True)
             del versions[:-1]
 
-        q = (
-            df.writeStream.outputMode("update")
-            .foreachBatch(merge_batch)
-            .option("checkpointLocation", os.path.join(base, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_shuffle_scope(df.sparkSession):
+            q = (
+                df.writeStream.outputMode("update")
+                .foreachBatch(merge_batch)
+                .option("checkpointLocation", os.path.join(base, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         spark = df.sparkSession
         if not versions:
             return spark.createDataFrame([], df.schema)
@@ -754,15 +830,16 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     purchases = read_events_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
-    q = (
-        purchases.writeStream.foreachBatch(upsert_batch)
-        .option(
-            "checkpointLocation", os.path.join(base, "_checkpoint")
+    with stream_shuffle_scope(spark):
+        q = (
+            purchases.writeStream.foreachBatch(upsert_batch)
+            .option(
+                "checkpointLocation", os.path.join(base, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if not versions:
         # the filtered stream produced no micro-batches (no purchase
         # events): the target is legitimately empty

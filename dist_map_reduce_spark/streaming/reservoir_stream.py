@@ -123,14 +123,21 @@ def stream_reservoir(
                 break
         batches[0] += 1
 
-    q = (
-        stream.writeStream.outputMode("update")
-        .foreachBatch(fold_batch)
-        .option("checkpointLocation", os.path.join(staged, "_res_ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    from dist_map_reduce_spark.streaming.pipelines import (
+        stream_shuffle_scope,
     )
-    q.awaitTermination()
+
+    with stream_shuffle_scope(spark):
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(fold_batch)
+            .option(
+                "checkpointLocation", os.path.join(staged, "_res_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return state, batches[0]
 
 
