@@ -52,6 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dist_map_reduce_spark.caching import persist_tracked
 from dist_map_reduce_spark.catalog import load_table
 from dist_map_reduce_spark.registry import query
 
@@ -129,7 +130,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
-    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # tf feeds THREE consumers (df margins, probe-term selection, the
+    # candidate join) — persist the corpus-scale explode+agg once
+    # (r16, guide §2.4; the dedup-family shingle-slot precedent)
+    tf = persist_tracked(
+        tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf")),
+        "bm25_tf",
+        sf_dir,
+    )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     lens = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("dl")

@@ -58,17 +58,39 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
         ).cast("bigint"),
     )
     h = docs.select("doc_id", hs.alias("hs"))
-    sl = lambda s: F.slice(F.col("hs"), s, W_WIN)  # noqa: E731
+
+    # Per window, one O(W) aggregate pass tracks (min, rightmost
+    # argmin) directly — r16 rewrite of the original
+    # slice/reverse/array_position/array_min form, which evaluated
+    # ~6 O(W) array passes (plus 3 array allocations) per window for
+    # the same value. Equivalence: the old formula
+    #   s + W − array_position(reverse(slice), min)
+    # resolves to the rightmost 1-based index j of the window minimum
+    # (reversed position of the min's FIRST reversed occurrence is
+    # its rightmost original occurrence), and `<=` in the fold keeps
+    # the later index on ties, so packed = j·2³² + min is identical
+    # bit for bit. Oracle text unchanged; parity pinned by the
+    # text_winnow_fingerprints oracle and the Python reference test.
+    def _win_packed(s):
+        return F.aggregate(
+            F.sequence(s + F.lit(1), s + F.lit(W_WIN - 1)),
+            F.struct(
+                F.element_at(F.col("hs"), s).alias("m"),
+                s.cast("bigint").alias("p"),
+            ),
+            lambda acc, j: F.when(
+                F.element_at(F.col("hs"), j) <= acc["m"],
+                F.struct(
+                    F.element_at(F.col("hs"), j).alias("m"),
+                    j.cast("bigint").alias("p"),
+                ),
+            ).otherwise(acc),
+            lambda acc: acc["p"] * F.lit(_P32) + acc["m"],
+        )
+
     packed = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size("hs") - W_WIN + 1),
-            lambda s: (
-                s.cast("bigint")
-                + F.lit(W_WIN)
-                - F.array_position(F.reverse(sl(s)), F.array_min(sl(s)))
-            )
-            * F.lit(_P32)
-            + F.array_min(sl(s)),
+            F.sequence(F.lit(1), F.size("hs") - W_WIN + 1), _win_packed
         )
     )
     return h.select(
@@ -181,25 +203,25 @@ def winnow_match_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )
-    fp_docs = winnow_fingerprints(docs).select(
-        "doc_id", F.explode_outer("fps").alias("packed")
-    ).select("doc_id", (F.col("packed") % F.lit(_P32)).alias("fp"))
-    # ONE fp-keyed exchange builds the dedup'd posting lists:
-    # collect_set dedups (fp, doc) map-side in the partial aggregate
-    # (so duplicate windows never cross the wire) and the size filter
-    # is the same ≥2/≤MAX_FP_DOCS cap as before. This replaces the
-    # r15 distinct → window-count → collect_list chain (three
-    # fp/(fp,doc)-keyed passes incl. a WindowExec sort) with one
-    # exchange — guide §2.3/§2.4; over-cap postings still never
-    # reach the pair explode, and the aggregation state they briefly
-    # hold spills through the same sort-based fallback the window
-    # buffer used.
+    from pyspark.sql import Window as W
+
+    fp_docs = (
+        winnow_fingerprints(docs)
+        .select("doc_id", F.explode_outer("fps").alias("packed"))
+        .select("doc_id", (F.col("packed") % F.lit(_P32)).alias("fp"))
+        .distinct()
+    )
+    # drop-count-first cap (the SCALE.md degenerate-key policy): the
+    # count window partitioned by fp cuts a hot fingerprint BEFORE
+    # collect_list, so no unbounded per-group list buffer ever
+    # materializes (WindowExec spills a hot key's rows; an agg
+    # buffer cannot), and the groupBy reuses the window's fp
+    # partitioning — cap, posting build and shuffle are one exchange.
     postings = (
-        fp_docs.groupBy("fp")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
-        .filter(
-            (F.size("ds") >= 2) & (F.size("ds") <= MAX_FP_DOCS)
-        )
+        fp_docs.withColumn("n_docs", F.count("*").over(W.partitionBy("fp")))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= MAX_FP_DOCS))
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
     )
     pairs = postings.select(
         F.explode(
@@ -245,41 +267,32 @@ def winnow_decontaminate(
     par = train.sparkSession.sparkContext.defaultParallelism
     train = train.repartition(par)
     eval_docs = eval_docs.repartition(par)
-    # Both sides reduce to per-fp posting lists in ONE fp-keyed
-    # exchange each (collect_set dedups (fp, doc) map-side — the
-    # same single-exchange rewrite as winnow_match_pairs, replacing
-    # distinct → window-count chains); the cap filter on the TRAIN
-    # side is unchanged, and the fp equi-join of the two posting
-    # tables reuses the groupBy partitioning, so no further
-    # corpus-scale exchange happens before the final per-doc rollup.
-    t_post = (
+    from pyspark.sql import Window as W
+
+    # drop-count-first cap on the TRAIN side (the SCALE.md
+    # degenerate-key policy — see winnow_match_pairs): the count
+    # window cuts hot fingerprints before any per-group buffering.
+    t_fp = (
         winnow_fingerprints(train)
         .select("doc_id", F.explode_outer("fps").alias("p"))
         .select("doc_id", (F.col("p") % F.lit(_P32)).alias("fp"))
-        .groupBy("fp")
-        .agg(F.collect_set("doc_id").alias("ds"))
-        .filter(F.size("ds") <= MAX_FP_DOCS)
+        .distinct()
+        .withColumn("n_docs", F.count("*").over(W.partitionBy("fp")))
+        .filter(F.col("n_docs") <= MAX_FP_DOCS)
+        .drop("n_docs")
     )
-    e_post = (
+    e_fp = (
         winnow_fingerprints(eval_docs)
         .select(
             F.col("doc_id").alias("eval_id"),
             F.explode_outer("fps").alias("p"),
         )
         .select("eval_id", (F.col("p") % F.lit(_P32)).alias("fp"))
-        .groupBy("fp")
-        .agg(F.collect_set("eval_id").alias("es"))
-    )
-    hits = (
-        t_post.join(e_post, "fp")
-        .select(
-            F.explode("ds").alias("doc_id"),
-            F.col("es"),
-        )
-        .select("doc_id", F.explode("es").alias("eval_id"))
+        .distinct()
     )
     return (
-        hits.groupBy("doc_id")
+        t_fp.join(e_fp, "fp")
+        .groupBy("doc_id")
         .agg(
             F.countDistinct("eval_id").alias("n_eval_hits"),
             F.count("*").alias("n_shared_fps"),

@@ -150,5 +150,20 @@ def recursive_order_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   bound (DuckDB reads the hint as a plain comment).
     spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     hint = "" if _orders_rows(sf_dir) <= _BROADCAST_MAX_ROWS else "MERGE(l)"
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(_VIEW)
+    # pin the narrow traversal table once: the UnionLoop re-reads the
+    # orders relation at EVERY recursion level (~log2(max_key) levels
+    # × 2 references — anchor probe + recursive arm), so each level
+    # re-paid the parquet scan; a persisted (key, price) projection
+    # turns those into in-memory scans (r16, guide §2.4/§5 — reuse
+    # across ~36 reads easily clears the caching bar)
+    from dist_map_reduce_spark.caching import get_or_build
+
+    get_or_build(
+        "recursion_orders_narrow",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ),
+        session=spark,
+    ).createOrReplaceTempView(_VIEW)
     return spark.sql(_lineage_sql(_VIEW, "DIV", hint=hint))

@@ -78,6 +78,15 @@ from dist_map_reduce_spark.registry import query
 # deployment, nothing is tuned to local[32].
 _STATE_PART_BYTES = 32 << 20
 _SUGGESTED_PARTS: list[int] = []  # last FileSource.read suggestion
+# (path, glob) -> ((bytes, mtime), schema): footer-read memo
+_SCHEMA_MEMO: dict = {}
+
+
+def _mtime(path: str) -> int:
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return 0
 
 
 def _glob_bytes(path: str | None, sf_dir: str, glob: str) -> int:
@@ -154,15 +163,26 @@ class FileSource:
                 path = cand
         # pin the stream schema from a batch read of the SAME files
         # the glob selects (not hard-coded to events: the stream may
-        # replay any fixture table, e.g. documents for wordcount)
-        if path is not None:
+        # replay any fixture table, e.g. documents for wordcount).
+        # The footer read costs ~75 ms per call and a stream-stream
+        # join builds two sources per invocation — memoize per
+        # (path, glob, mtime), the catalog._DF_MEMO staleness
+        # contract (r16).
+        skey = (path or sf_dir, self.glob)
+        stamp = _glob_bytes(path, sf_dir, self.glob), _mtime(path or sf_dir)
+        hit = _SCHEMA_MEMO.get(skey)
+        if hit is not None and hit[0] == stamp:
+            schema = hit[1]
+        elif path is not None:
             schema = spark.read.parquet(path).schema
+            _SCHEMA_MEMO[skey] = (stamp, schema)
         else:
             schema = (
                 spark.read.option("pathGlobFilter", self.glob)
                 .parquet(sf_dir)
                 .schema
             )
+            _SCHEMA_MEMO[skey] = (stamp, schema)
         reader = spark.readStream.schema(schema).format("parquet")
         if path is None:
             reader = reader.option("pathGlobFilter", self.glob)

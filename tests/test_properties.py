@@ -727,8 +727,15 @@ def test_lexical_cosine_matches_brute_force(spark, texts):
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     )
+    from dist_map_reduce_spark import caching
+
     orig = ce.load_table
     ce.load_table = lambda s, d, n: docs
+    # the injected docs change under a CONSTANT slot key ("unused"),
+    # which violates caching.py's staleness contract (the key is
+    # assumed to fully determine the data) — clear the tracked slots
+    # around each hypothesis case so lexcos_postings rebuilds
+    caching.clear()
     try:
         got = {
             (r.doc_a, r.doc_b): r.cos
@@ -736,6 +743,7 @@ def test_lexical_cosine_matches_brute_force(spark, texts):
         }
     finally:
         ce.load_table = orig
+        caching.clear()
 
     def shingles(t):
         w = t.split(" ")
