@@ -47,11 +47,13 @@ from dist_map_reduce_spark.functions.similarity_common import (  # noqa: F401
     _plane_sql,
     bucket_col,
     cosine_expr,
+    dot_expr,
     ivf_oracle_sql,
     ivf_search,
     kmeans_ctes,
     kmeans_fit,
     n_planes_for,
+    norm_expr,
     probe_masks,
 )
 from dist_map_reduce_spark.registry import query
@@ -102,10 +104,18 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_in_bucket", F.count("*").over(W.partitionBy("bucket")))
         .filter(F.col("n_in_bucket") <= MAX_BUCKET_VECS)
         .drop("n_in_bucket")
+        # per-vector norm hoisted below the self-join (norm_expr
+        # docstring: bit-identical cosine, computed once per vector
+        # instead of once per candidate pair)
+        .withColumn("nrm", norm_expr("embedding"))
     )
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = F.round(cosine_expr("a.embedding", "b.embedding"), 6)
+    cos = F.round(
+        dot_expr("a.embedding", "b.embedding")
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     return (
         a.join(
             b,
@@ -177,12 +187,16 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int) -> DataFrame:
     count from corpus size."""
     from pyspark.sql import Window as W
 
-    emb = _lsh_bucketed(spark, sf_dir, n_planes)
+    emb = _lsh_bucketed(spark, sf_dir, n_planes).withColumn(
+        # hoisted per-vector norm — see norm_expr (bit-identical)
+        "en", norm_expr("embedding")
+    )
     probes = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            F.col("en").alias("qn"),
             F.explode(
                 F.array(*[F.lit(m) for m in probe_masks(n_planes)])
             ).alias("m"),
@@ -191,6 +205,7 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int) -> DataFrame:
         .select(
             "query_id",
             "qe",
+            "qn",
             F.col("qbucket").bitwiseXOR(F.col("m")).alias("pbucket"),
         )
     )
@@ -202,7 +217,9 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_expr("qe", "embedding"), 6).alias("cos"),
+            F.round(
+                dot_expr("qe", "embedding") / (F.col("qn") * F.col("en")), 6
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -307,17 +324,26 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # hoist per-vector norms BELOW the pair join (norm_expr docstring:
+    # bit-identical score, norms computed once per vector instead of
+    # once per (query, vector) pair — the corpus norm was re-evaluated
+    # |queries|× before)
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm_expr("embedding").alias("qn"),
         )
     )
+    corpus = emb.select("vec_id", "embedding", norm_expr("embedding").alias("en"))
     scored = (
-        emb.join(queries, emb.vec_id != queries.query_id)
+        corpus.join(queries, corpus.vec_id != queries.query_id)
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_expr("qe", "embedding"), 6).alias("cos"),
+            F.round(
+                dot_expr("qe", "embedding") / (F.col("qn") * F.col("en")), 6
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())

@@ -89,27 +89,36 @@ def _plane_sql(j: int) -> str:
     return "[" + ", ".join(str(w) for w in PLANES[j]) + "]::DOUBLE[]"
 
 
-def cosine_expr(a: str, b: str) -> Column:
-    """Cosine similarity of two array columns, computed in float64
-    (matches DuckDB list_cosine_similarity on DOUBLE[] exactly up to
-    the final rounding)."""
-    dot = F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        f" 0D, (acc, v) -> acc + v)"
-    )
-    na = F.sqrt(
+def norm_expr(a: str) -> Column:
+    """sqrt(Σx²) of an array column — the exact IEEE sub-expression
+    cosine_expr computes per side. Hoist it to a per-VECTOR projection
+    below a pair-generating join and the pair-level score
+    dot / (na·nb) is bit-identical (same three ops on the same
+    doubles), while each vector's norm is computed once instead of
+    once per candidate pair (r16, guide §1.2 per-task work)."""
+    return F.sqrt(
         F.expr(
             f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
             f" 0D, (acc, v) -> acc + v)"
         )
     )
-    nb = F.sqrt(
-        F.expr(
-            f"aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            f" 0D, (acc, v) -> acc + v)"
-        )
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Float64 dot product of two array columns — cosine_expr's
+    numerator, exposed for the hoisted-norm form."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" 0D, (acc, v) -> acc + v)"
     )
-    return dot / (na * nb)
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array columns, computed in float64
+    (matches DuckDB list_cosine_similarity on DOUBLE[] exactly up to
+    the final rounding). Composed from dot_expr/norm_expr — pair
+    fan-out sites hoist the norms instead (see norm_expr)."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 def probe_masks(n_planes: int) -> list[int]:
@@ -168,12 +177,22 @@ def kmeans_fit(
             "embedding", lambda x: F.round(x.cast("double"), 6)
         ).alias("cent"),
     )
+    # per-vector norm hoisted out of the vec×cell fan-out — see
+    # norm_expr (bit-identical ccos, one norm per vector per round
+    # instead of K_CELLS of them)
+    emb_n = emb.select(
+        "vec_id", "embedding", norm_expr("embedding").alias("_en")
+    )
     assigned = None
     for r in range(1, rounds + 1):
-        scored = emb.join(F.broadcast(cent)).select(
+        cent_n = cent.withColumn("_cn", norm_expr("cent"))
+        scored = emb_n.join(F.broadcast(cent_n)).select(
             "vec_id",
             "cell",
-            F.round(cosine_expr("embedding", "cent"), 6).alias("ccos"),
+            F.round(
+                dot_expr("embedding", "cent") / (F.col("_en") * F.col("_cn")),
+                6,
+            ).alias("ccos"),
         )
         # min(key) ≡ "ORDER BY ccos DESC, cell ASC LIMIT 1" per
         # vector (ties included): round-half-even to integer is exact
@@ -318,12 +337,21 @@ def ivf_ranked_cells(
         slot = f"{slot}_np{nprobe}"
 
     def build() -> DataFrame:
+        # hoisted norms — see norm_expr (bit-identical ccos)
+        emb_n = emb.select(
+            "vec_id", "embedding", norm_expr("embedding").alias("_en")
+        )
+        cent_n = cent.withColumn("_cn", norm_expr("centroid"))
         return (
-            emb.join(F.broadcast(cent))
+            emb_n.join(F.broadcast(cent_n))
             .select(
                 "vec_id",
                 "cand_cell",
-                F.round(cosine_expr("embedding", "centroid"), 6).alias("ccos"),
+                F.round(
+                    dot_expr("embedding", "centroid")
+                    / (F.col("_en") * F.col("_cn")),
+                    6,
+                ).alias("ccos"),
             )
             .withColumn(
                 "rn",
@@ -367,14 +395,20 @@ def ivf_search(
     from pyspark.sql import Window as W
 
     ranked = ivf_ranked_cells(emb, cent, slot, sf_dir, nprobe)
-    cells = emb.select("vec_id", "embedding").join(
+    # per-vector norms hoisted below the probe join — see norm_expr
+    # (bit-identical cosine, one norm per vector not per candidate)
+    cells = emb.select(
+        "vec_id", "embedding", norm_expr("embedding").alias("en")
+    ).join(
         ranked.filter(F.col("rn") == 1).select(
             "vec_id", F.col("cand_cell").alias("cell")
         ),
         "vec_id",
     )
     q_emb = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr("embedding").alias("qn"),
     )
     qprobes = F.broadcast(
         ranked.filter(F.col("vec_id") < N_QUERIES)
@@ -390,7 +424,9 @@ def ivf_search(
     ).select(
         "query_id",
         "vec_id",
-        F.round(cosine_expr("qe", "embedding"), 6).alias("cos"),
+        F.round(
+            dot_expr("qe", "embedding") / (F.col("qn") * F.col("en")), 6
+        ).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
