@@ -55,16 +55,45 @@ def simhash32(docs: DataFrame) -> DataFrame:
     digest is projected ONCE per token before the 32 vote sums
     reference it (explicit, rather than trusting codegen common-
     subexpression elimination across aggregate expressions)."""
-    tokens = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).select("doc_id", F.md5(F.col("word").cast("binary")).alias("h"))
+    # r16: the digest's 32 hex digits are parsed ONCE per token into
+    # three ≤60-bit integers and each bit vote is a shift+mask,
+    # replacing 32 per-token substring+string-compare expressions.
+    # Equivalence is exact: md5() emits lowercase hex, and
+    # substring(h, i+1, 1) >= '8' holds for exactly {8..9, a..f} —
+    # the nibble values with the high bit set — which is what
+    # (chunk >> (4·pos + 3)) & 1 tests.
+    tokens = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .select("doc_id", F.md5(F.col("word").cast("binary")).alias("h"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("h", 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("c0"),  # hex digits 1..15
+            F.conv(F.substring("h", 16, 15), 16, 10)
+            .cast("bigint")
+            .alias("c1"),  # hex digits 16..30
+            F.conv(F.substring("h", 31, 2), 16, 10)
+            .cast("bigint")
+            .alias("c2"),  # hex digits 31..32
+        )
+    )
+
+    def _vote(i: int) -> F.Column:
+        j = i + 1  # 1-based hex-digit position, as substring used
+        if j <= 15:
+            chunk, shift = "c0", 4 * (15 - j) + 3
+        elif j <= 30:
+            chunk, shift = "c1", 4 * (30 - j) + 3
+        else:
+            chunk, shift = "c2", 4 * (32 - j) + 3
+        bit = F.shiftright(F.col(chunk), shift).bitwiseAND(F.lit(1))
+        return F.when(bit == 1, 1).otherwise(-1)
+
     votes = tokens.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(N_BITS)
-        ]
+        *[F.sum(_vote(i)).alias(f"s{i}") for i in range(N_BITS)]
     )
     fp = None
     for i in range(N_BITS):
