@@ -24,7 +24,11 @@ to unpersist) a dead DataFrame.
 
 Staleness contract: reuse assumes the data under ``key`` is
 immutable between invocations (true for the fixture parquet). Call
-``clear()`` after mutating source data in place.
+``clear()`` after mutating source data in place. This has always
+been the contract, and since r17 it is load-bearing: checkpoint
+snapshots are invisible to the CacheManager, so an in-place
+``overwrite`` of a source path no longer happens to invalidate them
+the way it recached ``persist()`` entries.
 
 Cross-session contention (ADVICE r11): when TWO live sessions use
 the same slot, ``peek`` misses for the non-owner (never hands out a
@@ -53,19 +57,48 @@ def _is_live(df: DataFrame) -> bool:
 
 
 def _discard(df: DataFrame) -> None:
-    """Unpersist if the owning session is alive; a stopped session
-    already dropped its cache, so stale entries are just forgotten."""
+    """Release a slot entry if the owning session is alive; a stopped
+    session already dropped its storage, so stale entries are just
+    forgotten. Handles both entry kinds: CacheManager entries
+    (``persist``) respond to ``unpersist``; checkpoint snapshots hang
+    their blocks off the LogicalRDD's backing RDD, released via the
+    py4j handle (and, belt-and-braces, by the ContextCleaner once the
+    slot reference is dropped)."""
     if _is_live(df):
         try:
             df.unpersist()
         except Exception:
             pass
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
 
 
 def persist_tracked(df: DataFrame, slot: str, key: str) -> DataFrame:
-    """Persist ``df`` under ``slot``, reusing the live cache entry
-    when ``key`` matches the previous invocation's and the cached
-    DataFrame belongs to the same, still-running SparkSession."""
+    """Materialize ``df`` under ``slot``, reusing the live entry when
+    ``key`` matches the previous invocation's and the stored DataFrame
+    belongs to the same, still-running SparkSession.
+
+    Storage mechanism (r17): an eager ``localCheckpoint`` snapshot —
+    NOT ``persist()``. Both store the computed rows once; the
+    difference is the returned DataFrame's plan. A persisted slot
+    keeps its FULL build lineage: every downstream action stringifies
+    that tree twice per AQE plan update (``SparkPlanInfo.fromSparkPlan``
+    and ``QueryExecution.explainString`` both recurse into
+    ``InMemoryTableScanExec.relation.cachedPlan``, nested caches
+    included), which measured ~0.5-1.0 s of driver CPU per action on
+    the deep training lineages (thread-dump evidence in
+    OPTIMIZATION_r17.md) — pure overhead at ANY data scale, since it
+    is proportional to plan size, not data. The checkpoint snapshot is
+    a LogicalRDD leaf: plan-string work becomes O(1) and the optimizer
+    never re-walks the build tree. Trade-off (documented, deliberate):
+    a lost executor can no longer recompute a slot from lineage — the
+    consuming job fails and retries from the builder; acceptable for
+    bounded intermediates, the same recompute-on-loss posture as
+    session.iter_checkpoint's localCheckpoint arm."""
     prev = _SLOTS.get(slot)
     if prev is not None:
         prev_key, prev_df = prev
@@ -76,7 +109,7 @@ def persist_tracked(df: DataFrame, slot: str, key: str) -> DataFrame:
         ):
             return prev_df
         _discard(prev_df)
-    df = df.persist()
+    df = df.localCheckpoint(eager=True)
     _SLOTS[slot] = (key, df)
     return df
 

@@ -408,7 +408,8 @@ class TestR7Invariants:
             .executedPlan()
             .toString()
         )
-        assert "InMemoryTableScan" in plan, plan
+        assert ("InMemoryTableScan" in plan
+                or "Scan ExistingRDD" in plan), plan  # slot snapshot read
 
     def test_source_kl_nonnegative(self, spark):
         """KL divergence is non-negative by Gibbs' inequality; a

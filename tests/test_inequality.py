@@ -91,7 +91,14 @@ def test_equality_and_concentration_extremes(spark, tmp_path):
     assert (pdf.gini == 0.0).all()
     assert list(pdf.cum_share) == [round(d / 10, 6) for d in range(1, 11)]
 
-    # one whale (1M cents) + nine 1-cent minnows: gini -> 0.9-ish
+    # one whale (1M cents) + nine 1-cent minnows: gini -> 0.9-ish.
+    # The source parquet is overwritten IN PLACE, so the slot cache
+    # must be cleared first (caching.py's documented staleness
+    # contract; the r17 snapshot slots do not inherit CacheManager's
+    # incidental recache-by-path on overwrite).
+    from dist_map_reduce_spark import caching
+
+    caching.clear()
     _write_orders(
         spark, tmp_path, [(0, 100000000)] + [(ck, 1) for ck in range(1, 10)]
     )

@@ -197,18 +197,26 @@ def test_semdedup_scaled_assignment_is_slot_tracked(spark):
     beside it per call."""
     from dist_map_reduce_spark import caching
     from dist_map_reduce_spark.functions.semdedup import prune_list_scaled
-    from pyspark.storagelevel import StorageLevel
+
+    def _snapshot_rdd_cached(df) -> bool:
+        """Storage status of a snapshot slot's backing RDD (slots are
+        LogicalRDD leaves since r17 — the blocks hang off the
+        checkpointed RDD, not a CacheManager entry)."""
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        lvl = rdd.getStorageLevel()
+        return lvl.useMemory() or lvl.useDisk()
 
     prune_list_scaled(spark, SF_SMOKE, k_cells=8).count()
     slot = caching._SLOTS["semdedup_scaled_assigned"]
     first_key, first_df = slot
     assert first_key.endswith(":8")
+    assert _snapshot_rdd_cached(first_df)
     prune_list_scaled(spark, SF_SMOKE, k_cells=16).count()
     second_key, second_df = caching._SLOTS["semdedup_scaled_assigned"]
     assert second_key.endswith(":16")
-    # the k=8 assignment was unpersisted on re-key, not leaked
-    assert first_df.storageLevel == StorageLevel.NONE
-    assert second_df.storageLevel != StorageLevel.NONE
+    # the k=8 assignment's blocks were released on re-key, not leaked
+    assert not _snapshot_rdd_cached(first_df)
+    assert _snapshot_rdd_cached(second_df)
 
 
 def test_semdedup_scaled_k_shrinks_cells(spark):
