@@ -218,7 +218,18 @@ def text_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ams_source_word_counts",
         sf_dir,
     )
-    grid = _counter_grid(counts)
+    # the counter grid feeds TWO consumers (the merged element-wise
+    # sum and the per-source estimate rows) — unslotted, each re-ran
+    # the R-way fan-out + grid aggregate over the vocabulary-scale
+    # counts; the grid itself is |sources|·R·B cells, sketch-sized
+    from dist_map_reduce_spark.caching import get_or_build
+
+    grid = get_or_build(
+        "ams_counter_grid",
+        sf_dir,
+        lambda: _counter_grid(counts),
+        session=spark,
+    )
     merged = (
         grid.groupBy("r", "bucket")
         .agg(F.sum("c").alias("c"))

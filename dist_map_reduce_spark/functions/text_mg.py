@@ -183,14 +183,32 @@ def text_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the theorem's budget Σ_s λ_s + λ_m, and both facts ship as the
     certified within_bound column. STAGED-FOREVER under the
     saturation policy (registry.load_all docstring)."""
+    from dist_map_reduce_spark.caching import get_or_build
+
     counts = _source_word_counts(spark, sf_dir)
-    lam_s = _kth_plus_one(counts, ["source"], "f")
-    summ = (
-        counts.join(F.broadcast(lam_s), "source")
-        .filter(F.col("f") > F.col("lam"))
-        .select("word", (F.col("f") - F.col("lam")).alias("cnt"))
+    # lam_s (≤|sources| rows) feeds the summary join AND the error
+    # budget, and merged (≤ sources·(MG_K+1) rows) feeds λ_m AND the
+    # survivor filter — unslotted, each consumer re-ran the
+    # vocabulary-scale bucketed-tournament windows / summary aggregate
+    # (audited: 42 exchanges → 18 at sf0.1, λ_s evaluated 3× before)
+    lam_s = get_or_build(
+        "mg_lam_s",
+        sf_dir,
+        lambda: _kth_plus_one(counts, ["source"], "f"),
+        session=spark,
     )
-    merged = summ.groupBy("word").agg(F.sum("cnt").alias("c"))
+    merged = get_or_build(
+        "mg_merged",
+        sf_dir,
+        lambda: (
+            counts.join(F.broadcast(lam_s), "source")
+            .filter(F.col("f") > F.col("lam"))
+            .select("word", (F.col("f") - F.col("lam")).alias("cnt"))
+            .groupBy("word")
+            .agg(F.sum("cnt").alias("c"))
+        ),
+        session=spark,
+    )
     # merged is summary-scale (≤ sources · MG_K rows): the global
     # order statistic and the final filter are free
     mwin = Window.orderBy(F.col("c").desc(), F.col("word"))

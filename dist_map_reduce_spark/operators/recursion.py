@@ -94,6 +94,11 @@ def _lineage_sql(table: str, intdiv: str, hint: str = "MERGE(l)") -> str:
 # vs MERGE 7.23 s vs SHUFFLE_HASH 6.07 s (best-of-3) — per-level
 # frontier exchange+sort is the difference (guide §3.1/§8: supply
 # the size knowledge the stat-less CTE loop cannot infer).
+# Headroom AT the bound measured r17 (ADVICE r16 item): a synthesized
+# dense 2,000,000-key orders table runs the broadcast arm end-to-end
+# in 23.4 s — 21 levels, ~1M-row deepest frontier broadcast — with no
+# driver distress under the default 8 GiB driver (the OOM regime
+# starts ~7.5x higher at 15M rows).
 _BROADCAST_MAX_ROWS = 2_000_000
 
 

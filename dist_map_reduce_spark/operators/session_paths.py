@@ -94,18 +94,29 @@ FROM paths GROUP BY path, n_steps
 
 def type_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, idx) — dense 0-based index, lexicographic; the
-    window runs on the ≤31-row type dimension."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .select("event_type")
-        .filter(F.col("event_type").isNotNull())
-        .distinct()
-        .select(
-            "event_type",
-            (
-                F.row_number().over(Window.orderBy("event_type")) - 1
-            ).alias("idx"),
-        )
+    window runs on the ≤31-row type dimension. Snapshot-slotted
+    (r17): the dim feeds the steps join plus one decode join per
+    path position — 1 + MAX_STEPS = 13 plan branches, each of which
+    otherwise re-runs the corpus scan + distinct (audited: 34
+    exchanges unslotted → 10 slotted at sf0.1)."""
+    from dist_map_reduce_spark.caching import get_or_build
+
+    return get_or_build(
+        "session_path_type_dim",
+        sf_dir,
+        lambda: (
+            load_table(spark, sf_dir, "events")
+            .select("event_type")
+            .filter(F.col("event_type").isNotNull())
+            .distinct()
+            .select(
+                "event_type",
+                (
+                    F.row_number().over(Window.orderBy("event_type")) - 1
+                ).alias("idx"),
+            )
+        ),
+        session=spark,
     )
 
 

@@ -117,14 +117,27 @@ def state_partitions(spark: SparkSession, nbytes: int) -> int:
 
 @contextlib.contextmanager
 def stream_shuffle_scope(spark: SparkSession):
-    """Apply the pending FileSource partition suggestion around a
+    """Apply the pending FileSource partition suggestion(s) around a
     streaming start()/awaitTermination() pair, restoring the session
     default afterwards so batch queries keep their AQE initial
     partition count. No-op when no suggestion is pending (e.g. a
-    Kafka source, whose volume is unknowable up front)."""
+    Kafka source, whose volume is unknowable up front).
+
+    ADVICE r16 hardening: ALL pending suggestions are consumed and
+    the state shuffle sized by their MAX — a stream-stream join
+    builds two sources per invocation and its symmetric state must
+    be sized by the larger input, not whichever source happened to
+    be constructed last. The pending list is also cleared on scope
+    EXIT, so a source whose sink never started (query construction
+    failed in between) cannot leak its suggestion past the next
+    completed stream. Residual window (accepted): a suggestion from
+    a failed construction can still be read by a scope entered
+    before any other stream completes — it only over/under-sizes
+    that one stream's state shuffle, and the session value is
+    restored either way."""
     key = "spark.sql.shuffle.partitions"
-    suggestion = _SUGGESTED_PARTS.pop() if _SUGGESTED_PARTS else None
-    _SUGGESTED_PARTS.clear()  # one suggestion per query, never stale
+    suggestion = max(_SUGGESTED_PARTS) if _SUGGESTED_PARTS else None
+    _SUGGESTED_PARTS.clear()
     if suggestion is None:
         yield
         return
@@ -134,6 +147,7 @@ def stream_shuffle_scope(spark: SparkSession):
         yield
     finally:
         spark.conf.set(key, prev)
+        _SUGGESTED_PARTS.clear()
 
 
 @dataclass(frozen=True)
@@ -191,8 +205,10 @@ class FileSource:
                 "maxFilesPerTrigger", str(self.max_files_per_trigger)
             )
         # record the bytes-derived state-partition suggestion for the
-        # sink that will start this stream (stream_shuffle_scope)
-        _SUGGESTED_PARTS.clear()
+        # sink that will start this stream; APPEND, never replace —
+        # a stream-stream join builds two sources before one sink
+        # starts, and stream_shuffle_scope sizes by the max of all
+        # pending suggestions (ADVICE r16)
         _SUGGESTED_PARTS.append(
             state_partitions(spark, _glob_bytes(path, sf_dir, self.glob))
         )

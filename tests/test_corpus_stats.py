@@ -191,12 +191,20 @@ class TestCurationExt:
                 }
             )
         )
+        # clear the slot store around the injection (ADVICE r16): the
+        # lexcos postings slot is keyed by the sf_dir string, and the
+        # "unused" key must neither read another injected table's
+        # stale postings nor leave ours behind for a later test
+        from dist_map_reduce_spark import caching
+
         orig = ce.load_table
         ce.load_table = lambda s, d, n: docs
+        caching.clear()
         try:
             rows = lexical_cosine_pairs(spark, "unused").collect()
         finally:
             ce.load_table = orig
+            caching.clear()
         assert [(r.doc_a, r.doc_b, r.cos) for r in rows] == [(1, 2, 1.0)]
 
     def test_dup_span_islands(self, spark):

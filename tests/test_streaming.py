@@ -256,3 +256,33 @@ def test_streaming_wordcount_equals_batch(spark):
         for r in word_count(load_table(spark, SF_SMOKE, "documents")).collect()
     }
     assert stream == batch and stream
+
+
+def test_shuffle_scope_sizes_by_max_pending_and_clears(spark):
+    """ADVICE r16: a stream-stream join registers TWO FileSource
+    suggestions before its sink starts — the scope must size the
+    state shuffle by the MAX of all pending suggestions (not the
+    last-built source) and leave nothing pending after exit, so a
+    source whose sink never started cannot leak its suggestion past
+    the next completed stream."""
+    from dist_map_reduce_spark.streaming import pipelines as P
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    P._SUGGESTED_PARTS.clear()
+    try:
+        P._SUGGESTED_PARTS.extend([4, 9])  # two sources, one query
+        with P.stream_shuffle_scope(spark):
+            assert spark.conf.get(key) == "9"
+        assert spark.conf.get(key) == prev
+        assert P._SUGGESTED_PARTS == []
+        # abandoned-construction suggestion is dropped at scope exit
+        P._SUGGESTED_PARTS.append(7)
+        with P.stream_shuffle_scope(spark):
+            P._SUGGESTED_PARTS.append(3)  # built mid-stream, sink dies
+        assert P._SUGGESTED_PARTS == []
+        with P.stream_shuffle_scope(spark):
+            assert spark.conf.get(key) == prev  # no stale suggestion
+    finally:
+        P._SUGGESTED_PARTS.clear()
+        spark.conf.set(key, prev)
